@@ -1,0 +1,197 @@
+"""GFA v1.1 parser (S/L/W lines, gzip streaming) -> array-of-struct graph.
+
+Replaces the reference's gfa-io.cpp/gfa-base.cpp C layer (see
+/root/reference/src/gfa-io.cpp:462 `gfa_read`) with a tensor-producing parser:
+segment sequences land in one concatenated 2-bit-codable uint8 buffer with
+offsets, links become a deduplicated forward-strand edge list, and W-line walks
+become vertex-id arrays.
+
+Orientation folding matches the reference exactly: gfa-io adds each L-line arc
+plus its complement (gfa-io.cpp:279-365), and ILP_index::read_gfa keeps arcs
+whose *source* vertex is forward-strand, halving ids regardless of target
+orientation (/root/reference/src/ILP_index.cpp:53-84). That reduces to:
+  L u ou v ov  ->  edge u->v if ou=='+',  plus edge v->u if ov=='-'.
+
+Walks are majority-strand normalized (gfa_walk_flip, gfa-io.cpp:64-115); any
+remaining reverse-strand walk vertex is an error (ILP_index.cpp:104-107).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+from typing import IO, Iterable
+
+import numpy as np
+
+# Base codes: A=0 C=1 G=2 T=3, everything else 4 ("invalid").
+# Numeric order of the 2-bit codes equals ASCII lexicographic order of ACGT,
+# which is what makes numeric minimizer comparison match the reference's
+# string comparison (ILP_index.cpp:394). See DESIGN.md.
+BASE_LUT = np.full(256, 4, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    BASE_LUT[_b] = _i
+    BASE_LUT[_b + 32] = _i  # lowercase
+
+CODE2BASE = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def encode_seq(seq: bytes | str) -> np.ndarray:
+    if isinstance(seq, str):
+        seq = seq.encode()
+    return BASE_LUT[np.frombuffer(seq, dtype=np.uint8)]
+
+
+def decode_seq(codes: np.ndarray) -> str:
+    return CODE2BASE[codes].tobytes().decode()
+
+
+@dataclasses.dataclass
+class GfaData:
+    """Raw parse result, before tensorization into a PangenomeGraph."""
+
+    seg_names: list[str]
+    node_len: np.ndarray        # int64 [n_vtx]
+    node_off: np.ndarray        # int64 [n_vtx + 1], offsets into seq_code
+    seq_code: np.ndarray        # uint8 [total_len], 0..4
+    edge_u: np.ndarray          # int32 [n_edges]  (forward-strand, deduped)
+    edge_v: np.ndarray          # int32 [n_edges]
+    walks: list[np.ndarray]     # per walk: int32 vertex ids
+    walk_names: list[str]       # "sample.hap" (ILP_index.cpp:98)
+
+    @property
+    def n_vtx(self) -> int:
+        return len(self.node_len)
+
+    def node_seq_codes(self, v: int) -> np.ndarray:
+        return self.seq_code[self.node_off[v]:self.node_off[v + 1]]
+
+    def node_seq(self, v: int) -> str:
+        return decode_seq(self.node_seq_codes(v))
+
+
+def _open_maybe_gzip(path: str) -> IO[bytes]:
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")  # type: ignore[return-value]
+    return f
+
+
+def read_gfa(path: str) -> GfaData:
+    seg_names: list[str] = []
+    seg_id: dict[str, int] = {}
+    seqs: list[bytes] = []          # per segment, raw bytes ("" until its S line)
+    links: list[tuple[int, int, int, int]] = []  # (u, ou, v, ov); o: 0='+', 1='-'
+    walks: list[np.ndarray] = []
+    walk_names: list[str] = []
+
+    def get_seg(name: str) -> int:
+        i = seg_id.get(name)
+        if i is None:
+            i = len(seg_names)
+            seg_id[name] = i
+            seg_names.append(name)
+            seqs.append(b"")
+        return i
+
+    with _open_maybe_gzip(path) as fh:
+        for line in fh:
+            if len(line) < 2 or line[1:2] != b"\t":
+                continue
+            t = line[0:1]
+            if t == b"S":
+                fields = line.rstrip(b"\n").split(b"\t")
+                i = get_seg(fields[1].decode())
+                seq = fields[2]
+                seqs[i] = b"" if seq == b"*" else seq
+            elif t == b"L":
+                fields = line.split(b"\t", 5)
+                u = get_seg(fields[1].decode())
+                ou = 0 if fields[2] == b"+" else 1
+                v = get_seg(fields[3].decode())
+                ov = 0 if fields[4] == b"+" else 1
+                links.append((u, ou, v, ov))
+            elif t == b"W":
+                fields = line.rstrip(b"\n").split(b"\t")
+                # sample, hap_index, seq_name, start, end, walk (gfa-io.cpp:379-389)
+                sample, hap_idx = fields[1].decode(), fields[2].decode()
+                walk_names.append(f"{sample}.{hap_idx}")
+                walks.append(_parse_walk(fields[6], get_seg))
+
+    n_vtx = len(seg_names)
+    node_len = np.array([len(s) for s in seqs], dtype=np.int64)
+    node_off = np.zeros(n_vtx + 1, dtype=np.int64)
+    np.cumsum(node_len, out=node_off[1:])
+    seq_code = encode_seq(b"".join(seqs)) if n_vtx else np.zeros(0, np.uint8)
+
+    edge_u, edge_v = _fold_links(links)
+    walks = [_normalize_walk(w, i) for i, w in enumerate(walks)]
+    return GfaData(seg_names, node_len, node_off, seq_code,
+                   edge_u, edge_v, walks, walk_names)
+
+
+def _parse_walk(walk_field: bytes, get_seg) -> np.ndarray:
+    """Parse '>s1>s2<s3...' into signed vertex ids: seg<<1 | strand."""
+    s = walk_field.decode().rstrip()
+    out: list[int] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c not in "><":
+            raise ValueError(f"bad walk char {c!r}")
+        j = i + 1
+        while j < n and s[j] not in "><":
+            j += 1
+        out.append(get_seg(s[i + 1:j]) << 1 | (0 if c == ">" else 1))
+        i = j
+    return np.array(out, dtype=np.int64)
+
+
+def _normalize_walk(w: np.ndarray, idx: int) -> np.ndarray:
+    """Majority-strand flip (gfa-io.cpp:64-115) then require all-forward
+    (ILP_index.cpp:104-107) and halve ids."""
+    n_rev = int((w & 1).sum())
+    if n_rev * 2 > len(w):
+        w = (w[::-1] ^ 1).copy()
+    if (w & 1).any():
+        raise ValueError(f"walk {idx} has reverse-strand vertices after flip "
+                         f"(reference exits here, ILP_index.cpp:104-107)")
+    return (w >> 1).astype(np.int32)
+
+
+def _fold_links(links: list[tuple[int, int, int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    if not links:
+        z = np.zeros(0, dtype=np.int32)
+        return z, z.copy()
+    arr = np.array(links, dtype=np.int64)
+    u, ou, v, ov = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+    fwd_u = u[ou == 0]
+    fwd_v = v[ou == 0]
+    comp_u = v[ov == 1]
+    comp_v = u[ov == 1]
+    eu = np.concatenate([fwd_u, comp_u])
+    ev = np.concatenate([fwd_v, comp_v])
+    # dedup multi-edges (gfa_arc_dedup analog, gfa-base.cpp:363-419)
+    packed = np.unique(eu << 32 | ev)
+    return (packed >> 32).astype(np.int32), (packed & 0xFFFFFFFF).astype(np.int32)
+
+
+def write_gfa(g: GfaData, fh: Iterable | None = None, path: str | None = None) -> str:
+    """GFA writer (gfa_print analog, gfa-io.cpp:510-566). Returns the text."""
+    lines = ["H\tVN:Z:1.1"]
+    for i, name in enumerate(g.seg_names):
+        lines.append(f"S\t{name}\t{g.node_seq(i)}")
+    for u, v in zip(g.edge_u.tolist(), g.edge_v.tolist()):
+        lines.append(f"L\t{g.seg_names[u]}\t+\t{g.seg_names[v]}\t+\t0M")
+    for name, w in zip(g.walk_names, g.walks):
+        sample, hap = name.rsplit(".", 1)
+        wl = int(g.node_len[w].sum())
+        walk_str = "".join(">" + g.seg_names[v] for v in w.tolist())
+        lines.append(f"W\t{sample}\t{hap}\t_\t0\t{wl}\t{walk_str}")
+    text = "\n".join(lines) + "\n"
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+    return text

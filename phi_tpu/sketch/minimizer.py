@@ -1,0 +1,195 @@
+"""Windowed minimizer sketching as pure XLA ops (jit-compiled, TPU-first).
+
+Semantics match the reference scan (/root/reference/src/ILP_index.cpp:359-493):
+  - canonical k-mer = min(forward, reverse-complement), compared numerically on
+    the 2-bit big-endian packing (== ASCII lexicographic for ACGT, DESIGN.md);
+  - window minimum over w consecutive k-mer starts, ties -> rightmost position
+    (the deque pops back on `>=`, so a later equal k-mer replaces the front);
+  - consecutive equal-value selections deduplicated (prev_hash check, :413);
+  - k-mers containing non-ACGT codes are excluded (documented deviation).
+
+The window minimum uses the sparse-table doubling trick: O(log w) elementwise
+passes, no sequential loop — the whole sketch is a handful of fused
+memory-bound vector ops over the sequence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phi_tpu.sketch.encode import MAX_K
+
+UMAX = jnp.uint32(0xFFFFFFFF)
+
+
+def _tuple_min(a, b):
+    """Min of (hi, lo, pos) k-mer tuples; ties on value -> larger pos."""
+    ahi, alo, apos = a
+    bhi, blo, bpos = b
+    a_lt = (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+    a_eq = (ahi == bhi) & (alo == blo)
+    take_a = a_lt | (a_eq & (apos >= bpos))
+    return (jnp.where(take_a, ahi, bhi),
+            jnp.where(take_a, alo, blo),
+            jnp.where(take_a, apos, bpos))
+
+
+def _dedup_emit(shi, slo, valid):
+    """emit[i] = valid[i] and value differs from the last valid selection
+    before i (the reference's prev_hash dedup, ILP_index.cpp:413, which skips
+    windows with no valid selection). Forward-fill via associative scan."""
+    def ffill(a, b):
+        ahi, alo, av = a
+        bhi, blo, bv = b
+        return (jnp.where(bv, bhi, ahi), jnp.where(bv, blo, alo), av | bv)
+
+    chi, clo, cv = jax.lax.associative_scan(ffill, (shi, slo, valid))
+    phi = jnp.concatenate([UMAX[None], chi[:-1]])
+    plo = jnp.concatenate([UMAX[None], clo[:-1]])
+    pv = jnp.concatenate([jnp.zeros(1, bool), cv[:-1]])
+    return valid & (~pv | (shi != phi) | (slo != plo))
+
+
+def _pack_canonical(codes: jnp.ndarray, k: int):
+    """(hi, lo, invalid) of the canonical k-mer at every start position.
+
+    codes: uint8 [L] with values 0..3 valid, >=4 invalid. Returns arrays of
+    length L - k + 1 (caller guarantees L >= k).
+    """
+    L = codes.shape[0]
+    n = L - k + 1
+    c = codes.astype(jnp.uint32)
+    n_hi = max(0, k - 16)
+    fhi = jnp.zeros(n, jnp.uint32)
+    flo = jnp.zeros(n, jnp.uint32)
+    rhi = jnp.zeros(n, jnp.uint32)
+    rlo = jnp.zeros(n, jnp.uint32)
+    invalid = jnp.zeros(n, bool)
+    two = jnp.uint32(2)
+    for j in range(k):
+        col = jax.lax.dynamic_slice(c, (j,), (n,))
+        # reverse complement: base j of rc k-mer is complement of base k-1-j
+        rcol = jnp.uint32(3) - jax.lax.dynamic_slice(c, (k - 1 - j,), (n,))
+        if j < n_hi:
+            fhi = (fhi << two) | col
+            rhi = (rhi << two) | rcol
+        else:
+            flo = (flo << two) | col
+            rlo = (rlo << two) | rcol
+        invalid = invalid | (col >= 4)
+    f_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    hi = jnp.where(f_le, fhi, rhi)
+    lo = jnp.where(f_le, flo, rlo)
+    hi = jnp.where(invalid, UMAX, hi)
+    lo = jnp.where(invalid, UMAX, lo)
+    return hi, lo, invalid
+
+
+def _window_min(hi, lo, pos, w: int):
+    """Sliding min over windows of w consecutive entries (sparse table)."""
+    n = hi.shape[0]
+    n_out = n - w + 1
+    t = (hi, lo, pos)
+    s = 1
+    while s * 2 <= w:
+        shifted = tuple(jax.lax.dynamic_slice(x, (s,), (n - s,)) for x in t)
+        head = tuple(x[:n - s] for x in t)
+        t = _tuple_min(head, shifted)
+        n = n - s
+        s *= 2
+    # window [a, a+w-1] = min(T_s[a], T_s[a + w - s]); T_s has length n
+    left = tuple(x[:n_out] for x in t)
+    right = tuple(jax.lax.dynamic_slice(x, (w - s,), (n_out,)) for x in t)
+    return _tuple_min(left, right)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
+def _sketch_jit(codes: jnp.ndarray, n_valid_windows: jnp.ndarray, k: int, w: int, cap: int):
+    hi, lo, invalid = _pack_canonical(codes, k)
+    pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
+    pos = jnp.where(invalid, jnp.int32(-1), pos)
+    shi, slo, spos = _window_min(hi, lo, pos, w)
+    # valid selection = window not fully invalid, and the window lies within
+    # the original (unpadded) sequence: the reference scans i <= L - k only
+    valid = (spos >= 0) & (jnp.arange(shi.shape[0]) < n_valid_windows)
+    emit = _dedup_emit(shi, slo, valid)
+    count = emit.sum()
+    idx = jnp.nonzero(emit, size=cap, fill_value=shi.shape[0])[0]
+    # guard gather with a sentinel row
+    shi_g = jnp.concatenate([shi, UMAX[None]])
+    slo_g = jnp.concatenate([slo, UMAX[None]])
+    spos_g = jnp.concatenate([spos, jnp.full((1,), -1, jnp.int32)])
+    return count, shi_g[idx], slo_g[idx], spos_g[idx]
+
+
+def sketch_sequence(codes: np.ndarray, k: int, w: int,
+                    cap: int | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Minimizers of one sequence: (hi, lo, start_pos) arrays, emitted order.
+
+    Mirrors ILP_index::index_kmers / compute_hashes selection exactly.
+    """
+    if k > MAX_K:
+        raise ValueError(f"k must be <= {MAX_K}")
+    L = len(codes)
+    if L < w + k - 1:
+        z = np.zeros(0, np.uint32)
+        return z, z.copy(), np.zeros(0, np.int32)
+    # Pad to a coarse size grid so jit compiles once per bucket, not per length.
+    bucket = 1 << 16
+    Lp = -(-L // bucket) * bucket
+    if Lp != L:
+        codes = np.concatenate([codes, np.full(Lp - L, 4, np.uint8)])
+    if cap is None:
+        n_win = Lp - k - w + 2
+        cap = max(1024, min(n_win, 4 * n_win // (w + 1) + 64))
+    n_valid = L - k - w + 2
+    while True:
+        count, hi, lo, pos = _sketch_jit(jnp.asarray(codes), jnp.int32(n_valid), k, w, cap)
+        count = int(count)
+        if count <= cap:
+            return (np.asarray(hi[:count]), np.asarray(lo[:count]),
+                    np.asarray(pos[:count]))
+        cap = count  # retry with exact size (rare: highly repetitive input)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _sketch_batch_jit(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
+    """Dense batched sketch: per read, per window -> (hi, lo, emit)."""
+    def one(row, length):
+        hi, lo, invalid = _pack_canonical(row, k)
+        pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
+        pos = jnp.where(invalid, jnp.int32(-1), pos)
+        shi, slo, spos = _window_min(hi, lo, pos, w)
+        valid = (spos >= 0) & (jnp.arange(shi.shape[0]) < length - (k + w - 2))
+        return shi, slo, _dedup_emit(shi, slo, valid)
+
+    return jax.vmap(one)(codes, lengths)
+
+
+def sketch_read_batch(codes: np.ndarray, k: int, w: int,
+                      lengths: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct minimizer values over a padded read batch.
+
+    Returns (hi, lo) arrays of the union spectrum, sorted by combined value.
+    Padding (code 4) invalidates windows that touch it, so per-read lengths
+    need no separate mask. Matches building Sp_R from per-read hash sets
+    (ILP_index.cpp:615-636) — the spectrum is a set, so dedup order is moot.
+    """
+    if codes.shape[0] == 0 or codes.shape[1] < w + k - 1:
+        z = np.zeros(0, np.uint32)
+        return z, z.copy()
+    if lengths is None:
+        # infer per-read length as position of first padding code (4)
+        valid = codes < 4
+        lengths = np.where(valid.all(axis=1), codes.shape[1],
+                           np.argmin(valid, axis=1)).astype(np.int32)
+    shi, slo, emit = _sketch_batch_jit(jnp.asarray(codes), jnp.asarray(lengths), k, w)
+    shi = np.asarray(shi)[np.asarray(emit)]
+    slo = np.asarray(slo)[np.asarray(emit)]
+    combined = (shi.astype(np.uint64) << np.uint64(32)) | slo.astype(np.uint64)
+    uniq = np.unique(combined)
+    return (uniq >> np.uint64(32)).astype(np.uint32), (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)

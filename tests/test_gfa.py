@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+
+from phi_tpu.graph import tensorize
+from phi_tpu.io.gfa import read_gfa, write_gfa
+
+TOY = "/root/reference/test/test.gfa"
+
+
+def test_parse_toy_gfa():
+    g = read_gfa(TOY)
+    assert g.n_vtx == 8
+    assert g.seg_names == [f"s{i}" for i in range(1, 9)]
+    assert g.node_seq(0) == "ATCG"
+    assert g.node_seq(7) == "CATG"
+    assert len(g.edge_u) == 10
+    assert len(g.walks) == 5
+    assert g.walk_names == ["test_hap_1.0", "test_hap_2.1", "test_hap_3.2",
+                            "test_hap_4.3", "test_hap_4.4"]
+    # walk 0: s1 s2 s4 s7 s8 -> ids 0 1 3 6 7
+    assert g.walks[0].tolist() == [0, 1, 3, 6, 7]
+    assert g.walks[4].tolist() == [0, 2, 3, 4, 7]
+
+
+def test_tensorize_toy():
+    g = tensorize(read_gfa(TOY))
+    assert g.n_vtx == 8
+    assert g.num_walks == 5
+    assert g.P == 5
+    assert not g.lin_ref
+    # topo: s1 first, s8 last
+    assert g.topo_order[0] == 0
+    assert g.topo_order[-1] == 7
+    # ranks respect edges
+    assert (g.topo_rank[g.edge_u] < g.topo_rank[g.edge_v]).all()
+    assert g.has_edge(0, 1) and not g.has_edge(1, 0)
+    # walk seq concat: s1+s2+s4+s7+s8
+    from phi_tpu.io.gfa import decode_seq
+    assert decode_seq(g.walk_seq_codes(0)) == "ATCG" + "ATC" + "ATAC" + "GCAT" + "CATG"
+
+
+def test_cycle_detection():
+    import io, tempfile, os
+    text = "S\ta\tAAA\nS\tb\tCCC\nL\ta\t+\tb\t+\t0M\nL\tb\t+\ta\t+\t0M\n"
+    with tempfile.NamedTemporaryFile("w", suffix=".gfa", delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        with pytest.raises(ValueError, match="cycle"):
+            tensorize(read_gfa(path))
+    finally:
+        os.unlink(path)
+
+
+def test_write_roundtrip(tmp_path):
+    g = read_gfa(TOY)
+    out = tmp_path / "out.gfa"
+    write_gfa(g, path=str(out))
+    g2 = read_gfa(str(out))
+    assert g2.seg_names == g.seg_names
+    assert np.array_equal(g2.edge_u, g.edge_u)
+    assert np.array_equal(g2.edge_v, g.edge_v)
+    assert all(np.array_equal(a, b) for a, b in zip(g2.walks, g.walks))
