@@ -1,0 +1,163 @@
+"""End-to-end orchestration: graph + reads -> inferred haplotype FASTA.
+
+The TPU-native equivalent of ILP_index::ILP_function
+(/root/reference/src/ILP_index.cpp:528-1601), emitting the same [M::...]
+phase-log contract (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from phi_tpu import logging as plog
+from phi_tpu.anchors.join import (AnchorTables, build_anchor_tables,
+                                  sketch_haplotypes)
+from phi_tpu.config import Options
+from phi_tpu.emit import recombination_report
+from phi_tpu.graph import PangenomeGraph, tensorize
+from phi_tpu.io.fasta import hap_name_from_paths, write_fasta
+from phi_tpu.io.gfa import read_gfa
+from phi_tpu.io.reads import load_read_batch
+from phi_tpu.sketch.minimizer import sketch_read_batch
+from phi_tpu.solve.decode import DecodeResult, decode_path
+from phi_tpu.solve.dp import solve_dp
+from phi_tpu.solve.prep import build_solver_tables
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    sequence: str
+    decode: DecodeResult
+    anchors: AnchorTables
+    recombination_count: int
+    report_segments: list[str]
+    graph: PangenomeGraph
+    timings: dict[str, float]
+
+
+def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
+                 opt: Options) -> PipelineResult:
+    import time
+    timings: dict[str, float] = {}
+    t0 = time.time()
+
+    graph = tensorize(read_gfa(gfa_path))
+    plog.log("main", f"Loaded graph from: {gfa_path}")
+    timings["load_graph"] = time.time() - t0
+
+    t1 = time.time()
+    reads = load_read_batch(reads_path)
+    timings["load_reads"] = time.time() - t1
+    plog.log("ILP_function",
+             f"Graph has {graph.n_vtx} vertices, {graph.num_walks} walks "
+             f"and read has {reads.n_reads} reads")
+
+    # --- haplotype sketching (hot loop #1) ---
+    t1 = time.time()
+    plog.raw("Number of Minimizers")
+    hap_sketches = sketch_haplotypes(
+        graph, opt.k, opt.w,
+        progress=lambda h, n: plog.raw(f"{graph.walk_names[h]} : {n}"))
+    plog.log("ILP_function", "Haplotypes sketched")
+    timings["sketch_haps"] = time.time() - t1
+
+    # --- read spectrum (hot loop #2) ---
+    t1 = time.time()
+    spectrum = sketch_read_batch(reads.codes, opt.k, opt.w, reads.lengths)
+    plog.log("ILP_function",
+             f"Indexed reads with spectrum size: {len(spectrum[0])}")
+    timings["sketch_reads"] = time.time() - t1
+
+    # --- anchors: join + threshold filter (hot loop #3) ---
+    t1 = time.time()
+    anchors = build_anchor_tables(graph, opt.k, hap_sketches, spectrum,
+                                  opt.threshold)
+    plog.raw("Number of Anchors")
+    for h in range(graph.num_walks):
+        plog.raw(f"{graph.walk_names[h]} : {anchors.per_hap_anchors[h]}")
+    sp = max(anchors.spectrum_size, 1)
+    plog.log("ILP_function",
+             f"Filtered/Retained Minimizers: "
+             f"{anchors.filtered_kmers / sp * 100:.2f}/"
+             f"{(sp - anchors.filtered_kmers) / sp * 100:.2f}%")
+    plog.log("ILP_function",
+             f"{anchors.n_model_kmers * 100.0 / sp:.2f}% Minimizers are in ILP")
+    timings["anchors"] = time.time() - t1
+
+    # --- solve (replaces Gurobi, hot loop #4) ---
+    mode = ("QP" if opt.is_qclp else "ILP")
+    plog.log("ILP_function", f"{mode} model started")
+    plog.log("ILP_function",
+             "Using Mixed Integer Programming" if opt.is_mixed
+             else "Using Integer Programming")
+    t1 = time.time()
+    result = _solve_with_refinement(graph, anchors, opt)
+    plog.log("ILP_function", "Model optimized")
+    plog.log("ILP_function",
+             f"DP sweeps: {result.n_sweeps}; lower bound: {result.dp_objective:.3f}; "
+             f"path objective: {result.true_objective:.3f}; "
+             f"gap: {result.true_objective - result.dp_objective:.3f}")
+    timings["solve"] = time.time() - t1
+
+    # --- report + emit ---
+    recomb, segs = recombination_report(graph, result.vertices, result.vertex_hap)
+    plog.raw(f"Recombination count: {recomb}")
+    plog.raw("Recombined haplotypes: " + "".join(segs))
+
+    t1 = time.time()
+    seq = graph.path_seq(result.vertices)
+    if out_path is not None:
+        name = hap_name_from_paths(gfa_path, reads_path)
+        write_fasta(out_path, name, seq)
+        plog.log("ILP_function",
+                 f"Haplotype of size: {len(seq)} written to: {out_path}")
+    timings["emit"] = time.time() - t1
+    timings["total"] = time.time() - t0
+
+    return PipelineResult(
+        sequence=seq, decode=result, anchors=anchors,
+        recombination_count=recomb, report_segments=segs,
+        graph=graph, timings=timings,
+    )
+
+
+def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
+                           opt: Options) -> DecodeResult:
+    """One DP solve; if the decoded path's exact objective is above the DP
+    bound (duplicate k-mer credit), run Lagrangian reweighting rounds:
+    occurrence weights mu_i are subgradient-updated and the DP re-run; valid
+    lower bound max_mu L(mu), best primal path kept (DESIGN.md)."""
+    tables = build_solver_tables(graph, anchors, opt.recombination)
+    M, ends, sweeps, dp_obj = solve_dp(tables, opt.max_sweeps)
+    best = decode_path(graph, tables, anchors, M, ends, sweeps, dp_obj)
+    best_bound = dp_obj
+    rounds = opt.lagrangian_rounds
+    if best.true_objective - best_bound <= 0.5 or rounds <= 0:
+        best.dp_objective = best_bound
+        return best
+
+    n_kmer_ids = int(anchors.occ_kmer.max()) + 1 if len(anchors.occ_kmer) else 0
+    mu = np.ones(n_kmer_ids, np.float32)
+    for it in range(rounds):
+        # multiplicity of covered occurrences per k-mer on the current path
+        covered = np.zeros(len(anchors.occ_hap), bool)
+        for (sh, sq, sp) in best.segments:
+            covered |= ((anchors.occ_hap == sh) & (anchors.occ_start >= sq)
+                        & (anchors.occ_end <= sp))
+        mult = np.bincount(anchors.occ_kmer[covered], minlength=n_kmer_ids)
+        step = 1.0 / (2 + it)
+        mu = np.clip(mu - step * np.maximum(mult - 1, 0), 0.0, 1.0).astype(np.float32)
+        anchors.occ_weight = mu[anchors.occ_kmer]
+        tables = build_solver_tables(graph, anchors, opt.recombination)
+        M, ends, sweeps, dp_obj = solve_dp(tables, opt.max_sweeps)
+        cand = decode_path(graph, tables, anchors, M, ends, sweeps, dp_obj)
+        best_bound = max(best_bound, dp_obj)
+        if cand.true_objective < best.true_objective:
+            best = cand
+        if best.true_objective - best_bound <= 0.5:
+            break
+    anchors.occ_weight = np.ones(len(anchors.occ_hap), np.float32)
+    best.dp_objective = best_bound
+    return best

@@ -1,0 +1,140 @@
+"""Backtrace of the converged DP and exact re-scoring of the decoded path.
+
+Mirrors the reference's solution decode (ILP_index.cpp:1432-1581): recover
+the (vertex, lane) path, count recombinations, verify every consecutive pair
+is a real graph edge (hard error otherwise, :1553-1575), and additionally
+re-score the path under the *exact* distinct-kmer objective so the gap to the
+DP bound is reported (the reference's z_i counts each spectrum k-mer once).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from phi_tpu.anchors.join import AnchorTables
+from phi_tpu.graph.pangenome import PangenomeGraph
+from phi_tpu.solve.prep import SolverTables
+
+_EPS = 1e-3
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    segments: list[tuple[int, int, int]]  # (hap, start_pos, end_pos) in path order
+    vertices: np.ndarray                  # int32 full vertex path
+    vertex_hap: np.ndarray                # int32 lane label per path vertex
+    n_switches: int                       # R-charged switch edges used
+    recombination_count: int              # hap-label changes (report metric)
+    matched_distinct: int                 # distinct model k-mers covered
+    matched_total: float                  # weighted occurrences covered (DP credit)
+    dp_objective: float                   # lower bound from the DP
+    true_objective: float                 # exact objective of this path
+    n_sweeps: int
+
+
+def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
+                M: np.ndarray, ends: np.ndarray, n_sweeps: int,
+                dp_objective: float) -> DecodeResult:
+    H, P = t.S.shape
+    walk_len = t.walk_len
+    valid = np.arange(P)[None, :] < walk_len[:, None]
+    INF = np.float32(np.inf)
+
+    D = np.where(valid, M - t.B, INF)
+    # entry values (replay one numpy sweep from the fixpoint)
+    if len(t.esrc_h):
+        sv = D[t.esrc_h, t.esrc_p]
+        ent = np.full(t.n_vtx, INF, np.float32)
+        np.minimum.at(ent, t.esrc_target, sv)
+    else:
+        ent = np.full(t.n_vtx, INF, np.float32)
+    e_state = np.where(t.state_vertex >= 0,
+                       ent[np.maximum(t.state_vertex, 0)] + t.R, INF)
+    start_entry = e_state[:, 0].copy()
+    e_state[:, 0] = np.minimum(e_state[:, 0], 0.0)
+    A = np.where(valid, e_state + t.S, INF)
+
+    run_min = np.minimum.accumulate(A, axis=1)
+    cols = np.arange(P)[None, :]
+    qlatest = np.maximum.accumulate(np.where(A <= run_min + 0, cols, -1), axis=1)
+
+    # CSR over esrc_target for switch-source lookup
+    order = np.argsort(t.esrc_target, kind="stable")
+    tgt_sorted = t.esrc_target[order]
+
+    h = int(np.argmin(ends))
+    p = int(walk_len[h]) - 1
+    segments: list[tuple[int, int, int]] = []
+    edges_used: list[int] = []
+    for _ in range(P * H + 1):
+        q = int(qlatest[h, p])
+        assert q >= 0, "backtrace: no entry point found"
+        segments.append((h, q, p))
+        v = int(t.state_vertex[h, q])
+        entry_val = A[h, q] - t.S[h, q]
+        if q == 0 and entry_val >= -_EPS and start_entry[h] >= -_EPS:
+            break  # lane start
+        # switch: find an achieving diverging source state for vertex v
+        lo = np.searchsorted(tgt_sorted, v, side="left")
+        hi_i = np.searchsorted(tgt_sorted, v, side="right")
+        cand = order[lo:hi_i]
+        vals = D[t.esrc_h[cand], t.esrc_p[cand]]
+        j = int(np.argmin(vals))
+        assert vals[j] <= ent[v] + _EPS, "backtrace: switch source mismatch"
+        sel = cand[j]
+        edges_used.append(int(t.esrc_edge[sel]))
+        h, p = int(t.esrc_h[sel]), int(t.esrc_p[sel])
+    else:
+        raise RuntimeError("backtrace did not terminate")
+    segments.reverse()
+    edges_used.reverse()
+
+    # full vertex path + lane labels
+    vparts, hparts = [], []
+    for (sh, sq, sp) in segments:
+        vparts.append(t.state_vertex[sh, sq:sp + 1])
+        hparts.append(np.full(sp - sq + 1, sh, dtype=np.int32))
+    vertices = np.concatenate(vparts).astype(np.int32)
+    vertex_hap = np.concatenate(hparts)
+
+    _verify_edges(graph, vertices)
+
+    n_switches = len(segments) - 1
+    recomb = int((vertex_hap[1:] != vertex_hap[:-1]).sum())
+
+    matched_distinct, matched_total = _score_matches(t, anchors, segments)
+    true_obj = t.R * n_switches + (anchors.n_model_kmers - matched_distinct)
+
+    return DecodeResult(
+        segments=segments, vertices=vertices, vertex_hap=vertex_hap,
+        n_switches=n_switches, recombination_count=recomb,
+        matched_distinct=matched_distinct, matched_total=matched_total,
+        dp_objective=dp_objective, true_objective=float(true_obj),
+        n_sweeps=n_sweeps,
+    )
+
+
+def _verify_edges(graph: PangenomeGraph, vertices: np.ndarray) -> None:
+    """Reference verifies each consecutive pair is a graph edge and exits
+    on violation (ILP_index.cpp:1553-1575)."""
+    for i in range(1, len(vertices)):
+        u, v = int(vertices[i - 1]), int(vertices[i])
+        if not graph.has_edge(u, v):
+            raise RuntimeError(f"decoded path uses non-edge {u}->{v}")
+
+
+def _score_matches(t: SolverTables, anchors: AnchorTables,
+                   segments: list[tuple[int, int, int]]) -> tuple[int, float]:
+    """Occurrences fully contained in an in-lane segment; distinct k-mers and
+    weighted totals."""
+    if len(anchors.occ_hap) == 0:
+        return 0, 0.0
+    covered = np.zeros(len(anchors.occ_hap), bool)
+    for (sh, sq, sp) in segments:
+        m = (anchors.occ_hap == sh) & (anchors.occ_start >= sq) & (anchors.occ_end <= sp)
+        covered |= m
+    matched_distinct = len(np.unique(anchors.occ_kmer[covered]))
+    matched_total = float(anchors.occ_weight[covered].sum())
+    return matched_distinct, matched_total

@@ -1,0 +1,156 @@
+"""Solver correctness: DP vs brute-force expanded-graph optimum, and the toy
+end-to-end fixture from the reference's test/ directory."""
+
+import numpy as np
+import pytest
+
+from phi_tpu.anchors.join import build_anchor_tables, sketch_haplotypes
+from phi_tpu.config import Options
+from phi_tpu.graph import tensorize
+from phi_tpu.io.build import build_gfa_data
+from phi_tpu.io.gfa import encode_seq, read_gfa
+from phi_tpu.pipeline import _solve_with_refinement
+from phi_tpu.sketch.minimizer import sketch_read_batch
+from phi_tpu.solve.decode import decode_path
+from phi_tpu.solve.dp import solve_dp
+from phi_tpu.solve.exact import brute_force_optimum
+from phi_tpu.solve.prep import build_solver_tables
+
+TOY = "/root/reference/test/test.gfa"
+
+
+def _spectrum_from_reads(reads, k, w):
+    max_len = max(len(r) for r in reads)
+    codes = np.full((len(reads), max_len), 4, np.uint8)
+    lengths = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, :len(r)] = encode_seq(r)
+        lengths[i] = len(r)
+    return sketch_read_batch(codes, k, w, lengths)
+
+
+def _full_solve(graph, reads, k, w, R, threshold=1.0):
+    sketches = sketch_haplotypes(graph, k, w)
+    spectrum = _spectrum_from_reads(reads, k, w)
+    anchors = build_anchor_tables(graph, k, sketches, spectrum, threshold)
+    tables = build_solver_tables(graph, anchors, R)
+    M, ends, sweeps, dp_obj = solve_dp(tables)
+    res = decode_path(graph, tables, anchors, M, ends, sweeps, dp_obj)
+    return anchors, tables, res
+
+
+@pytest.mark.parametrize("k,w,R", [(4, 2, 0.5), (4, 2, 100.0), (5, 3, 1.0),
+                                   (3, 1, 2.0), (6, 2, 0.25)])
+def test_dp_matches_brute_force_toy(k, w, R):
+    graph = tensorize(read_gfa(TOY))
+    read = "ATCGATCATACTTACCATG"  # s1 s2 s4 s5 s8 — a mosaic of the walks
+    anchors, tables, res = _full_solve(graph, [read], k, w, R)
+    exact, _ = brute_force_optimum(graph, tables, anchors)
+    assert res.dp_objective <= exact + 1e-3
+    assert res.true_objective >= exact - 1e-3
+    # on these tiny instances no k-mer is coverable twice -> all equal
+    assert res.true_objective == pytest.approx(exact, abs=1e-3)
+    assert res.dp_objective == pytest.approx(exact, abs=1e-3)
+
+
+def test_low_penalty_recovers_mosaic():
+    # Two haplotypes differing at two variant sites; the read is the mosaic
+    # A-allele at site 1, B-allele at site 2. Anchors crossing the allele
+    # boundaries are exclusive to the matching lane, so with a small R the
+    # mosaic path (one switch) is the strict optimum.
+    # alleles chosen so no pair is equal or reverse-complement-equal
+    # (canonical k-mers would otherwise alias across sites)
+    segments = {
+        "X": "ACGTTGCA", "A1": "TACCA", "B1": "AGGAT",
+        "Y": "CAGTCAGT", "A2": "CTTCC", "B2": "GAACT",
+        "Z": "TGCATGCA",
+    }
+    walks = [("hapA.0", ["X", "A1", "Y", "A2", "Z"]),
+             ("hapB.0", ["X", "B1", "Y", "B2", "Z"])]
+    graph = tensorize(build_gfa_data(segments, walks))
+    read = segments["X"] + segments["A1"] + segments["Y"] + segments["B2"] + segments["Z"]
+    # this instance has a genuine duplicate-credit trap: canonical GCAA is
+    # coverable at two places on lane B, so the raw DP overcredits the
+    # non-mosaic path; Lagrangian reweighting must recover the true optimum
+    opt = Options(k=4, w=2, recombination=0.01, lagrangian_rounds=6)
+    sketches = sketch_haplotypes(graph, opt.k, opt.w)
+    spectrum = _spectrum_from_reads([read], opt.k, opt.w)
+    anchors = build_anchor_tables(graph, opt.k, sketches, spectrum, 1.0)
+    res = _solve_with_refinement(graph, anchors, opt)
+    seq = graph.path_seq(res.vertices)
+    assert seq == read
+    assert res.n_switches == 1
+    tables = build_solver_tables(graph, anchors, opt.recombination)
+    exact, _ = brute_force_optimum(graph, tables, anchors)
+    assert res.true_objective == pytest.approx(exact, abs=1e-3)
+
+
+def test_toy_high_penalty_stays_on_walk():
+    graph = tensorize(read_gfa(TOY))
+    read = "ATCGATCATACTTACCATG"
+    _, _, res = _full_solve(graph, [read], 4, 2, R=100.0)
+    # R=100 forbids switches (max credit is far below 100)
+    assert res.n_switches == 0
+    # the chosen lane is one actual walk
+    h = res.vertex_hap[0]
+    assert np.array_equal(res.vertices,
+                          graph.walk_mat[h, :graph.walk_len[h]])
+
+
+def _random_instance(rng, n_blocks=4, n_haps=3):
+    """Random bubble-chain graph + mosaic read; small enough to brute force."""
+    bases = "ACGT"
+    segments = {}
+    walks_segs = [[] for _ in range(n_haps)]
+    for b in range(n_blocks):
+        anchor = "".join(rng.choice(bases) for _ in range(rng.randint(3, 6)))
+        segments[f"a{b}"] = anchor
+        for h in range(n_haps):
+            walks_segs[h].append(f"a{b}")
+        if b < n_blocks - 1:
+            n_alleles = rng.randint(1, 2)
+            alleles = []
+            for a in range(n_alleles):
+                seq = "".join(rng.choice(bases) for _ in range(rng.randint(2, 5)))
+                name = f"v{b}_{a}"
+                segments[name] = seq
+                alleles.append(name)
+            for h in range(n_haps):
+                walks_segs[h].append(alleles[rng.randrange(n_alleles)])
+    walks = [(f"hap{h}.0", walks_segs[h]) for h in range(n_haps)]
+    g = tensorize(build_gfa_data(segments, walks))
+    # mosaic read: follow a random lane path with switches
+    h = rng.randrange(n_haps)
+    read = ""
+    for b in range(len(walks_segs[h])):
+        if rng.random() < 0.3:
+            h = rng.randrange(n_haps)
+        read += segments[walks_segs[h][b]]
+    return g, read
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_dp_matches_brute_force_random(seed):
+    import random
+    rng = random.Random(seed)
+    graph, read = _random_instance(rng)
+    for R in (0.5, 3.0):
+        anchors, tables, res = _full_solve(graph, [read], 4, 2, R)
+        exact, _ = brute_force_optimum(graph, tables, anchors)
+        assert res.dp_objective <= exact + 1e-3, f"R={R}"
+        assert res.true_objective >= exact - 1e-3, f"R={R}"
+
+
+def test_refinement_closes_gap_random():
+    import random
+    rng = random.Random(123)
+    graph, read = _random_instance(rng, n_blocks=5, n_haps=3)
+    opt = Options(k=4, w=2, recombination=1.0, lagrangian_rounds=6)
+    sketches = sketch_haplotypes(graph, opt.k, opt.w)
+    spectrum = _spectrum_from_reads([read], opt.k, opt.w)
+    anchors = build_anchor_tables(graph, opt.k, sketches, spectrum, 1.0)
+    res = _solve_with_refinement(graph, anchors, opt)
+    tables = build_solver_tables(graph, anchors, opt.recombination)
+    exact, _ = brute_force_optimum(graph, tables, anchors)
+    assert res.true_objective >= exact - 1e-3
+    assert res.dp_objective <= exact + 1e-3
