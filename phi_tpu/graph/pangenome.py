@@ -54,7 +54,6 @@ class PangenomeGraph:
     in_adj: Csr                 # vertex -> predecessor vertex ids
     topo_order: np.ndarray      # int32 [n_reach] vertices in topo order
     topo_rank: np.ndarray       # int32 [n_vtx]; rank in topo order
-    topo_depth: np.ndarray      # int32 [n_vtx]; Kahn level
     # Lanes (haplotype walks)
     num_walks: int
     walk_names: list[str]
@@ -91,38 +90,31 @@ class PangenomeGraph:
         return bool(np.isin(v, self.out_adj.group(u)).any())
 
 
-def _topo_levels(n_vtx: int, edge_u: np.ndarray, edge_v: np.ndarray,
-                 out_adj: Csr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _toposort(n_vtx: int, edge_v: np.ndarray,
+              out_adj: Csr) -> tuple[np.ndarray, np.ndarray]:
+    """Kahn's algorithm (stack-based; any valid order is equivalent for PHI's
+    uses). Host-side; replaced by the C++ ingest path for very large graphs."""
     indeg = np.bincount(edge_v, minlength=n_vtx).astype(np.int64)
-    order_parts: list[np.ndarray] = []
-    depth = np.zeros(n_vtx, dtype=np.int32)
-    frontier = np.flatnonzero(indeg == 0).astype(np.int32)
-    level = 0
+    stack = np.flatnonzero(indeg == 0).astype(np.int32).tolist()
+    off = out_adj.off
+    succ = out_adj.values
+    order = np.empty(n_vtx, dtype=np.int32)
     n_done = 0
-    while frontier.size:
-        order_parts.append(frontier)
-        depth[frontier] = level
-        n_done += frontier.size
-        counts = (out_adj.off[frontier + 1] - out_adj.off[frontier]).astype(np.int64)
-        if counts.sum():
-            starts = out_adj.off[frontier]
-            idx = np.repeat(starts, counts) + ragged_arange(counts)
-            targets = out_adj.values[idx]
-            dec = np.bincount(targets, minlength=n_vtx)
-            indeg -= dec
-            hit = np.unique(targets)
-            frontier = hit[indeg[hit] == 0].astype(np.int32)
-        else:
-            frontier = np.zeros(0, np.int32)
-        level += 1
+    indeg_l = indeg.tolist()
+    while stack:
+        u = stack.pop()
+        order[n_done] = u
+        n_done += 1
+        for v in succ[off[u]:off[u + 1]].tolist():
+            indeg_l[v] -= 1
+            if indeg_l[v] == 0:
+                stack.append(v)
     if n_done != n_vtx:
-        # Vertices left with nonzero indegree form a cycle.
         raise ValueError(f"graph has a cycle: {n_vtx - n_done} vertices unreachable "
                          "in topological order (PHI requires an acyclic graph)")
-    order = np.concatenate(order_parts) if order_parts else np.zeros(0, np.int32)
     rank = np.zeros(n_vtx, dtype=np.int32)
     rank[order] = np.arange(n_vtx, dtype=np.int32)
-    return order, rank, depth
+    return order, rank
 
 
 def tensorize(gfa: GfaData) -> PangenomeGraph:
@@ -130,7 +122,7 @@ def tensorize(gfa: GfaData) -> PangenomeGraph:
     edge_u, edge_v = gfa.edge_u, gfa.edge_v
     out_adj = build_csr(edge_u, edge_v, n_vtx)
     in_adj = build_csr(edge_v, edge_u, n_vtx)
-    topo_order, topo_rank, topo_depth = _topo_levels(n_vtx, edge_u, edge_v, out_adj)
+    topo_order, topo_rank = _toposort(n_vtx, edge_v, out_adj)
 
     H = len(gfa.walks)
     P = max((len(w) for w in gfa.walks), default=0)
@@ -152,7 +144,7 @@ def tensorize(gfa: GfaData) -> PangenomeGraph:
     return PangenomeGraph(
         gfa=gfa, n_vtx=n_vtx, edge_u=edge_u, edge_v=edge_v,
         out_adj=out_adj, in_adj=in_adj,
-        topo_order=topo_order, topo_rank=topo_rank, topo_depth=topo_depth,
+        topo_order=topo_order, topo_rank=topo_rank,
         num_walks=H, walk_names=list(gfa.walk_names),
         walk_mat=walk_mat, walk_len=walk_len, walk_node_cumlen=cumlens,
         lanes_of_vertex=lanes_of_vertex, lin_ref=(len(edge_u) == 0),
