@@ -1,0 +1,155 @@
+"""Multi-chip execution over a jax.sharding.Mesh (SURVEY.md §2.4).
+
+Mesh axes (the meaningful parallelism axes of this problem):
+  dp  — data parallel over reads: each shard sketches its read batch and hit
+        counts are merged with a psum (the reference's OpenMP read loop,
+        ILP_index.cpp:617, scaled across hosts).
+  hap — lanes (haplotype walks) sharded: the per-vertex entry reduction
+        becomes a cross-shard min (model-parallel analog).
+  sp  — walk positions sharded: the prefix-min becomes a blocked associative
+        scan with carry exchange across shards (sequence-parallel analog;
+        SURVEY.md §5 long-context entry).
+
+Everything is shard_map-expressed so collectives are explicit: all_gather of
+exit values for the switch-source reduction, pmin across 'hap', carry
+all_gather across 'sp', psum across 'dp'.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+_INF = jnp.float32(jnp.inf)
+
+
+def factor_mesh(n_devices: int) -> tuple[int, int, int]:
+    """(dp, hap, sp) factors for n devices."""
+    ns = 2 if n_devices % 2 == 0 else 1
+    nh = 2 if n_devices % 4 == 0 else 1
+    return n_devices // (ns * nh), nh, ns
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    nd, nh, ns = factor_mesh(n_devices)
+    arr = np.array(devices[:n_devices]).reshape(nd, nh, ns)
+    return Mesh(arr, ("dp", "hap", "sp"))
+
+
+def _pad_to(x: np.ndarray, axis: int, mult: int, value) -> np.ndarray:
+    n = x.shape[axis]
+    target = -(-n // mult) * mult
+    if target == n:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - n)
+    return np.pad(x, pad, constant_values=value)
+
+
+def prepare_sharded_tables(tables, mesh: Mesh):
+    """Pad the solver tables to mesh-divisible shapes (numpy, host side)."""
+    nh = mesh.shape["hap"]
+    ns = mesh.shape["sp"]
+    S = _pad_to(_pad_to(tables.S, 0, nh, 0.0), 1, ns, 0.0)
+    B = _pad_to(_pad_to(tables.B, 0, nh, 0.0), 1, ns, 0.0)
+    sv = _pad_to(_pad_to(tables.state_vertex, 0, nh, -1), 1, ns, -1)
+    wl = _pad_to(tables.walk_len, 0, nh, 0)
+    return S, B, sv, wl
+
+
+def sharded_full_step(mesh: Mesh, *, k: int, w: int, R: float, n_vtx: int,
+                      n_sweeps: int = 4):
+    """Build the jitted multi-chip step:
+      (read_codes, read_lengths, spectrum_keys_hi/lo, S, B, state_vertex,
+       walk_len, esrc tables) -> (hit_counts, M, dp_end_min)
+
+    One call = read sketch + spectrum hit count (dp) + n_sweeps DP relaxation
+    sweeps (hap x sp). This is the 'training step' analog the driver
+    compile-checks across a virtual mesh.
+    """
+    from phi_tpu.sketch.minimizer import _dedup_emit, _pack_canonical, _window_min
+
+    from phi_tpu.ops.search import pair_isin
+
+    def step(codes, lengths, sp_hi, sp_lo, S, B, state_vertex, walk_len,
+             esrc_h, esrc_p, esrc_target):
+        # ---- dp axis: sketch + hit count ----
+        def one(row, length):
+            hi, lo, invalid = _pack_canonical(row, k)
+            pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
+            pos = jnp.where(invalid, jnp.int32(-1), pos)
+            shi, slo, spos = _window_min(hi, lo, pos, w)
+            valid = (spos >= 0) & (jnp.arange(shi.shape[0]) < length - (k + w - 2))
+            emit = _dedup_emit(shi, slo, valid)
+            return shi, slo, emit
+
+        shi, slo, emit = jax.vmap(one)(codes, lengths)
+        found, idx = pair_isin(sp_hi, sp_lo, shi.reshape(-1), slo.reshape(-1))
+        hit = found & emit.reshape(-1)
+        idx_c = jnp.minimum(idx, sp_hi.shape[0] - 1)
+        local_hits = jnp.zeros(sp_hi.shape[0], jnp.int32).at[idx_c].add(
+            hit.astype(jnp.int32))
+        hits = jax.lax.psum(local_hits, "dp")
+
+        # ---- hap x sp axes: DP relaxation sweeps ----
+        Hs, Ps = S.shape  # local block
+        sp_idx = jax.lax.axis_index("sp")
+        n_sp = jax.lax.axis_size("sp")
+        gcol = sp_idx * Ps + jnp.arange(Ps)  # global columns of this block
+        valid = gcol[None, :] < walk_len[:, None]
+        vtx_clip = jnp.maximum(state_vertex, 0)
+        has_vtx = state_vertex >= 0
+
+        def sweep(M):
+            D = jnp.where(valid, M - B, _INF)
+            # replicate exit values for the switch-source reduction
+            D_sp = jax.lax.all_gather(D, "sp", axis=1, tiled=True)    # [Hs, P]
+            D_full = jax.lax.all_gather(D_sp, "hap", axis=0, tiled=True)  # [H, P]
+            sv = D_full[esrc_h, esrc_p]
+            ent = jax.ops.segment_min(sv, esrc_target, num_segments=n_vtx)
+            E = jnp.where(has_vtx, ent[vtx_clip] + R, _INF)
+            E = jnp.where((gcol[None, :] == 0), jnp.minimum(E, 0.0), E)
+            A = jnp.where(valid, E + S, _INF)
+            local = jax.lax.associative_scan(jnp.minimum, A, axis=1)
+            # carry: prefix-min of predecessor blocks' totals along sp
+            tot = local[:, -1]                                        # [Hs]
+            all_tot = jax.lax.all_gather(tot, "sp", axis=0)           # [n_sp, Hs]
+            pred = jnp.arange(n_sp)[:, None] < sp_idx
+            carry = jnp.min(jnp.where(pred, all_tot, _INF), axis=0)   # [Hs]
+            return jnp.minimum(local, carry[:, None])
+
+        M = jnp.full((Hs, Ps), _INF)
+        for _ in range(n_sweeps):
+            M = sweep(M)
+        D = jnp.where(valid, M - B, _INF)
+        ends = jnp.where((gcol[None, :] == (walk_len[:, None] - 1)) & valid, D, _INF)
+        end_min = jax.lax.pmin(jax.lax.pmin(ends.min(), "sp"), "hap")
+        return hits, M, end_min
+
+    in_specs = (
+        P("dp", None), P("dp"), P(None), P(None),   # codes, lengths, sp_hi/lo
+        P("hap", "sp"), P("hap", "sp"),             # S, B
+        P("hap", "sp"), P("hap"),                   # state_vertex, walk_len
+        P(None), P(None), P(None),                  # esrc tables (replicated)
+    )
+    out_specs = (P(None), P("hap", "sp"), P())
+    try:
+        sm = shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax: check_rep instead of check_vma
+        sm = shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+    return jax.jit(sm)
