@@ -1,0 +1,524 @@
+// PHI-TPU native runtime components (host side).
+//
+// TPU-native equivalents of the reference's C substrate: streaming GFA and
+// FASTA/FASTQ ingest that lands directly in dense arrays ready for device
+// upload (replacing gfa-io.cpp/gfa-base.cpp/kseq.h in /root/reference/src),
+// a Kahn toposort, and a banded block Myers bit-parallel edit distance for
+// the evaluation harness (the reference shells out to edlib-aligner,
+// data/edlib_edits.py).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- gz lines
+class GzReader {
+ public:
+  explicit GzReader(const char* path) : f_(gzopen(path, "rb")) {
+    gzbuffer(f_, 1 << 20);
+  }
+  ~GzReader() {
+    if (f_) gzclose(f_);
+  }
+  bool ok() const { return f_ != nullptr; }
+  // Reads one line (without trailing \n) into line. Returns false at EOF.
+  bool getline(std::string& line) {
+    line.clear();
+    for (;;) {
+      if (pos_ >= len_) {
+        len_ = gzread(f_, buf_, sizeof(buf_));
+        pos_ = 0;
+        if (len_ <= 0) return !line.empty();
+      }
+      char* nl = static_cast<char*>(memchr(buf_ + pos_, '\n', len_ - pos_));
+      if (nl) {
+        line.append(buf_ + pos_, nl - (buf_ + pos_));
+        pos_ = (nl - buf_) + 1;
+        return true;
+      }
+      line.append(buf_ + pos_, len_ - pos_);
+      pos_ = len_;
+    }
+  }
+
+ private:
+  gzFile f_ = nullptr;
+  char buf_[1 << 20];
+  int len_ = 0, pos_ = 0;
+};
+
+const uint8_t* base_lut() {
+  static uint8_t lut[256];
+  static bool init = false;
+  if (!init) {
+    memset(lut, 4, sizeof(lut));
+    lut['A'] = lut['a'] = 0;
+    lut['C'] = lut['c'] = 1;
+    lut['G'] = lut['g'] = 2;
+    lut['T'] = lut['t'] = 3;
+    init = true;
+  }
+  return lut;
+}
+
+struct GfaHandle {
+  std::vector<int64_t> node_len;
+  std::vector<int64_t> node_off;
+  std::vector<uint8_t> seq_code;
+  std::vector<int32_t> edge_u, edge_v;
+  std::vector<int32_t> walk_concat;  // vertex ids of all walks, concatenated
+  std::vector<int64_t> walk_off;     // [n_walks + 1]
+  std::string seg_names;             // '\0'-joined
+  std::string walk_names;            // '\0'-joined "sample.hap"
+  std::string error;
+};
+
+struct ReadsHandle {
+  std::vector<uint8_t> codes;  // concatenated read codes
+  std::vector<int64_t> off;    // [n + 1]
+  std::string names;           // '\0'-joined
+  std::string error;
+};
+
+std::vector<std::string> split_tab(const std::string& s, size_t max_fields) {
+  std::vector<std::string> out;
+  size_t start = 0;
+  while (out.size() + 1 < max_fields) {
+    size_t tab = s.find('\t', start);
+    if (tab == std::string::npos) break;
+    out.emplace_back(s, start, tab - start);
+    start = tab + 1;
+  }
+  out.emplace_back(s, start);
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------------------------------------------- GFA
+void* phi_gfa_parse(const char* path) {
+  auto* h = new GfaHandle();
+  GzReader rd(path);
+  if (!rd.ok()) {
+    h->error = "cannot open file";
+    return h;
+  }
+  const uint8_t* lut = base_lut();
+  std::unordered_map<std::string, int32_t> seg_id;
+  std::vector<std::string> seqs;
+  std::vector<std::string> names;
+  // raw links (u, ou, v, ov)
+  std::vector<int64_t> links;
+
+  auto get_seg = [&](const std::string& name) -> int32_t {
+    auto it = seg_id.find(name);
+    if (it != seg_id.end()) return it->second;
+    int32_t id = static_cast<int32_t>(names.size());
+    seg_id.emplace(name, id);
+    names.push_back(name);
+    seqs.emplace_back();
+    return id;
+  };
+
+  std::string line;
+  while (rd.getline(line)) {
+    if (line.size() < 2 || line[1] != '\t') continue;
+    char t = line[0];
+    if (t == 'S') {
+      auto f = split_tab(line, 4);
+      if (f.size() < 3) continue;
+      int32_t id = get_seg(f[1]);
+      if (f[2] != "*") seqs[id] = f[2];
+    } else if (t == 'L') {
+      auto f = split_tab(line, 6);
+      if (f.size() < 5) continue;
+      int64_t u = get_seg(f[1]);
+      int64_t ou = (f[2] == "-") ? 1 : 0;
+      int64_t v = get_seg(f[3]);
+      int64_t ov = (f[4] == "-") ? 1 : 0;
+      links.push_back(u << 2 | ou << 1 | 0);
+      links.push_back(v << 2 | ov << 1 | 1);
+    } else if (t == 'W') {
+      auto f = split_tab(line, 7);
+      if (f.size() < 7) continue;
+      h->walk_names += f[1] + "." + f[2];
+      h->walk_names.push_back('\0');
+      // parse >s1>s2<s3...
+      const std::string& wk = f[6];
+      std::vector<int64_t> verts;  // seg<<1 | strand
+      size_t i = 0;
+      while (i < wk.size()) {
+        char c = wk[i];
+        if (c != '>' && c != '<') {
+          h->error = "bad walk char";
+          return h;
+        }
+        size_t j = i + 1;
+        while (j < wk.size() && wk[j] != '>' && wk[j] != '<') j++;
+        int64_t id = get_seg(wk.substr(i + 1, j - i - 1));
+        verts.push_back(id << 1 | (c == '<' ? 1 : 0));
+        i = j;
+      }
+      // majority-strand flip (gfa_walk_flip semantics, gfa-io.cpp:64-115)
+      size_t n_rev = 0;
+      for (int64_t v : verts) n_rev += (v & 1);
+      if (n_rev * 2 > verts.size()) {
+        std::reverse(verts.begin(), verts.end());
+        for (auto& v : verts) v ^= 1;
+      }
+      for (int64_t v : verts) {
+        if (v & 1) {
+          h->error = "walk has reverse-strand vertices after flip";
+          return h;
+        }
+        h->walk_concat.push_back(static_cast<int32_t>(v >> 1));
+      }
+      h->walk_off.push_back(static_cast<int64_t>(h->walk_concat.size()));
+    }
+  }
+
+  size_t n = names.size();
+  h->node_len.resize(n);
+  h->node_off.resize(n + 1);
+  int64_t off = 0;
+  for (size_t i = 0; i < n; i++) {
+    h->node_off[i] = off;
+    h->node_len[i] = static_cast<int64_t>(seqs[i].size());
+    off += h->node_len[i];
+  }
+  h->node_off[n] = off;
+  h->seq_code.resize(off);
+  for (size_t i = 0; i < n; i++) {
+    const std::string& s = seqs[i];
+    uint8_t* dst = h->seq_code.data() + h->node_off[i];
+    for (size_t j = 0; j < s.size(); j++) dst[j] = lut[(uint8_t)s[j]];
+  }
+  for (const std::string& name : names) {
+    h->seg_names += name;
+    h->seg_names.push_back('\0');
+  }
+  // walk_off needs leading 0
+  h->walk_off.insert(h->walk_off.begin(), 0);
+
+  // fold links to forward edges (ILP_index.cpp:53-84 semantics):
+  //   ou=='+' -> u->v ; ov=='-' -> v->u
+  std::vector<int64_t> packed;
+  packed.reserve(links.size() / 2);
+  for (size_t i = 0; i + 1 < links.size(); i += 2) {
+    int64_t u = links[i] >> 2, ou = (links[i] >> 1) & 1;
+    int64_t v = links[i + 1] >> 2, ov = (links[i + 1] >> 1) & 1;
+    if (ou == 0) packed.push_back(u << 32 | v);
+    if (ov == 1) packed.push_back(v << 32 | u);
+  }
+  std::sort(packed.begin(), packed.end());
+  packed.erase(std::unique(packed.begin(), packed.end()), packed.end());
+  h->edge_u.reserve(packed.size());
+  h->edge_v.reserve(packed.size());
+  for (int64_t p : packed) {
+    h->edge_u.push_back(static_cast<int32_t>(p >> 32));
+    h->edge_v.push_back(static_cast<int32_t>(p & 0xFFFFFFFF));
+  }
+  return h;
+}
+
+const char* phi_gfa_error(void* hp) {
+  return static_cast<GfaHandle*>(hp)->error.c_str();
+}
+int64_t phi_gfa_n_vtx(void* hp) {
+  return static_cast<int64_t>(static_cast<GfaHandle*>(hp)->node_len.size());
+}
+int64_t phi_gfa_n_edges(void* hp) {
+  return static_cast<int64_t>(static_cast<GfaHandle*>(hp)->edge_u.size());
+}
+int64_t phi_gfa_n_walks(void* hp) {
+  return static_cast<int64_t>(static_cast<GfaHandle*>(hp)->walk_off.size()) - 1;
+}
+int64_t phi_gfa_seq_len(void* hp) {
+  return static_cast<int64_t>(static_cast<GfaHandle*>(hp)->seq_code.size());
+}
+int64_t phi_gfa_walk_total(void* hp) {
+  return static_cast<int64_t>(static_cast<GfaHandle*>(hp)->walk_concat.size());
+}
+const int64_t* phi_gfa_node_len(void* hp) {
+  return static_cast<GfaHandle*>(hp)->node_len.data();
+}
+const int64_t* phi_gfa_node_off(void* hp) {
+  return static_cast<GfaHandle*>(hp)->node_off.data();
+}
+const uint8_t* phi_gfa_seq_code(void* hp) {
+  return static_cast<GfaHandle*>(hp)->seq_code.data();
+}
+const int32_t* phi_gfa_edge_u(void* hp) {
+  return static_cast<GfaHandle*>(hp)->edge_u.data();
+}
+const int32_t* phi_gfa_edge_v(void* hp) {
+  return static_cast<GfaHandle*>(hp)->edge_v.data();
+}
+const int32_t* phi_gfa_walk_concat(void* hp) {
+  return static_cast<GfaHandle*>(hp)->walk_concat.data();
+}
+const int64_t* phi_gfa_walk_off(void* hp) {
+  return static_cast<GfaHandle*>(hp)->walk_off.data();
+}
+const char* phi_gfa_seg_names(void* hp, int64_t* len) {
+  auto* h = static_cast<GfaHandle*>(hp);
+  *len = static_cast<int64_t>(h->seg_names.size());
+  return h->seg_names.data();
+}
+const char* phi_gfa_walk_names(void* hp, int64_t* len) {
+  auto* h = static_cast<GfaHandle*>(hp);
+  *len = static_cast<int64_t>(h->walk_names.size());
+  return h->walk_names.data();
+}
+void phi_gfa_free(void* hp) { delete static_cast<GfaHandle*>(hp); }
+
+// ------------------------------------------------------------- FASTA/FASTQ
+void* phi_reads_load(const char* path) {
+  auto* h = new ReadsHandle();
+  GzReader rd(path);
+  if (!rd.ok()) {
+    h->error = "cannot open file";
+    return h;
+  }
+  const uint8_t* lut = base_lut();
+  h->off.push_back(0);
+  std::string line;
+  bool have_first = rd.getline(line);
+  if (!have_first) return h;
+  auto append_seq = [&](const std::string& s) {
+    size_t base = h->codes.size();
+    h->codes.resize(base + s.size());
+    for (size_t j = 0; j < s.size(); j++) h->codes[base + j] = lut[(uint8_t)s[j]];
+  };
+  if (line[0] == '>') {  // FASTA
+    for (;;) {
+      size_t sp = line.find_first_of(" \t");
+      h->names.append(line, 1, (sp == std::string::npos ? line.size() : sp) - 1);
+      h->names.push_back('\0');
+      bool more = false;
+      while ((more = rd.getline(line))) {
+        if (line[0] == '>') break;
+        append_seq(line);
+      }
+      h->off.push_back(static_cast<int64_t>(h->codes.size()));
+      if (!more) break;
+    }
+  } else if (line[0] == '@') {  // FASTQ
+    for (;;) {
+      size_t sp = line.find_first_of(" \t");
+      h->names.append(line, 1, (sp == std::string::npos ? line.size() : sp) - 1);
+      h->names.push_back('\0');
+      std::string seq;
+      if (!rd.getline(seq)) break;
+      append_seq(seq);
+      h->off.push_back(static_cast<int64_t>(h->codes.size()));
+      std::string plus, qual;
+      if (!rd.getline(plus) || !rd.getline(qual)) break;
+      if (!rd.getline(line) || line.empty() || line[0] != '@') break;
+    }
+  } else {
+    h->error = "not FASTA/FASTQ";
+  }
+  return h;
+}
+
+const char* phi_reads_error(void* hp) {
+  return static_cast<ReadsHandle*>(hp)->error.c_str();
+}
+int64_t phi_reads_count(void* hp) {
+  return static_cast<int64_t>(static_cast<ReadsHandle*>(hp)->off.size()) - 1;
+}
+int64_t phi_reads_total(void* hp) {
+  return static_cast<int64_t>(static_cast<ReadsHandle*>(hp)->codes.size());
+}
+const uint8_t* phi_reads_codes(void* hp) {
+  return static_cast<ReadsHandle*>(hp)->codes.data();
+}
+const int64_t* phi_reads_off(void* hp) {
+  return static_cast<ReadsHandle*>(hp)->off.data();
+}
+const char* phi_reads_names(void* hp, int64_t* len) {
+  auto* h = static_cast<ReadsHandle*>(hp);
+  *len = static_cast<int64_t>(h->names.size());
+  return h->names.data();
+}
+void phi_reads_free(void* hp) { delete static_cast<ReadsHandle*>(hp); }
+
+// ---------------------------------------------------------------- toposort
+// Kahn; returns 0 on success, 1 on cycle. order must hold n entries.
+int phi_toposort(int64_t n, int64_t m, const int32_t* eu, const int32_t* ev,
+                 int32_t* order) {
+  std::vector<int64_t> indeg(n, 0), off(n + 1, 0);
+  for (int64_t i = 0; i < m; i++) {
+    indeg[ev[i]]++;
+    off[eu[i] + 1]++;
+  }
+  for (int64_t i = 0; i < n; i++) off[i + 1] += off[i];
+  std::vector<int32_t> succ(m);
+  std::vector<int64_t> fill(off.begin(), off.end() - 1);
+  for (int64_t i = 0; i < m; i++) succ[fill[eu[i]]++] = ev[i];
+  std::vector<int32_t> stack;
+  for (int64_t i = n - 1; i >= 0; i--)
+    if (indeg[i] == 0) stack.push_back(static_cast<int32_t>(i));
+  int64_t done = 0;
+  while (!stack.empty()) {
+    int32_t u = stack.back();
+    stack.pop_back();
+    order[done++] = u;
+    for (int64_t j = off[u]; j < off[u + 1]; j++) {
+      if (--indeg[succ[j]] == 0) stack.push_back(succ[j]);
+    }
+  }
+  return done == n ? 0 : 1;
+}
+
+// ------------------------------------------------- banded Myers edit distance
+// Block bit-parallel Myers (Hyyro 2003) with Ukkonen band doubling — the
+// algorithm family behind edlib, written from scratch. query = rows,
+// target = columns, codes 0..4 (4 matches nothing, not even itself, matching
+// edit-distance over literal N mismatches conservatively).
+namespace myers {
+
+struct Block {
+  uint64_t vp = ~0ULL, vn = 0;
+  int score = 0;
+};
+
+inline int advance_block(Block& b, uint64_t eq, int hin) {
+  uint64_t pv = b.vp, mv = b.vn;
+  uint64_t xv = eq | mv;
+  if (hin < 0) eq |= 1ULL;
+  uint64_t xh = (((eq & pv) + pv) ^ pv) | eq;
+  uint64_t ph = mv | ~(xh | pv);
+  uint64_t mh = pv & xh;
+  int hout = 0;
+  if (ph & (1ULL << 63)) hout = 1;
+  if (mh & (1ULL << 63)) hout = -1;
+  ph <<= 1;
+  mh <<= 1;
+  if (hin < 0) mh |= 1ULL;
+  if (hin > 0) ph |= 1ULL;
+  b.vp = mh | ~(xv | ph);
+  b.vn = ph & xv;
+  b.score += hout;
+  return hout;
+}
+
+// Lower bound on the final-cell cost of any path through block b at column j:
+// min over rows i in the block of |(qlen-1-i) - (tlen-1-j)| (every remaining
+// step changes (row gap - col gap) by at most 1).
+inline int64_t block_tail_lb(int64_t b, int64_t j, int64_t qlen, int64_t tlen,
+                             int64_t nblk) {
+  int64_t a = b * 64;
+  int64_t z = std::min(b * 64 + 63, qlen - 1);
+  int64_t i_star = j + qlen - tlen;  // row with zero tail imbalance
+  int64_t i = std::min(std::max(i_star, a), z);
+  int64_t d = (qlen - 1 - i) - (tlen - 1 - j);
+  return d < 0 ? -d : d;
+}
+
+int distance(const uint8_t* q, int64_t qlen, const uint8_t* t, int64_t tlen,
+             int64_t k_limit) {
+  if (qlen == 0) return static_cast<int>(tlen);
+  if (tlen == 0) return static_cast<int>(qlen);
+  int64_t nblk = (qlen + 63) / 64;
+  std::vector<uint64_t> peq(nblk * 5, 0);
+  for (int64_t i = 0; i < qlen; i++) {
+    int c = q[i];
+    if (c < 4) peq[(i / 64) * 5 + c] |= 1ULL << (i % 64);
+  }
+  int64_t k = (k_limit > 0) ? k_limit
+                            : std::max<int64_t>(128, (qlen > tlen ? qlen - tlen
+                                                                  : tlen - qlen) * 2);
+  for (;;) {
+    std::vector<Block> blk(nblk);
+    for (int64_t b = 0; b < nblk; b++)
+      blk[b].score = static_cast<int>((b + 1) * 64);
+    int64_t first = 0;
+    int64_t last = std::min(nblk - 1, k / 64 + 1);
+    int best_final = -1;
+    bool band_empty = false;
+    for (int64_t j = 0; j < tlen; j++) {
+      // advance the band top: a block whose bottom row i satisfies
+      // (j - i) + |(j - i) + qlen - tlen| > k is permanently hopeless
+      // (D[i][j] >= j - i above the diagonal, and the certificate is
+      // monotone in j), so the virtual incrementing boundary row is sound.
+      while (first <= last) {
+        int64_t ib = std::min(64 * (first + 1) - 1, qlen - 1);
+        int64_t di = j - ib;
+        if (di > 0 && di + std::abs(di + qlen - tlen) > static_cast<int64_t>(k))
+          first++;
+        else
+          break;
+      }
+      if (first > last) {
+        band_empty = true;
+        break;
+      }
+      int c = t[j];
+      int hin = 1;  // true D[-1][j] boundary at first==0; virtual row above otherwise
+      for (int64_t b = first; b <= last; b++) {
+        uint64_t eq = (c < 4) ? peq[b * 5 + c] : 0;
+        hin = advance_block(blk[b], eq, hin);
+      }
+      // extend: add blocks (vertical-only init at this column) while a cell
+      // in them could still lie on a <=k path (mirror of the prune test:
+      // any cell below is >= min cell of the current last block)
+      while (last < nblk - 1 &&
+             static_cast<int64_t>(blk[last].score) - 63 +
+                     block_tail_lb(last + 1, j, qlen, tlen, nblk)
+                 <= static_cast<int64_t>(k)) {
+        Block nb;
+        nb.vp = ~0ULL;
+        nb.vn = 0;
+        nb.score = blk[last].score + 64;
+        blk[last + 1] = nb;
+        last++;
+      }
+      // shrink: drop blocks whose every cell is provably hopeless
+      while (last > first &&
+             static_cast<int64_t>(blk[last].score) - 63 +
+                     block_tail_lb(last, j, qlen, tlen, nblk) >
+                 static_cast<int64_t>(k)) {
+        last--;
+      }
+      if (last == nblk - 1 && j == tlen - 1) {
+        int sc = blk[last].score;
+        int extra = static_cast<int>(nblk * 64 - qlen);
+        uint64_t vp = blk[last].vp, vn = blk[last].vn;
+        for (int e = 0; e < extra; e++) {  // walk up over padded rows
+          uint64_t bit = 1ULL << (63 - e);
+          if (vp & bit) sc--;
+          else if (vn & bit) sc++;
+        }
+        best_final = sc;
+      }
+    }
+    (void)band_empty;
+    if (best_final >= 0 && best_final <= k) return best_final;
+    if (k >= qlen + tlen)
+      return best_final >= 0 ? best_final
+                             : static_cast<int>(std::max(qlen, tlen));
+    k *= 2;
+  }
+}
+
+}  // namespace myers
+
+int64_t phi_edit_distance(const uint8_t* q, int64_t qlen, const uint8_t* t,
+                          int64_t tlen, int64_t k_limit) {
+  return myers::distance(q, qlen, t, tlen, k_limit);
+}
+
+}  // extern "C"

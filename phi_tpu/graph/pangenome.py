@@ -90,10 +90,22 @@ class PangenomeGraph:
         return bool(np.isin(v, self.out_adj.group(u)).any())
 
 
-def _toposort(n_vtx: int, edge_v: np.ndarray,
+def _toposort(n_vtx: int, edge_u: np.ndarray, edge_v: np.ndarray,
               out_adj: Csr) -> tuple[np.ndarray, np.ndarray]:
     """Kahn's algorithm (stack-based; any valid order is equivalent for PHI's
-    uses). Host-side; replaced by the C++ ingest path for very large graphs."""
+    uses). Uses the native C++ implementation when available."""
+    try:
+        from phi_tpu.native import toposort_native
+        order = toposort_native(n_vtx, edge_u, edge_v)
+    except ValueError:
+        raise ValueError("graph has a cycle: topological order impossible "
+                         "(PHI requires an acyclic graph)")
+    except Exception:
+        order = None
+    if order is not None:
+        rank = np.zeros(n_vtx, dtype=np.int32)
+        rank[order] = np.arange(n_vtx, dtype=np.int32)
+        return order, rank
     indeg = np.bincount(edge_v, minlength=n_vtx).astype(np.int64)
     stack = np.flatnonzero(indeg == 0).astype(np.int32).tolist()
     off = out_adj.off
@@ -122,7 +134,7 @@ def tensorize(gfa: GfaData) -> PangenomeGraph:
     edge_u, edge_v = gfa.edge_u, gfa.edge_v
     out_adj = build_csr(edge_u, edge_v, n_vtx)
     in_adj = build_csr(edge_v, edge_u, n_vtx)
-    topo_order, topo_rank = _toposort(n_vtx, edge_v, out_adj)
+    topo_order, topo_rank = _toposort(n_vtx, edge_u, edge_v, out_adj)
 
     H = len(gfa.walks)
     P = max((len(w) for w in gfa.walks), default=0)

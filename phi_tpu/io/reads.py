@@ -77,7 +77,19 @@ class ReadBatch:
         return int(self.lengths.sum())
 
 
-def load_read_batch(path: str, pad_to_multiple: int = 128) -> ReadBatch:
+def load_read_batch(path: str, pad_to_multiple: int = 128,
+                    prefer_native: bool = True) -> ReadBatch:
+    if prefer_native:
+        try:
+            from phi_tpu.native import load_reads_native
+            res = load_reads_native(path)
+            if res is not None:
+                codes_concat, off, names = res
+                return _batch_from_concat(codes_concat, off, names, pad_to_multiple)
+        except ValueError:
+            raise
+        except Exception:
+            pass
     names: list[str] = []
     seqs: list[bytes] = []
     for name, seq in read_seq_file(path):
@@ -92,4 +104,20 @@ def load_read_batch(path: str, pad_to_multiple: int = 128) -> ReadBatch:
     codes = np.full((len(seqs), max_len), 4, dtype=np.uint8)
     for i, s in enumerate(seqs):
         codes[i, :len(s)] = encode_seq(s)
+    return ReadBatch(codes, lengths, names)
+
+
+def _batch_from_concat(codes_concat: np.ndarray, off: np.ndarray,
+                       names: list[str], pad_to_multiple: int) -> ReadBatch:
+    n = len(names)
+    if n == 0:
+        return ReadBatch(np.zeros((0, pad_to_multiple), np.uint8),
+                         np.zeros(0, np.int32), [])
+    lengths = np.diff(off).astype(np.int32)
+    max_len = -(-int(lengths.max()) // pad_to_multiple) * pad_to_multiple
+    codes = np.full((n, max_len), 4, dtype=np.uint8)
+    # single vectorized ragged scatter
+    rows = np.repeat(np.arange(n), lengths)
+    cols = np.arange(len(codes_concat)) - np.repeat(off[:-1], lengths)
+    codes[rows, cols] = codes_concat
     return ReadBatch(codes, lengths, names)

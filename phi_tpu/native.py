@@ -1,0 +1,215 @@
+"""ctypes bindings for the native runtime library (native/phi_native.cpp).
+
+The native layer provides fast host-side ingest (GFA, FASTA/FASTQ -> dense
+arrays), toposort, and banded Myers edit distance. Every entry point has a
+pure-Python fallback, so the package works without the .so; `available()`
+reports which path is active. The library is built on demand with make.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO = os.path.join(_DIR, "libphi_native.so")
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+c_p = ctypes.c_void_p
+c_i64 = ctypes.c_int64
+c_i32p = ctypes.POINTER(ctypes.c_int32)
+c_i64p = ctypes.POINTER(ctypes.c_int64)
+c_u8p = ctypes.POINTER(ctypes.c_uint8)
+c_char_p = ctypes.c_char_p
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                       capture_output=True, timeout=300)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    lib = ctypes.CDLL(_SO)
+    lib.phi_gfa_parse.restype = c_p
+    lib.phi_gfa_parse.argtypes = [c_char_p]
+    lib.phi_gfa_error.restype = c_char_p
+    lib.phi_gfa_error.argtypes = [c_p]
+    for name in ("phi_gfa_n_vtx", "phi_gfa_n_edges", "phi_gfa_n_walks",
+                 "phi_gfa_seq_len", "phi_gfa_walk_total"):
+        getattr(lib, name).restype = c_i64
+        getattr(lib, name).argtypes = [c_p]
+    lib.phi_gfa_node_len.restype = c_i64p
+    lib.phi_gfa_node_off.restype = c_i64p
+    lib.phi_gfa_seq_code.restype = c_u8p
+    lib.phi_gfa_edge_u.restype = c_i32p
+    lib.phi_gfa_edge_v.restype = c_i32p
+    lib.phi_gfa_walk_concat.restype = c_i32p
+    lib.phi_gfa_walk_off.restype = c_i64p
+    for name in ("phi_gfa_node_len", "phi_gfa_node_off", "phi_gfa_seq_code",
+                 "phi_gfa_edge_u", "phi_gfa_edge_v", "phi_gfa_walk_concat",
+                 "phi_gfa_walk_off"):
+        getattr(lib, name).argtypes = [c_p]
+    lib.phi_gfa_seg_names.restype = c_p
+    lib.phi_gfa_seg_names.argtypes = [c_p, c_i64p]
+    lib.phi_gfa_walk_names.restype = c_p
+    lib.phi_gfa_walk_names.argtypes = [c_p, c_i64p]
+    lib.phi_gfa_free.argtypes = [c_p]
+
+    lib.phi_reads_load.restype = c_p
+    lib.phi_reads_load.argtypes = [c_char_p]
+    lib.phi_reads_error.restype = c_char_p
+    lib.phi_reads_error.argtypes = [c_p]
+    lib.phi_reads_count.restype = c_i64
+    lib.phi_reads_count.argtypes = [c_p]
+    lib.phi_reads_total.restype = c_i64
+    lib.phi_reads_total.argtypes = [c_p]
+    lib.phi_reads_codes.restype = c_u8p
+    lib.phi_reads_codes.argtypes = [c_p]
+    lib.phi_reads_off.restype = c_i64p
+    lib.phi_reads_off.argtypes = [c_p]
+    lib.phi_reads_names.restype = c_p
+    lib.phi_reads_names.argtypes = [c_p, c_i64p]
+    lib.phi_reads_free.argtypes = [c_p]
+
+    lib.phi_toposort.restype = ctypes.c_int
+    lib.phi_toposort.argtypes = [c_i64, c_i64, c_i32p, c_i32p, c_i32p]
+
+    lib.phi_edit_distance.restype = c_i64
+    lib.phi_edit_distance.argtypes = [c_u8p, c_i64, c_u8p, c_i64, c_i64]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _copy(ptr, n, dtype):
+    if n == 0:
+        return np.zeros(0, dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+
+
+def parse_gfa_native(path: str):
+    """Returns GfaData via the native parser, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.phi_gfa_parse(path.encode())
+    try:
+        err = lib.phi_gfa_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        n = lib.phi_gfa_n_vtx(h)
+        m = lib.phi_gfa_n_edges(h)
+        nw = lib.phi_gfa_n_walks(h)
+        slen = lib.phi_gfa_seq_len(h)
+        wtot = lib.phi_gfa_walk_total(h)
+        node_len = _copy(lib.phi_gfa_node_len(h), n, np.int64)
+        node_off = _copy(lib.phi_gfa_node_off(h), n + 1, np.int64)
+        seq_code = _copy(lib.phi_gfa_seq_code(h), slen, np.uint8)
+        edge_u = _copy(lib.phi_gfa_edge_u(h), m, np.int32)
+        edge_v = _copy(lib.phi_gfa_edge_v(h), m, np.int32)
+        wconcat = _copy(lib.phi_gfa_walk_concat(h), wtot, np.int32)
+        woff = _copy(lib.phi_gfa_walk_off(h), nw + 1, np.int64)
+        ln = c_i64(0)
+        sp = lib.phi_gfa_seg_names(h, ctypes.byref(ln))
+        seg_names = ctypes.string_at(sp, ln.value).decode().split("\0")[:-1] if ln.value else []
+        wp = lib.phi_gfa_walk_names(h, ctypes.byref(ln))
+        walk_names = ctypes.string_at(wp, ln.value).decode().split("\0")[:-1] if ln.value else []
+    finally:
+        lib.phi_gfa_free(h)
+    from phi_tpu.io.gfa import GfaData
+    walks = [wconcat[woff[i]:woff[i + 1]].copy() for i in range(nw)]
+    return GfaData(seg_names=seg_names, node_len=node_len, node_off=node_off,
+                   seq_code=seq_code, edge_u=edge_u, edge_v=edge_v,
+                   walks=walks, walk_names=walk_names)
+
+
+def load_reads_native(path: str):
+    """Returns (codes_concat, offsets, names) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.phi_reads_load(path.encode())
+    try:
+        err = lib.phi_reads_error(h)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        n = lib.phi_reads_count(h)
+        tot = lib.phi_reads_total(h)
+        codes = _copy(lib.phi_reads_codes(h), tot, np.uint8)
+        off = _copy(lib.phi_reads_off(h), n + 1, np.int64)
+        ln = c_i64(0)
+        npt = lib.phi_reads_names(h, ctypes.byref(ln))
+        names = ctypes.string_at(npt, ln.value).decode().split("\0")[:-1] if ln.value else []
+    finally:
+        lib.phi_reads_free(h)
+    return codes, off, names
+
+
+def toposort_native(n_vtx: int, edge_u: np.ndarray, edge_v: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    order = np.zeros(n_vtx, np.int32)
+    eu = np.ascontiguousarray(edge_u, np.int32)
+    ev = np.ascontiguousarray(edge_v, np.int32)
+    rc = lib.phi_toposort(
+        n_vtx, len(eu),
+        eu.ctypes.data_as(c_i32p), ev.ctypes.data_as(c_i32p),
+        order.ctypes.data_as(c_i32p))
+    if rc != 0:
+        raise ValueError("graph has a cycle: topological order impossible "
+                         "(PHI requires an acyclic graph)")
+    return order
+
+
+def edit_distance(a: np.ndarray | str, b: np.ndarray | str,
+                  k_limit: int = -1) -> int:
+    """Banded Myers bit-parallel edit distance (native); falls back to a
+    numpy Wagner-Fischer for small inputs when the library is missing."""
+    from phi_tpu.io.gfa import encode_seq
+    if isinstance(a, str):
+        a = encode_seq(a)
+    if isinstance(b, str):
+        b = encode_seq(b)
+    lib = get_lib()
+    if lib is not None:
+        aa = np.ascontiguousarray(a, np.uint8)
+        bb = np.ascontiguousarray(b, np.uint8)
+        return int(lib.phi_edit_distance(
+            aa.ctypes.data_as(c_u8p), len(aa),
+            bb.ctypes.data_as(c_u8p), len(bb), k_limit))
+    return _edit_distance_np(a, b)
+
+
+def _edit_distance_np(a: np.ndarray, b: np.ndarray) -> int:
+    if len(a) * len(b) > 64_000_000:
+        raise RuntimeError("pure-python edit distance only for small inputs; "
+                           "build native/libphi_native.so")
+    n = len(b)
+    j = np.arange(n + 1, dtype=np.int32)
+    prev = j.copy()
+    for i in range(len(a)):
+        cur = np.empty_like(prev)
+        cur[0] = i + 1
+        np.minimum(prev[:-1] + (b != a[i]), prev[1:] + 1, out=cur[1:])
+        # insertion chain cur[j] = min(cur[j], cur[j-1]+1), left to right:
+        cur = np.minimum.accumulate(cur - j) + j
+        prev = cur
+    return int(prev[-1])

@@ -37,9 +37,23 @@ class PipelineResult:
     timings: dict[str, float]
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache — first-run compiles (especially over the
+    remote-compile TPU tunnel) are cached across processes."""
+    import jax
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/root/.cache/jax_phi_tpu")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        pass
+
+
 def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
                  opt: Options) -> PipelineResult:
     import time
+    _enable_compile_cache()
     timings: dict[str, float] = {}
     t0 = time.time()
 

@@ -1,0 +1,86 @@
+"""Native library parity tests (skipped if the toolchain can't build it)."""
+
+import numpy as np
+import pytest
+
+from phi_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+TOY = "/root/reference/test/test.gfa"
+
+
+def test_native_gfa_matches_python():
+    from phi_tpu.io.gfa import _read_gfa_py
+    gn = native.parse_gfa_native(TOY)
+    gp = _read_gfa_py(TOY)
+    assert gn.seg_names == gp.seg_names
+    assert np.array_equal(gn.node_len, gp.node_len)
+    assert np.array_equal(gn.seq_code, gp.seq_code)
+    assert np.array_equal(gn.edge_u, gp.edge_u)
+    assert np.array_equal(gn.edge_v, gp.edge_v)
+    assert gn.walk_names == gp.walk_names
+    assert all(np.array_equal(a, b) for a, b in zip(gn.walks, gp.walks))
+
+
+def test_native_reads_matches_python(tmp_path):
+    fq = tmp_path / "r.fq"
+    fq.write_text("@r1 comment\nACGTNAC\n+\nIIIIIII\n@r2\nGGGG\n+\nIIII\n")
+    codes, off, names = native.load_reads_native(str(fq))
+    assert names == ["r1", "r2"]
+    assert off.tolist() == [0, 7, 11]
+    from phi_tpu.io.gfa import encode_seq
+    assert np.array_equal(codes[:7], encode_seq("ACGTNAC"))
+    assert np.array_equal(codes[7:], encode_seq("GGGG"))
+
+
+def test_native_fasta_multiline(tmp_path):
+    fa = tmp_path / "r.fa"
+    fa.write_text(">a desc\nACGT\nTTAA\n>b\nCC\n")
+    codes, off, names = native.load_reads_native(str(fa))
+    assert names == ["a", "b"]
+    assert off.tolist() == [0, 8, 10]
+
+
+def test_edit_distance_basic():
+    assert native.edit_distance("ACGT", "ACGT") == 0
+    assert native.edit_distance("ACGT", "ACTT") == 1
+    assert native.edit_distance("ACGT", "") == 4
+    assert native.edit_distance("", "ACGT") == 4
+    assert native.edit_distance("AAAA", "TTTT") == 4
+    assert native.edit_distance("ACGTACGT", "CGTACGTA") == 2
+
+
+def test_edit_distance_fuzz_vs_numpy():
+    import random
+    rng = random.Random(99)
+    from phi_tpu.io.gfa import encode_seq
+    for _ in range(25):
+        n = rng.randint(0, 250)
+        a = "".join(rng.choice("ACGT") for _ in range(n))
+        bl = list(a)
+        for _ in range(rng.randint(0, 40)):
+            op = rng.random()
+            pos = rng.randrange(max(1, len(bl)))
+            if op < 0.4 and bl:
+                bl[pos % len(bl)] = rng.choice("ACGT")
+            elif op < 0.7:
+                bl.insert(pos, rng.choice("ACGT"))
+            elif bl:
+                del bl[pos % len(bl)]
+        b = "".join(bl)
+        assert native.edit_distance(a, b) == native._edit_distance_np(
+            encode_seq(a), encode_seq(b))
+
+
+def test_toposort_native():
+    eu = np.array([0, 0, 1, 2], np.int32)
+    ev = np.array([1, 2, 3, 3], np.int32)
+    order = native.toposort_native(4, eu, ev)
+    rank = np.zeros(4, np.int64)
+    rank[order] = np.arange(4)
+    assert (rank[eu] < rank[ev]).all()
+    with pytest.raises(ValueError, match="cycle"):
+        native.toposort_native(2, np.array([0, 1], np.int32),
+                               np.array([1, 0], np.int32))
