@@ -1,0 +1,68 @@
+"""Benchmark matrix runner — the equivalent of the reference's
+data/run_batch_*.py + postprocessing*.py pipeline, in-process.
+
+Runs the pipeline over a (reads x coverage) matrix and emits CSV rows shaped
+like data/plots/*.csv: each cell is "(real_time_s, peak_RSS_GB, edit_dist)"
+(decoding per data/plots/increasing.py:19-22)."""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import time
+
+from phi_tpu import logging as plog
+from phi_tpu.config import Options
+from phi_tpu.eval.edits import edit_stats
+
+
+@dataclasses.dataclass
+class MatrixCell:
+    read_name: str
+    coverage: str
+    real_time_s: float
+    peak_rss_gb: float
+    edit_distance: int
+    recombinations: int
+
+
+def run_matrix(gfa_path: str,
+               cells: list[tuple[str, str, str, str]],
+               opt: Options | None = None,
+               out_csv: str | None = None) -> list[MatrixCell]:
+    """cells: (read_name, coverage_label, reads_path, truth_fasta_path)."""
+    from phi_tpu.pipeline import run_pipeline
+    opt = opt or Options()
+    results: list[MatrixCell] = []
+    for read_name, cov, reads_path, truth_path in cells:
+        t0 = time.time()
+        res = run_pipeline(gfa_path, reads_path, None, opt)
+        wall = time.time() - t0
+        from phi_tpu.eval.edits import _read_fasta_first_seq
+        truth = _read_fasta_first_seq(truth_path)
+        st = edit_stats(res.sequence, truth)
+        results.append(MatrixCell(
+            read_name=read_name, coverage=cov, real_time_s=wall,
+            peak_rss_gb=plog.peakrss_gb(), edit_distance=st.edit_distance,
+            recombinations=res.recombination_count))
+    if out_csv:
+        write_matrix_csv(results, out_csv)
+    return results
+
+
+def write_matrix_csv(results: list[MatrixCell], path: str) -> None:
+    """Same cell encoding as data/plots/*.csv: '(time, rss, edit)' strings in
+    a reads x coverage grid."""
+    reads = sorted({r.read_name for r in results})
+    covs = sorted({r.coverage for r in results})
+    grid = {(r.read_name, r.coverage): r for r in results}
+    with open(path, "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["Reads"] + covs)
+        for rn in reads:
+            row = [rn]
+            for cv in covs:
+                c = grid.get((rn, cv))
+                row.append("" if c is None else
+                           f"({c.real_time_s:.1f}, {c.peak_rss_gb:.2f}, {c.edit_distance})")
+            wr.writerow(row)

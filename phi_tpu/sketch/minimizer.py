@@ -57,23 +57,24 @@ def _dedup_emit(shi, slo, valid):
 def _pack_canonical(codes: jnp.ndarray, k: int):
     """(hi, lo, invalid) of the canonical k-mer at every start position.
 
-    codes: uint8 [L] with values 0..3 valid, >=4 invalid. Returns arrays of
-    length L - k + 1 (caller guarantees L >= k).
+    codes: uint8 [L] with values 0..3 valid, >=4 invalid. All outputs keep
+    length L (entries at start > L-k read circularly wrapped codes — callers
+    must mask windows near the end, which sketch_sequence's n_valid_windows
+    and the padding guarantee do). Shape-preserving rolls keep the number of
+    distinct tensor layouts O(1), which matters enormously for TPU compile
+    time versus a chain of odd-length slices.
     """
-    L = codes.shape[0]
-    n = L - k + 1
     c = codes.astype(jnp.uint32)
     n_hi = max(0, k - 16)
-    fhi = jnp.zeros(n, jnp.uint32)
-    flo = jnp.zeros(n, jnp.uint32)
-    rhi = jnp.zeros(n, jnp.uint32)
-    rlo = jnp.zeros(n, jnp.uint32)
-    invalid = jnp.zeros(n, bool)
+    fhi = jnp.zeros_like(c)
+    flo = jnp.zeros_like(c)
+    rhi = jnp.zeros_like(c)
+    rlo = jnp.zeros_like(c)
+    invalid = jnp.zeros(c.shape, bool)
     two = jnp.uint32(2)
     for j in range(k):
-        col = jax.lax.dynamic_slice(c, (j,), (n,))
-        # reverse complement: base j of rc k-mer is complement of base k-1-j
-        rcol = jnp.uint32(3) - jax.lax.dynamic_slice(c, (k - 1 - j,), (n,))
+        col = jnp.roll(c, -j)
+        rcol = jnp.uint32(3) - jnp.roll(c, -(k - 1 - j))
         if j < n_hi:
             fhi = (fhi << two) | col
             rhi = (rhi << two) | rcol
@@ -90,21 +91,18 @@ def _pack_canonical(codes: jnp.ndarray, k: int):
 
 
 def _window_min(hi, lo, pos, w: int):
-    """Sliding min over windows of w consecutive entries (sparse table)."""
-    n = hi.shape[0]
-    n_out = n - w + 1
+    """Sliding min over windows of w consecutive entries (sparse-table
+    doubling with shape-preserving rolls; output index a = min over
+    [a, a+w-1], garbage in the last w-1 (wrapped) entries — masked by
+    callers)."""
     t = (hi, lo, pos)
     s = 1
     while s * 2 <= w:
-        shifted = tuple(jax.lax.dynamic_slice(x, (s,), (n - s,)) for x in t)
-        head = tuple(x[:n - s] for x in t)
-        t = _tuple_min(head, shifted)
-        n = n - s
+        shifted = tuple(jnp.roll(x, -s) for x in t)
+        t = _tuple_min(t, shifted)
         s *= 2
-    # window [a, a+w-1] = min(T_s[a], T_s[a + w - s]); T_s has length n
-    left = tuple(x[:n_out] for x in t)
-    right = tuple(jax.lax.dynamic_slice(x, (w - s,), (n_out,)) for x in t)
-    return _tuple_min(left, right)
+    right = tuple(jnp.roll(x, -(w - s)) for x in t)
+    return _tuple_min(t, right)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
@@ -126,6 +124,14 @@ def _sketch_jit(codes: jnp.ndarray, n_valid_windows: jnp.ndarray, k: int, w: int
     return count, shi_g[idx], slo_g[idx], spos_g[idx]
 
 
+# Long sequences are sketched in fixed-size chunks with a (k+w-2)-base halo:
+# one compiled program is reused for every chunk of every haplotype (compile
+# time and executable cache stay O(1) in sequence length), and this is the
+# same block-parallel decomposition the sp-sharded multi-host path uses
+# (SURVEY.md §5 long-context analog).
+CHUNK = 1 << 20
+
+
 def sketch_sequence(codes: np.ndarray, k: int, w: int,
                     cap: int | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Minimizers of one sequence: (hi, lo, start_pos) arrays, emitted order.
@@ -138,15 +144,48 @@ def sketch_sequence(codes: np.ndarray, k: int, w: int,
     if L < w + k - 1:
         z = np.zeros(0, np.uint32)
         return z, z.copy(), np.zeros(0, np.int32)
-    # Pad to a coarse size grid so jit compiles once per bucket, not per length.
+    halo = k + w - 2
+    if L <= CHUNK + halo:
+        return _sketch_padded(codes, k, w, cap)
+    # chunked path
+    outs_hi, outs_lo, outs_pos = [], [], []
+    prev_last: tuple[int, int] | None = None
+    for start in range(0, L - halo, CHUNK):
+        chunk = codes[start:start + CHUNK + halo]
+        hi, lo, pos = _sketch_padded(chunk, k, w, cap, pad_len=CHUNK + halo,
+                                     max_windows=min(CHUNK, len(chunk) - halo))
+        if len(hi) == 0:
+            continue
+        # cross-chunk dedup: the reference dedups against the last *emitted*
+        # value; chunk boundaries must not re-emit it
+        if prev_last is not None and (int(hi[0]), int(lo[0])) == prev_last:
+            hi, lo, pos = hi[1:], lo[1:], pos[1:]
+        if len(hi) == 0:
+            continue
+        prev_last = (int(hi[-1]), int(lo[-1]))
+        outs_hi.append(hi)
+        outs_lo.append(lo)
+        outs_pos.append(pos + start)
+    if not outs_hi:
+        z = np.zeros(0, np.uint32)
+        return z, z.copy(), np.zeros(0, np.int32)
+    return (np.concatenate(outs_hi), np.concatenate(outs_lo),
+            np.concatenate(outs_pos))
+
+
+def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
+                   pad_len: int | None = None, max_windows: int | None = None):
+    L = len(codes)
     bucket = 1 << 16
-    Lp = -(-L // bucket) * bucket
+    Lp = pad_len if pad_len is not None else -(-L // bucket) * bucket
     if Lp != L:
         codes = np.concatenate([codes, np.full(Lp - L, 4, np.uint8)])
     if cap is None:
         n_win = Lp - k - w + 2
         cap = max(1024, min(n_win, 4 * n_win // (w + 1) + 64))
     n_valid = L - k - w + 2
+    if max_windows is not None:
+        n_valid = min(n_valid, max_windows)
     while True:
         count, hi, lo, pos = _sketch_jit(jnp.asarray(codes), jnp.int32(n_valid), k, w, cap)
         count = int(count)

@@ -1,0 +1,83 @@
+"""VCF -> graph construction and end-to-end inference on VCF input."""
+
+import numpy as np
+import pytest
+
+from phi_tpu.graph import tensorize
+from phi_tpu.vcfio import vcf_to_graph
+
+REF = "ACGTTGCACAGTCAGTTGCATGCAACGGATTACA"  # 34 bp
+
+
+@pytest.fixture
+def vcf_files(tmp_path):
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(">chr1\n" + REF + "\n")
+    # SNP at pos 5 (0-based 4: T->G), insertion at pos 12 (T->TAAA),
+    # deletion at pos 20 (ATG->A), multi-allelic SNP at pos 29 (A->G,C)
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+        "chr1\t5\t.\tT\tG\t.\tPASS\t.\tGT\t0|1\t1|1",
+        "chr1\t12\t.\tT\tTAAA\t.\tPASS\t.\tGT\t1|0\t0|0",
+        "chr1\t20\t.\tATG\tA\t.\tPASS\t.\tGT\t0|0\t1|0",
+        "chr1\t29\t.\tA\tG,C\t.\tPASS\t.\tGT\t1|2\t0|1",
+    ]) + "\n")
+    return str(vcf), str(ref_fa)
+
+
+def test_vcf_to_graph_walks(vcf_files):
+    vcf, ref = vcf_files
+    g = vcf_to_graph(vcf, ref, max_node_len=30)
+    # REF walk spells the reference exactly
+    names = dict(zip(g.walk_names, g.walks))
+    assert "REF.0" in names
+    ref_seq = "".join(g.node_seq(v) for v in names["REF.0"])
+    assert ref_seq == REF
+    # S1 hap0: ref at snp, insertion allele, ref at del, alt G at last site
+    s1h0 = "".join(g.node_seq(v) for v in names["S1.0"])
+    expect = REF[:11] + "TAAA" + REF[12:28] + "G" + REF[29:]
+    assert s1h0 == expect
+    # S2 hap0 carries the snp and the deletion ATG->A
+    s2h0 = "".join(g.node_seq(v) for v in names["S2.0"])
+    assert s2h0 == REF[:4] + "G" + REF[5:19] + "A" + REF[22:]
+    # graph is a DAG and tensorizes
+    G = tensorize(g)
+    assert G.num_walks == 5
+
+
+def test_vcf_node_chop(vcf_files):
+    vcf, ref = vcf_files
+    g = vcf_to_graph(vcf, ref, max_node_len=5)
+    assert int(g.node_len.max()) <= 5
+
+
+def test_vcf_end_to_end_inference(vcf_files):
+    """Reads sampled from S1 hap0 should reconstruct S1 hap0's walk."""
+    from phi_tpu.anchors.join import build_anchor_tables, sketch_haplotypes
+    from phi_tpu.io.gfa import encode_seq
+    from phi_tpu.sketch.minimizer import sketch_read_batch
+    from phi_tpu.solve.decode import decode_path
+    from phi_tpu.solve.dp import solve_dp
+    from phi_tpu.solve.prep import build_solver_tables
+
+    vcf, ref = vcf_files
+    G = tensorize(vcf_to_graph(vcf, ref, max_node_len=6))
+    h_target = G.walk_names.index("S1.0")
+    target = G.path_seq(G.walk_mat[h_target, :G.walk_len[h_target]])
+    k, w = 5, 3
+    reads = [target[i:i + 20] for i in range(0, len(target) - 19, 7)]
+    max_len = max(len(r) for r in reads)
+    codes = np.full((len(reads), max_len), 4, np.uint8)
+    lengths = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, :len(r)] = encode_seq(r)
+        lengths[i] = len(r)
+    spectrum = sketch_read_batch(codes, k, w, lengths)
+    sketches = sketch_haplotypes(G, k, w)
+    anchors = build_anchor_tables(G, k, sketches, spectrum, 1.0)
+    tables = build_solver_tables(G, anchors, R=100.0)
+    M, ends, sweeps, dp_obj = solve_dp(tables)
+    res = decode_path(G, tables, anchors, M, ends, sweeps, dp_obj)
+    assert G.path_seq(res.vertices) == target
