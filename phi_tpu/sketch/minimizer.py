@@ -39,18 +39,17 @@ def _tuple_min(a, b):
 
 
 def _dedup_emit(shi, slo, valid):
-    """emit[i] = valid[i] and value differs from the last valid selection
-    before i (the reference's prev_hash dedup, ILP_index.cpp:413, which skips
-    windows with no valid selection). Forward-fill via associative scan."""
-    def ffill(a, b):
-        ahi, alo, av = a
-        bhi, blo, bv = b
-        return (jnp.where(bv, bhi, ahi), jnp.where(bv, blo, alo), av | bv)
-
-    chi, clo, cv = jax.lax.associative_scan(ffill, (shi, slo, valid))
-    phi = jnp.concatenate([UMAX[None], chi[:-1]])
-    plo = jnp.concatenate([UMAX[None], clo[:-1]])
-    pv = jnp.concatenate([jnp.zeros(1, bool), cv[:-1]])
+    """emit[i] = valid[i] and value differs from the previous *window's*
+    selection. The reference dedups against the last *emitted* value
+    (ILP_index.cpp:413); the two rules differ only across invalid-window
+    gaps, where this one may over-emit a value equal to the last emission —
+    callers remove consecutive duplicate emissions afterwards (host-side for
+    sequences, a no-op for read spectra which are sets anyway). Keeping this
+    a local shifted compare instead of a forward-fill scan is a large TPU
+    compile-time win."""
+    phi = jnp.roll(shi, 1).at[0].set(UMAX)
+    plo = jnp.roll(slo, 1).at[0].set(UMAX)
+    pv = jnp.roll(valid, 1).at[0].set(False)
     return valid & (~pv | (shi != phi) | (slo != plo))
 
 
@@ -190,8 +189,17 @@ def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
         count, hi, lo, pos = _sketch_jit(jnp.asarray(codes), jnp.int32(n_valid), k, w, cap)
         count = int(count)
         if count <= cap:
-            return (np.asarray(hi[:count]), np.asarray(lo[:count]),
-                    np.asarray(pos[:count]))
+            hi = np.asarray(hi[:count])
+            lo = np.asarray(lo[:count])
+            pos = np.asarray(pos[:count])
+            if count > 1:
+                # exact prev_hash dedup across invalid-window gaps
+                keep = np.empty(count, bool)
+                keep[0] = True
+                keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+                if not keep.all():
+                    hi, lo, pos = hi[keep], lo[keep], pos[keep]
+            return hi, lo, pos
         cap = count  # retry with exact size (rare: highly repetitive input)
 
 
