@@ -95,33 +95,50 @@ def build_anchor_tables(graph: PangenomeGraph, k: int,
                         hap_sketches: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
                         read_spectrum: tuple[np.ndarray, np.ndarray],
                         threshold: float) -> AnchorTables:
+    """Host-side join path (behavioral reference; also the fallback when
+    sequences contain non-ACGT bases — see sketch_join_sequence)."""
     H = graph.num_walks
     sp_key = combine64(*read_spectrum)          # sorted unique uint64
     spectrum_size = len(sp_key)
 
-    # --- join each hap's minimizers against the spectrum (compute_anchors) ---
-    parts_h, parts_s, parts_e, parts_id = [], [], [], []
-    per_hap_minimizers = np.zeros(H, dtype=np.int64)
+    hits: list[tuple[int, np.ndarray, np.ndarray]] = []
     for h in range(H):
         hi, lo, pos = hap_sketches[h]
-        per_hap_minimizers[h] = len(hi)
         if len(hi) == 0 or spectrum_size == 0:
+            hits.append((len(hi), np.zeros(0, np.int32), np.zeros(0, np.int32)))
             continue
         key = combine64(hi, lo)
         idx = np.searchsorted(sp_key, key)
         idx_c = np.minimum(idx, spectrum_size - 1)
         hit = sp_key[idx_c] == key
-        if not hit.any():
+        hits.append((len(hi), pos[hit].astype(np.int32),
+                     idx[hit].astype(np.int32)))
+    return anchor_tables_from_hits(graph, k, hits, spectrum_size, threshold)
+
+
+def anchor_tables_from_hits(graph: PangenomeGraph, k: int,
+                            hits: list[tuple[int, np.ndarray, np.ndarray]],
+                            spectrum_size: int,
+                            threshold: float) -> AnchorTables:
+    """Build solver tables from per-hap join hits:
+    hits[h] = (n_minimizers, kmer_start_base_positions, spectrum_ids)."""
+    H = graph.num_walks
+    parts_h, parts_s, parts_e, parts_id = [], [], [], []
+    per_hap_minimizers = np.zeros(H, dtype=np.int64)
+    for h in range(H):
+        n_min, pos_hit, sp_id = hits[h]
+        per_hap_minimizers[h] = n_min
+        if len(pos_hit) == 0:
             continue
-        pos_hit = pos[hit].astype(np.int64)
+        pos_hit = pos_hit.astype(np.int64)
         # base interval [pos, pos+k-1] -> walk positions via node offsets
         cl = graph.walk_node_cumlen[h]
         s = np.searchsorted(cl, pos_hit, side="right") - 1
         e = np.searchsorted(cl, pos_hit + k - 1, side="right") - 1
-        parts_h.append(np.full(hit.sum(), h, dtype=np.int32))
+        parts_h.append(np.full(len(pos_hit), h, dtype=np.int32))
         parts_s.append(s.astype(np.int32))
         parts_e.append(e.astype(np.int32))
-        parts_id.append(idx[hit].astype(np.int32))
+        parts_id.append(sp_id.astype(np.int32))
 
     if parts_h:
         occ_hap = np.concatenate(parts_h)

@@ -22,7 +22,7 @@ class Options:
     max_occ: int = 5000         # -c: accepted for compatibility (unused in reference solve path too)
     debug: bool = False         # -d
     max_sweeps: int = 256       # solver fixpoint sweep cap
-    lagrangian_rounds: int = 0  # extra reweighting rounds to tighten the z_i gap
+    lagrangian_rounds: int = 4  # reweighting rounds to tighten the z_i gap (0=off)
     device: str | None = None   # 'tpu' | 'cpu' | None (jax default)
 
     def __post_init__(self) -> None:

@@ -68,26 +68,47 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
              f"Graph has {graph.n_vtx} vertices, {graph.num_walks} walks "
              f"and read has {reads.n_reads} reads")
 
-    # --- haplotype sketching (hot loop #1) ---
-    t1 = time.time()
-    plog.raw("Number of Minimizers")
-    hap_sketches = sketch_haplotypes(
-        graph, opt.k, opt.w,
-        progress=lambda h, n: plog.raw(f"{graph.walk_names[h]} : {n}"))
-    plog.log("ILP_function", "Haplotypes sketched")
-    timings["sketch_haps"] = time.time() - t1
-
-    # --- read spectrum (hot loop #2) ---
+    # --- read spectrum (hot loop #2 in the reference; first here so the
+    # haplotype sketch can join on device and ship only hits) ---
     t1 = time.time()
     spectrum = sketch_read_batch(reads.codes, opt.k, opt.w, reads.lengths)
-    plog.log("ILP_function",
-             f"Indexed reads with spectrum size: {len(spectrum[0])}")
     timings["sketch_reads"] = time.time() - t1
 
-    # --- anchors: join + threshold filter (hot loop #3) ---
+    # --- haplotype sketching + anchor join (hot loops #1 and #3) ---
     t1 = time.time()
-    anchors = build_anchor_tables(graph, opt.k, hap_sketches, spectrum,
-                                  opt.threshold)
+    # device join is exact only for N-free haplotype sequences (DESIGN.md);
+    # fall back to the host join otherwise
+    n_free = not bool((graph.gfa.seq_code >= 4).any())
+    plog.raw("Number of Minimizers")
+    if n_free:
+        import jax.numpy as jnp
+        from phi_tpu.anchors.join import anchor_tables_from_hits
+        from phi_tpu.sketch.minimizer import sketch_join_sequence
+        sp_hi_d = jnp.asarray(spectrum[0])
+        sp_lo_d = jnp.asarray(spectrum[1])
+        hits = []
+        for h in range(graph.num_walks):
+            n_min, hpos, hid = sketch_join_sequence(
+                graph.walk_seq_codes(h), opt.k, opt.w, sp_hi_d, sp_lo_d)
+            plog.raw(f"{graph.walk_names[h]} : {n_min}")
+            hits.append((n_min, hpos, hid))
+    else:
+        hap_sketches = sketch_haplotypes(
+            graph, opt.k, opt.w,
+            progress=lambda h, n: plog.raw(f"{graph.walk_names[h]} : {n}"))
+    plog.log("ILP_function", "Haplotypes sketched")
+    timings["sketch_haps"] = time.time() - t1
+    plog.log("ILP_function",
+             f"Indexed reads with spectrum size: {len(spectrum[0])}")
+
+    # --- anchor tables: interval conversion + threshold filter ---
+    t1 = time.time()
+    if n_free:
+        anchors = anchor_tables_from_hits(graph, opt.k, hits,
+                                          len(spectrum[0]), opt.threshold)
+    else:
+        anchors = build_anchor_tables(graph, opt.k, hap_sketches, spectrum,
+                                      opt.threshold)
     plog.raw("Number of Anchors")
     for h in range(graph.num_walks):
         plog.raw(f"{graph.walk_names[h]} : {anchors.per_hap_anchors[h]}")

@@ -203,9 +203,94 @@ def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
         cap = count  # retry with exact size (rare: highly repetitive input)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w"))
-def _sketch_batch_jit(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
-    """Dense batched sketch: per read, per window -> (hi, lo, emit)."""
+@functools.partial(jax.jit, static_argnames=("k", "w", "hitcap"))
+def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
+                     prev_hi: jnp.ndarray, prev_lo: jnp.ndarray,
+                     sp_hi: jnp.ndarray, sp_lo: jnp.ndarray,
+                     k: int, w: int, hitcap: int):
+    """Sketch one chunk AND join against the (sorted) read spectrum on
+    device; only the joined hits leave the device. Exact for sequences
+    without non-ACGT bases (the pipeline falls back to the host join
+    otherwise): with every window valid, dedup against the previous window's
+    selection is the reference's prev_hash rule, and the previous chunk's
+    last selection is threaded through (prev_hi/prev_lo) so chunk boundaries
+    dedup exactly too."""
+    from phi_tpu.ops.search import pair_isin
+
+    hi, lo, invalid = _pack_canonical(codes, k)
+    pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
+    pos = jnp.where(invalid, jnp.int32(-1), pos)
+    shi, slo, spos = _window_min(hi, lo, pos, w)
+    valid = (spos >= 0) & (jnp.arange(shi.shape[0]) < n_valid)
+    phi = jnp.roll(shi, 1).at[0].set(prev_hi)
+    plo = jnp.roll(slo, 1).at[0].set(prev_lo)
+    pv = jnp.roll(valid, 1).at[0].set(True)
+    emit = valid & (~pv | (shi != phi) | (slo != plo))
+    n_min = emit.sum()
+
+    found, idx = pair_isin(sp_hi, sp_lo, shi, slo)
+    hit = emit & found
+    n_hit = hit.sum()
+    hidx = jnp.nonzero(hit, size=hitcap, fill_value=shi.shape[0])[0]
+    spos_g = jnp.concatenate([spos, jnp.full((1,), -1, jnp.int32)])
+    idx_g = jnp.concatenate([idx.astype(jnp.int32),
+                             jnp.full((1,), -1, jnp.int32)])
+    last = jnp.maximum(n_valid - 1, 0)
+    return (n_min, n_hit, spos_g[hidx], idx_g[hidx], shi[last], slo[last])
+
+
+def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
+                         sp_hi, sp_lo, hitcap: int = 1 << 15
+                         ) -> tuple[int, np.ndarray, np.ndarray]:
+    """Device-joined minimizers of one (N-free) sequence vs the spectrum:
+    returns (n_minimizers, hit_kmer_start_positions, hit_spectrum_ids)."""
+    import jax.numpy as jnp
+    L = len(codes)
+    if L < w + k - 1:
+        return 0, np.zeros(0, np.int32), np.zeros(0, np.int32)
+    halo = k + w - 2
+    n_min_total = 0
+    pos_parts, id_parts = [], []
+    prev_hi = jnp.uint32(0xFFFFFFFF)
+    prev_lo = jnp.uint32(0xFFFFFFFF)
+    first = True
+    for start in range(0, max(1, L - halo), CHUNK):
+        chunk = codes[start:start + CHUNK + halo]
+        pad_len = CHUNK + halo
+        if len(chunk) < pad_len:
+            chunk = np.concatenate([chunk, np.full(pad_len - len(chunk), 4, np.uint8)])
+        n_valid = min(CHUNK, L - halo - start)
+        hc = hitcap
+        while True:
+            if first:
+                ph, plo_ = jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF)
+            else:
+                ph, plo_ = prev_hi, prev_lo
+            n_min, n_hit, hpos, hid, last_hi, last_lo = _sketch_join_jit(
+                jnp.asarray(chunk), jnp.int32(n_valid), ph, plo_,
+                sp_hi, sp_lo, k, w, hc)
+            if int(n_hit) <= hc:
+                break
+            hc = int(n_hit)
+        first = False
+        prev_hi, prev_lo = last_hi, last_lo
+        n_min_total += int(n_min)
+        nh = int(n_hit)
+        if nh:
+            pos_parts.append(np.asarray(hpos[:nh]) + start)
+            id_parts.append(np.asarray(hid[:nh]))
+    if not pos_parts:
+        return n_min_total, np.zeros(0, np.int32), np.zeros(0, np.int32)
+    return (n_min_total, np.concatenate(pos_parts), np.concatenate(id_parts))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
+def _sketch_batch_jit(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
+                      cap: int):
+    """Batched read sketch with device-side compaction: returns
+    (count, hi[cap], lo[cap]) of all emitted minimizers across the batch
+    (duplicates included — the spectrum dedup happens on host over this
+    much smaller stream)."""
     def one(row, length):
         hi, lo, invalid = _pack_canonical(row, k)
         pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
@@ -214,7 +299,15 @@ def _sketch_batch_jit(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
         valid = (spos >= 0) & (jnp.arange(shi.shape[0]) < length - (k + w - 2))
         return shi, slo, _dedup_emit(shi, slo, valid)
 
-    return jax.vmap(one)(codes, lengths)
+    shi, slo, emit = jax.vmap(one)(codes, lengths)
+    shi = shi.reshape(-1)
+    slo = slo.reshape(-1)
+    emit = emit.reshape(-1)
+    count = emit.sum()
+    idx = jnp.nonzero(emit, size=cap, fill_value=emit.shape[0])[0]
+    shi_g = jnp.concatenate([shi, UMAX[None]])
+    slo_g = jnp.concatenate([slo, UMAX[None]])
+    return count, shi_g[idx], slo_g[idx]
 
 
 def sketch_read_batch(codes: np.ndarray, k: int, w: int,
@@ -234,9 +327,17 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
         valid = codes < 4
         lengths = np.where(valid.all(axis=1), codes.shape[1],
                            np.argmin(valid, axis=1)).astype(np.int32)
-    shi, slo, emit = _sketch_batch_jit(jnp.asarray(codes), jnp.asarray(lengths), k, w)
-    shi = np.asarray(shi)[np.asarray(emit)]
-    slo = np.asarray(slo)[np.asarray(emit)]
+    total = int(lengths.sum())
+    cap = max(1024, 4 * total // (w + 1) + 64)
+    while True:
+        count, shi, slo = _sketch_batch_jit(
+            jnp.asarray(codes), jnp.asarray(lengths), k, w, cap)
+        count = int(count)
+        if count <= cap:
+            break
+        cap = count
+    shi = np.asarray(shi[:count])
+    slo = np.asarray(slo[:count])
     combined = (shi.astype(np.uint64) << np.uint64(32)) | slo.astype(np.uint64)
     uniq = np.unique(combined)
     return (uniq >> np.uint64(32)).astype(np.uint32), (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)

@@ -118,11 +118,20 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
 
 def _verify_edges(graph: PangenomeGraph, vertices: np.ndarray) -> None:
     """Reference verifies each consecutive pair is a graph edge and exits
-    on violation (ILP_index.cpp:1553-1575)."""
-    for i in range(1, len(vertices)):
-        u, v = int(vertices[i - 1]), int(vertices[i])
-        if not graph.has_edge(u, v):
-            raise RuntimeError(f"decoded path uses non-edge {u}->{v}")
+    on violation (ILP_index.cpp:1553-1575). Vectorized membership test
+    against the sorted packed edge list."""
+    if len(vertices) < 2:
+        return
+    packed_edges = graph.edge_u.astype(np.int64) << 32 | graph.edge_v.astype(np.int64)
+    packed_edges = np.sort(packed_edges)
+    pairs = vertices[:-1].astype(np.int64) << 32 | vertices[1:].astype(np.int64)
+    idx = np.searchsorted(packed_edges, pairs)
+    idx_c = np.minimum(idx, len(packed_edges) - 1)
+    ok = (idx < len(packed_edges)) & (packed_edges[idx_c] == pairs)
+    if not ok.all():
+        i = int(np.flatnonzero(~ok)[0])
+        raise RuntimeError(
+            f"decoded path uses non-edge {vertices[i]}->{vertices[i + 1]}")
 
 
 def _score_matches(t: SolverTables, anchors: AnchorTables,
