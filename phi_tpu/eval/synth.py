@@ -1,0 +1,105 @@
+"""Synthetic pangenome + read generation for scale benchmarking.
+
+The reference's published scaling axis is haplotype count on a ~5 Mbp MHC
+graph (3/7/13/25/49 haps, BASELINE.md). The real 49-hap graph is built by a
+cactus pipeline we can't run here, so this generates a structurally similar
+instance: a reference backbone chopped to <=30 bp nodes with biallelic
+variant bubbles at a given density, per-hap allele assignments, and reads
+sampled from a (optionally recombined) target haplotype with errors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from phi_tpu.io.build import build_gfa_data
+from phi_tpu.io.gfa import GfaData
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _rand_seq(rng: np.random.Generator, n: int) -> str:
+    return _BASES[rng.integers(0, 4, n)].tobytes().decode()
+
+
+def synth_pangenome(rng: np.random.Generator, length: int = 100_000,
+                    n_haps: int = 8, var_rate: float = 0.01,
+                    max_node_len: int = 30) -> tuple[GfaData, list[str]]:
+    """Returns (graph, per-hap sequences). Variants are biallelic SNPs at
+    ~var_rate density with a random allele frequency per site."""
+    n_sites = max(1, int(length * var_rate))
+    positions = np.sort(rng.choice(np.arange(1, length - 1), n_sites,
+                                   replace=False))
+    segments: dict[str, str] = {}
+    counter = 0
+
+    def add(seq: str) -> list[str]:
+        nonlocal counter
+        out = []
+        for i in range(0, len(seq), max_node_len):
+            counter += 1
+            name = f"s{counter}"
+            segments[name] = seq[i:i + max_node_len]
+            out.append(name)
+        return out
+
+    ref = _rand_seq(rng, length)
+    walk_segs: list[list[str]] = [[] for _ in range(n_haps)]
+    hap_seqs = ["" for _ in range(n_haps)]
+    cursor = 0
+    for pos in positions.tolist():
+        if pos > cursor:
+            shared = add(ref[cursor:pos])
+            for h in range(n_haps):
+                walk_segs[h].extend(shared)
+                hap_seqs[h] += ref[cursor:pos]
+        ref_base = ref[pos]
+        alt_base = "ACGT"[(("ACGT".index(ref_base)) + int(rng.integers(1, 4))) % 4]
+        nodes = [add(ref_base), add(alt_base)]
+        freq = rng.uniform(0.1, 0.9)
+        takes_alt = rng.random(n_haps) < freq
+        for h in range(n_haps):
+            a = 1 if takes_alt[h] else 0
+            walk_segs[h].extend(nodes[a])
+            hap_seqs[h] += (alt_base if a else ref_base)
+        cursor = pos + 1
+    if cursor < length:
+        tail = add(ref[cursor:])
+        for h in range(n_haps):
+            walk_segs[h].extend(tail)
+            hap_seqs[h] += ref[cursor:]
+
+    walks = [(f"synth{h}.0", walk_segs[h]) for h in range(n_haps)]
+    return build_gfa_data(segments, walks), hap_seqs
+
+
+def sample_reads(rng: np.random.Generator, hap_seqs: list[str],
+                 coverage: float = 1.0, read_len: int = 150,
+                 error_rate: float = 0.001,
+                 recomb_breaks: list[tuple[int, int]] | None = None
+                 ) -> tuple[list[str], str]:
+    """Reads from a (possibly recombined) target. recomb_breaks is a list of
+    (position, hap) switch points; default = pure hap 0. Returns
+    (reads, target_sequence)."""
+    length = len(hap_seqs[0])
+    if recomb_breaks:
+        target = []
+        cur_hap = 0
+        cursor = 0
+        for pos, hap in recomb_breaks:
+            target.append(hap_seqs[cur_hap][cursor:pos])
+            cur_hap, cursor = hap, pos
+        target.append(hap_seqs[cur_hap][cursor:])
+        target_seq = "".join(target)
+    else:
+        target_seq = hap_seqs[0]
+    n_reads = max(1, int(coverage * len(target_seq) / read_len))
+    starts = rng.integers(0, max(1, len(target_seq) - read_len), n_reads)
+    reads = []
+    for s in starts.tolist():
+        arr = np.frombuffer(target_seq[s:s + read_len].encode(), np.uint8).copy()
+        errs = rng.random(len(arr)) < error_rate
+        if errs.any():
+            arr[errs] = _BASES[rng.integers(0, 4, int(errs.sum()))]
+        reads.append(arr.tobytes().decode())
+    return reads, target_seq

@@ -58,7 +58,9 @@ def _make_kernel(k: int, w: int):
         flo = jnp.zeros_like(x)
         rhi = jnp.zeros_like(x)
         rlo = jnp.zeros_like(x)
-        invalid = x >= 4
+        # loop-carried masks stay int32: Mosaic cannot truncate wide i8 bool
+        # vectors back to i1 for selects
+        invalid = jnp.where(x >= 4, jnp.int32(1), jnp.int32(0))
         col = x
         rcolsrc = jnp.uint32(3) - jnp.minimum(x, 3)      # complement (invalid handled via mask)
         two = jnp.uint32(2)
@@ -72,16 +74,16 @@ def _make_kernel(k: int, w: int):
                 flo = (flo << two) | cj
                 rlo = (rlo << two) | rj
             if j:
-                invalid = invalid | (cj >= 4)
+                invalid = jnp.maximum(invalid, jnp.where(cj >= 4, 1, 0))
         f_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
         hi = jnp.where(f_le, fhi, rhi)
         lo = jnp.where(f_le, flo, rlo)
         umax = jnp.uint32(0xFFFFFFFF)
-        hi = jnp.where(invalid, umax, hi)
-        lo = jnp.where(invalid, umax, lo)
+        hi = jnp.where(invalid > 0, umax, hi)
+        lo = jnp.where(invalid > 0, umax, lo)
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         gpos = blk_id * BLK + lane
-        pos = jnp.where(invalid, jnp.int32(-1), gpos)
+        pos = jnp.where(invalid > 0, jnp.int32(-1), gpos)
 
         t = (hi, lo, pos)
         s = 1
@@ -96,8 +98,8 @@ def _make_kernel(k: int, w: int):
         phi = pltpu.roll(shi, 1, 1)
         plo = pltpu.roll(slo, 1, 1)
         pvd = pltpu.roll(valid.astype(jnp.int32), 1, 1)
-        differs = (shi != phi) | (slo != plo) | (pvd == 0)
-        differs = jnp.where(lane == 0, True, differs)  # block-local first window
+        # block-local first window always emits (host removes boundary dups)
+        differs = (shi != phi) | (slo != plo) | (pvd == 0) | (lane == 0)
         emit = valid & differs
 
         hi_ref[:, :] = shi[:, :BLK]

@@ -249,36 +249,51 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
     if L < w + k - 1:
         return 0, np.zeros(0, np.int32), np.zeros(0, np.int32)
     halo = k + w - 2
-    n_min_total = 0
-    pos_parts, id_parts = [], []
+    # Dispatch every chunk asynchronously (the prev-selection carry is a
+    # device scalar, so no host sync is needed between chunks), then read
+    # all results in one round trip — per-call tunnel latency would
+    # otherwise dominate on remote-attached TPUs.
+    starts = list(range(0, max(1, L - halo), CHUNK))
+    pending = []
     prev_hi = jnp.uint32(0xFFFFFFFF)
     prev_lo = jnp.uint32(0xFFFFFFFF)
-    first = True
-    for start in range(0, max(1, L - halo), CHUNK):
+    for start in starts:
         chunk = codes[start:start + CHUNK + halo]
         pad_len = CHUNK + halo
         if len(chunk) < pad_len:
             chunk = np.concatenate([chunk, np.full(pad_len - len(chunk), 4, np.uint8)])
         n_valid = min(CHUNK, L - halo - start)
-        hc = hitcap
-        while True:
-            if first:
-                ph, plo_ = jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF)
-            else:
-                ph, plo_ = prev_hi, prev_lo
-            n_min, n_hit, hpos, hid, last_hi, last_lo = _sketch_join_jit(
-                jnp.asarray(chunk), jnp.int32(n_valid), ph, plo_,
-                sp_hi, sp_lo, k, w, hc)
-            if int(n_hit) <= hc:
-                break
-            hc = int(n_hit)
-        first = False
-        prev_hi, prev_lo = last_hi, last_lo
-        n_min_total += int(n_min)
-        nh = int(n_hit)
+        out = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
+                               prev_hi, prev_lo, sp_hi, sp_lo, k, w, hitcap)
+        prev_hi, prev_lo = out[4], out[5]
+        pending.append((start, n_valid, chunk, out))
+
+    # one round trip for all counts, one for all hit arrays
+    counts = np.asarray(jnp.stack(
+        [jnp.stack((out[0].astype(jnp.int64), out[1].astype(jnp.int64)))
+         for _, _, _, out in pending]))
+    overflow = counts[:, 1] > hitcap
+    if overflow.any():  # rare: redo overflowing chunks with exact caps
+        for i in np.flatnonzero(overflow).tolist():
+            start, n_valid, chunk, out = pending[i]
+            prev = (pending[i - 1][3][4], pending[i - 1][3][5]) if i else \
+                (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF))
+            out2 = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
+                                    prev[0], prev[1], sp_hi, sp_lo, k, w,
+                                    int(counts[i, 1]))
+            pending[i] = (start, n_valid, chunk, out2)
+    n_min_total = int(counts[:, 0].sum())
+    all_pos = np.asarray(jnp.concatenate([out[2] for _, _, _, out in pending]))
+    all_id = np.asarray(jnp.concatenate([out[3] for _, _, _, out in pending]))
+    pos_parts, id_parts = [], []
+    off = 0
+    for i, (start, _, _, out) in enumerate(pending):
+        cap_i = out[2].shape[0]
+        nh = int(min(counts[i, 1], cap_i)) if not overflow[i] else int(counts[i, 1])
         if nh:
-            pos_parts.append(np.asarray(hpos[:nh]) + start)
-            id_parts.append(np.asarray(hid[:nh]))
+            pos_parts.append(all_pos[off:off + nh] + start)
+            id_parts.append(all_id[off:off + nh])
+        off += cap_i
     if not pos_parts:
         return n_min_total, np.zeros(0, np.int32), np.zeros(0, np.int32)
     return (n_min_total, np.concatenate(pos_parts), np.concatenate(id_parts))
