@@ -51,18 +51,21 @@ def _make_kernel(k: int, w: int):
 
     def kernel(nvalid_ref, codes_ref, next_ref, hi_ref, lo_ref, pos_ref, emit_ref):
         blk_id = pl.program_id(0)
-        x = jnp.concatenate(
+        xi = jnp.concatenate(
             [codes_ref[:, :], next_ref[:, :HALO_PAD]], axis=1
-        ).astype(jnp.uint32)                            # (1, BLK+HALO_PAD)
+        )                                               # (1, BLK+HALO_PAD) int32
+        # complement computed in signed int32 (Mosaic has no unsigned min)
+        rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
+        x = xi.astype(jnp.uint32)
         fhi = jnp.zeros_like(x)
         flo = jnp.zeros_like(x)
         rhi = jnp.zeros_like(x)
         rlo = jnp.zeros_like(x)
         # loop-carried masks stay int32: Mosaic cannot truncate wide i8 bool
         # vectors back to i1 for selects
-        invalid = jnp.where(x >= 4, jnp.int32(1), jnp.int32(0))
+        invalid = jnp.where(xi >= 4, jnp.int32(1), jnp.int32(0))
         col = x
-        rcolsrc = jnp.uint32(3) - jnp.minimum(x, 3)      # complement (invalid handled via mask)
+        rcolsrc = rc_i.astype(jnp.uint32)
         two = jnp.uint32(2)
         for j in range(k):
             cj = _roll_l(col, j) if j else col

@@ -203,11 +203,11 @@ def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
         cap = count  # retry with exact size (rare: highly repetitive input)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "hitcap"))
+@functools.partial(jax.jit, static_argnames=("k", "w", "emitcap", "hitcap"))
 def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
                      prev_hi: jnp.ndarray, prev_lo: jnp.ndarray,
                      sp_hi: jnp.ndarray, sp_lo: jnp.ndarray,
-                     k: int, w: int, hitcap: int):
+                     k: int, w: int, emitcap: int, hitcap: int):
     """Sketch one chunk AND join against the (sorted) read spectrum on
     device; only the joined hits leave the device. Exact for sequences
     without non-ACGT bases (the pipeline falls back to the host join
@@ -228,15 +228,26 @@ def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
     emit = valid & (~pv | (shi != phi) | (slo != plo))
     n_min = emit.sum()
 
-    found, idx = pair_isin(sp_hi, sp_lo, shi, slo)
-    hit = emit & found
-    n_hit = hit.sum()
-    hidx = jnp.nonzero(hit, size=hitcap, fill_value=shi.shape[0])[0]
+    # compact emissions first so the spectrum binary search runs over the
+    # ~w/2-times smaller emitted stream, not every window
+    eidx = jnp.nonzero(emit, size=emitcap, fill_value=shi.shape[0])[0]
+    shi_g = jnp.concatenate([shi, UMAX[None]])
+    slo_g = jnp.concatenate([slo, UMAX[None]])
     spos_g = jnp.concatenate([spos, jnp.full((1,), -1, jnp.int32)])
-    idx_g = jnp.concatenate([idx.astype(jnp.int32),
+    ehi = shi_g[eidx]
+    elo = slo_g[eidx]
+    epos = spos_g[eidx]
+    evalid = epos >= 0
+
+    found, idx = pair_isin(sp_hi, sp_lo, ehi, elo)
+    hit = found & evalid
+    n_hit = hit.sum()
+    hidx = jnp.nonzero(hit, size=hitcap, fill_value=ehi.shape[0])[0]
+    epos_g = jnp.concatenate([epos, jnp.full((1,), -1, jnp.int32)])
+    eid_g = jnp.concatenate([idx.astype(jnp.int32),
                              jnp.full((1,), -1, jnp.int32)])
     last = jnp.maximum(n_valid - 1, 0)
-    return (n_min, n_hit, spos_g[hidx], idx_g[hidx], shi[last], slo[last])
+    return (n_min, n_hit, epos_g[hidx], eid_g[hidx], shi[last], slo[last])
 
 
 def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
@@ -254,6 +265,7 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
     # all results in one round trip — per-call tunnel latency would
     # otherwise dominate on remote-attached TPUs.
     starts = list(range(0, max(1, L - halo), CHUNK))
+    emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
     pending = []
     prev_hi = jnp.uint32(0xFFFFFFFF)
     prev_lo = jnp.uint32(0xFFFFFFFF)
@@ -264,7 +276,8 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
             chunk = np.concatenate([chunk, np.full(pad_len - len(chunk), 4, np.uint8)])
         n_valid = min(CHUNK, L - halo - start)
         out = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
-                               prev_hi, prev_lo, sp_hi, sp_lo, k, w, hitcap)
+                               prev_hi, prev_lo, sp_hi, sp_lo, k, w,
+                               emitcap, hitcap)
         prev_hi, prev_lo = out[4], out[5]
         pending.append((start, n_valid, chunk, out))
 
@@ -272,16 +285,20 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
     counts = np.asarray(jnp.stack(
         [jnp.stack((out[0].astype(jnp.int64), out[1].astype(jnp.int64)))
          for _, _, _, out in pending]))
-    overflow = counts[:, 1] > hitcap
+    overflow = (counts[:, 1] > hitcap) | (counts[:, 0] > emitcap)
     if overflow.any():  # rare: redo overflowing chunks with exact caps
         for i in np.flatnonzero(overflow).tolist():
             start, n_valid, chunk, out = pending[i]
             prev = (pending[i - 1][3][4], pending[i - 1][3][5]) if i else \
                 (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF))
+            # n_min is exact even under truncation, and hits <= emissions,
+            # so one retry with caps = n_min is always sufficient
+            ec = max(emitcap, int(counts[i, 0]))
             out2 = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
                                     prev[0], prev[1], sp_hi, sp_lo, k, w,
-                                    int(counts[i, 1]))
+                                    ec, ec)
             pending[i] = (start, n_valid, chunk, out2)
+            counts[i, 1] = int(out2[1])
     n_min_total = int(counts[:, 0].sum())
     all_pos = np.asarray(jnp.concatenate([out[2] for _, _, _, out in pending]))
     all_id = np.asarray(jnp.concatenate([out[3] for _, _, _, out in pending]))
