@@ -136,6 +136,16 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
              f"gap: {result.true_objective - result.dp_objective:.3f}")
     timings["solve"] = time.time() - t1
 
+    if opt.debug:
+        # debug-mode detail, the solver-appropriate analog of the reference's
+        # model dumps + chosen-path trace (-d1, ILP_index.cpp:1423-1429,:1554)
+        for (sh, sq, sp) in result.segments:
+            plog.raw(f"[D] segment lane={graph.walk_names[sh]} walk_pos=[{sq},{sp}] "
+                     f"vertices=[{graph.walk_mat[sh, sq]}..{graph.walk_mat[sh, sp]}]")
+        plog.raw(f"[D] matched distinct k-mers: {result.matched_distinct} / "
+                 f"{anchors.n_model_kmers}; weighted occurrence credit: "
+                 f"{result.matched_total:.1f}")
+
     # --- report + emit ---
     recomb, segs = recombination_report(graph, result.vertices, result.vertex_hap)
     plog.raw(f"Recombination count: {recomb}")

@@ -21,7 +21,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 16384
+BLK = 8192      # block lanes; (1, BLK+HALO) i32 arrays tile-pad 8x in VMEM,
+                # and ~30 live arrays must fit the 16 MB budget
 HALO_PAD = 128  # >= k + w - 2 for k<=31, w<=98
 UMAX32 = np.uint32(0xFFFFFFFF)
 

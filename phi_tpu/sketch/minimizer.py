@@ -123,6 +123,16 @@ def _sketch_jit(codes: jnp.ndarray, n_valid_windows: jnp.ndarray, k: int, w: int
     return count, shi_g[idx], slo_g[idx], spos_g[idx]
 
 
+def _next_pow2(n: int) -> int:
+    """Retry capacities are bucketed to powers of two so data-dependent
+    overflows reuse a bounded set of compiled programs (compiles are very
+    expensive on remote-attached TPUs)."""
+    p = 1024
+    while p < n:
+        p <<= 1
+    return p
+
+
 # Long sequences are sketched in fixed-size chunks with a (k+w-2)-base halo:
 # one compiled program is reused for every chunk of every haplotype (compile
 # time and executable cache stay O(1) in sequence length), and this is the
@@ -200,7 +210,7 @@ def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
                 if not keep.all():
                     hi, lo, pos = hi[keep], lo[keep], pos[keep]
             return hi, lo, pos
-        cap = count  # retry with exact size (rare: highly repetitive input)
+        cap = _next_pow2(count)  # rare retry (highly repetitive input)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "emitcap", "hitcap"))
@@ -282,7 +292,7 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
         pending.append((start, n_valid, chunk, out))
 
     # one round trip for all counts, one for all hit arrays
-    counts = np.asarray(jnp.stack(
+    counts = np.array(jnp.stack(
         [jnp.stack((out[0].astype(jnp.int64), out[1].astype(jnp.int64)))
          for _, _, _, out in pending]))
     overflow = (counts[:, 1] > hitcap) | (counts[:, 0] > emitcap)
@@ -292,8 +302,8 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
             prev = (pending[i - 1][3][4], pending[i - 1][3][5]) if i else \
                 (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF))
             # n_min is exact even under truncation, and hits <= emissions,
-            # so one retry with caps = n_min is always sufficient
-            ec = max(emitcap, int(counts[i, 0]))
+            # so one retry with caps >= n_min is always sufficient
+            ec = _next_pow2(max(emitcap, int(counts[i, 0])))
             out2 = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
                                     prev[0], prev[1], sp_hi, sp_lo, k, w,
                                     ec, ec)
@@ -367,7 +377,7 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
         count = int(count)
         if count <= cap:
             break
-        cap = count
+        cap = _next_pow2(count)
     shi = np.asarray(shi[:count])
     slo = np.asarray(slo[:count])
     combined = (shi.astype(np.uint64) << np.uint64(32)) | slo.astype(np.uint64)
