@@ -50,11 +50,24 @@ def _tuple_min(a, b):
 def _make_kernel(k: int, w: int):
     n_hi = max(0, k - 16)
 
-    def kernel(nvalid_ref, codes_ref, next_ref, hi_ref, lo_ref, pos_ref, emit_ref):
+    def kernel(nvalid_ref, codes_ref, next_ref, hi_ref, lo_ref, pos_ref,
+               emit_ref, carry_ref):
         blk_id = pl.program_id(0)
+
+        # The TPU grid runs sequentially, so SMEM scratch carries the
+        # previous block's last window selection for exact dedup across
+        # block boundaries (carry = (hi, lo) of selection at window
+        # blk_id*BLK - 1; initialized to UMAX so the global first window
+        # emits).
+        @pl.when(blk_id == 0)
+        def _init():
+            carry_ref[0] = jnp.uint32(0xFFFFFFFF)
+            carry_ref[1] = jnp.uint32(0xFFFFFFFF)
+            carry_ref[2] = jnp.uint32(0)  # previous-window validity
+
         xi = jnp.concatenate(
             [codes_ref[:, :], next_ref[:, :HALO_PAD]], axis=1
-        )                                               # (1, BLK+HALO_PAD) int32
+        ).astype(jnp.int32)                             # (1, BLK+HALO_PAD)
         # complement computed in signed int32 (Mosaic has no unsigned min)
         rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
         x = xi.astype(jnp.uint32)
@@ -99,17 +112,21 @@ def _make_kernel(k: int, w: int):
 
         n_valid = nvalid_ref[0, 0]
         valid = (spos >= 0) & (gpos < n_valid)
-        phi = pltpu.roll(shi, 1, 1)
-        plo = pltpu.roll(slo, 1, 1)
-        pvd = pltpu.roll(valid.astype(jnp.int32), 1, 1)
-        # block-local first window always emits (host removes boundary dups)
-        differs = (shi != phi) | (slo != plo) | (pvd == 0) | (lane == 0)
+        at0 = lane == 0
+        phi = jnp.where(at0, carry_ref[0], pltpu.roll(shi, 1, 1))
+        plo = jnp.where(at0, carry_ref[1], pltpu.roll(slo, 1, 1))
+        pvd = jnp.where(at0, carry_ref[2].astype(jnp.int32),
+                        pltpu.roll(valid.astype(jnp.int32), 1, 1))
+        differs = (shi != phi) | (slo != plo) | (pvd == 0)
         emit = valid & differs
 
         hi_ref[:, :] = shi[:, :BLK]
         lo_ref[:, :] = slo[:, :BLK]
         pos_ref[:, :] = spos[:, :BLK]
         emit_ref[:, :] = emit[:, :BLK].astype(jnp.int32)
+        carry_ref[0] = shi[0, BLK - 1]
+        carry_ref[1] = slo[0, BLK - 1]
+        carry_ref[2] = valid[0, BLK - 1].astype(jnp.uint32)
 
     return kernel
 
@@ -123,7 +140,14 @@ def _pallas_sketch(codes2d: jnp.ndarray, n_valid: jnp.ndarray, k: int, w: int,
     # lanes [i*BLK, (i+1)*BLK); the halo comes from passing the same array a
     # second time shifted one block (i+1), clamped at the padded end.
     out_bs = pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
+    out_shape = [
+        jax.ShapeDtypeStruct((1, n_out), jnp.uint32),
+        jax.ShapeDtypeStruct((1, n_out), jnp.uint32),
+        jax.ShapeDtypeStruct((1, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((1, n_out), jnp.int32),
+    ]
+    return pl.pallas_call(
+        kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -131,15 +155,73 @@ def _pallas_sketch(codes2d: jnp.ndarray, n_valid: jnp.ndarray, k: int, w: int,
             pl.BlockSpec((1, BLK), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
         ],
         out_specs=[out_bs, out_bs, out_bs, out_bs],
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((1, n_out), jnp.uint32),
-        jax.ShapeDtypeStruct((1, n_out), jnp.uint32),
-        jax.ShapeDtypeStruct((1, n_out), jnp.int32),
-        jax.ShapeDtypeStruct((1, n_out), jnp.int32),
-    ]
-    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
-                          interpret=interpret)(n_valid, codes2d, codes2d)
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((3,), jnp.uint32)],
+        interpret=interpret,
+    )(n_valid, codes2d, codes2d)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "n_blocks", "emitcap",
+                                             "hitcap", "interpret"))
+def _pallas_join(codes2d, n_valid_smem, n_valid, sp_hi, sp_lo,
+                 k: int, w: int, n_blocks: int, emitcap: int, hitcap: int,
+                 interpret: bool = False):
+    """Fused: pallas sketch kernel -> device compaction -> spectrum join.
+    Whole sequence in one call; only counts and hit arrays leave the device."""
+    from phi_tpu.ops.search import pair_isin
+
+    hi, lo, pos, emit = _pallas_sketch(codes2d, n_valid_smem, k, w, n_blocks,
+                                       interpret)
+    hi = hi[0]
+    lo = lo[0]
+    pos = pos[0]
+    emit = (emit[0] != 0) & (jnp.arange(hi.shape[0]) < n_valid)
+    n_min = emit.sum()
+    eidx = jnp.nonzero(emit, size=emitcap, fill_value=hi.shape[0])[0]
+    hi_g = jnp.concatenate([hi, jnp.full((1,), 0xFFFFFFFF, jnp.uint32)])
+    lo_g = jnp.concatenate([lo, jnp.full((1,), 0xFFFFFFFF, jnp.uint32)])
+    pos_g = jnp.concatenate([pos, jnp.full((1,), -1, jnp.int32)])
+    ehi = hi_g[eidx]
+    elo = lo_g[eidx]
+    epos = pos_g[eidx]
+    found, idx = pair_isin(sp_hi, sp_lo, ehi, elo)
+    hit = found & (epos >= 0)
+    n_hit = hit.sum()
+    hidx = jnp.nonzero(hit, size=hitcap, fill_value=ehi.shape[0])[0]
+    epos_g = jnp.concatenate([epos, jnp.full((1,), -1, jnp.int32)])
+    eid_g = jnp.concatenate([idx.astype(jnp.int32), jnp.full((1,), -1, jnp.int32)])
+    return n_min, n_hit, epos_g[hidx], eid_g[hidx]
+
+
+def pallas_join_sequence(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
+                         interpret: bool = False
+                         ) -> tuple[int, np.ndarray, np.ndarray]:
+    """Device-joined minimizers via the fused Pallas kernel. Same contract as
+    minimizer.sketch_join_sequence (N-exact dedup carried in SMEM)."""
+    if k + w - 2 > HALO_PAD:
+        raise ValueError(f"k + w - 2 must be <= {HALO_PAD} for the fused kernel")
+    L = len(codes)
+    if L < w + k - 1:
+        return 0, np.zeros(0, np.int32), np.zeros(0, np.int32)
+    n_valid = L - k - w + 2
+    n_blocks = max(1, -(-n_valid // BLK))
+    need = (n_blocks + 1) * BLK
+    buf = np.full(need, 4, np.uint8)
+    buf[:min(L, need)] = codes[:min(L, need)]
+    codes2d = jnp.asarray(buf.astype(np.int32)[None, :])
+    nv_smem = jnp.asarray(np.array([[n_valid]], np.int32))
+    emitcap = 1 << max(10, (4 * n_valid // (w + 1) + 64).bit_length())
+    hitcap = emitcap
+    while True:
+        n_min, n_hit, hpos, hid = _pallas_join(
+            codes2d, nv_smem, jnp.int32(n_valid), sp_hi, sp_lo,
+            k, w, n_blocks, emitcap, hitcap, interpret)
+        nm, nh = int(n_min), int(n_hit)
+        if nm <= emitcap and nh <= hitcap:
+            break
+        emitcap = 1 << max(emitcap.bit_length(), nm.bit_length())
+        hitcap = emitcap
+    return nm, np.asarray(hpos[:nh]), np.asarray(hid[:nh])
 
 
 def pallas_sketch_sequence(codes: np.ndarray, k: int, w: int,

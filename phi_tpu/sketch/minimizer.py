@@ -260,12 +260,30 @@ def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
     return (n_min, n_hit, epos_g[hidx], eid_g[hidx], shi[last], slo[last])
 
 
+_pallas_join_ok: bool | None = None
+
+
 def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
                          sp_hi, sp_lo, hitcap: int = 1 << 15
                          ) -> tuple[int, np.ndarray, np.ndarray]:
     """Device-joined minimizers of one (N-free) sequence vs the spectrum:
-    returns (n_minimizers, hit_kmer_start_positions, hit_spectrum_ids)."""
+    returns (n_minimizers, hit_kmer_start_positions, hit_spectrum_ids).
+    Uses the fused Pallas kernel on TPU backends (falls back to the chunked
+    XLA path on CPU or if the kernel fails to compile)."""
     import jax.numpy as jnp
+    global _pallas_join_ok
+    if jax.default_backend() != "cpu" and _pallas_join_ok is not False \
+            and k + w - 2 <= 128:
+        try:
+            from phi_tpu.sketch.kernels import pallas_join_sequence
+            out = pallas_join_sequence(codes, k, w, sp_hi, sp_lo)
+            _pallas_join_ok = True
+            return out
+        except Exception as e:  # pragma: no cover - platform dependent
+            import sys
+            print(f"[W::sketch] pallas join unavailable ({type(e).__name__}); "
+                  "using XLA path", file=sys.stderr)
+            _pallas_join_ok = False
     L = len(codes)
     if L < w + k - 1:
         return 0, np.zeros(0, np.int32), np.zeros(0, np.int32)
