@@ -66,8 +66,9 @@ def _make_kernel(k: int, w: int):
             carry_ref[2] = jnp.uint32(0)  # previous-window validity
 
         xi = jnp.concatenate(
-            [codes_ref[:, :], next_ref[:, :HALO_PAD]], axis=1
-        ).astype(jnp.int32)                             # (1, BLK+HALO_PAD)
+            [codes_ref[:, :].astype(jnp.int32),
+             next_ref[:, :HALO_PAD].astype(jnp.int32)], axis=1
+        )                                               # (1, BLK+HALO_PAD)
         # complement computed in signed int32 (Mosaic has no unsigned min)
         rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
         x = xi.astype(jnp.uint32)
@@ -126,7 +127,8 @@ def _make_kernel(k: int, w: int):
         emit_ref[:, :] = emit[:, :BLK].astype(jnp.int32)
         carry_ref[0] = shi[0, BLK - 1]
         carry_ref[1] = slo[0, BLK - 1]
-        carry_ref[2] = valid[0, BLK - 1].astype(jnp.uint32)
+        # cast the whole vector first: Mosaic can only scalarize 32-bit lanes
+        carry_ref[2] = valid.astype(jnp.uint32)[0, BLK - 1]
 
     return kernel
 
@@ -208,7 +210,7 @@ def pallas_join_sequence(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
     need = (n_blocks + 1) * BLK
     buf = np.full(need, 4, np.uint8)
     buf[:min(L, need)] = codes[:min(L, need)]
-    codes2d = jnp.asarray(buf.astype(np.int32)[None, :])
+    codes2d = jnp.asarray(buf[None, :])  # uint8: 4x less tunnel upload
     nv_smem = jnp.asarray(np.array([[n_valid]], np.int32))
     emitcap = 1 << max(10, (4 * n_valid // (w + 1) + 64).bit_length())
     hitcap = emitcap
@@ -242,7 +244,7 @@ def pallas_sketch_sequence(codes: np.ndarray, k: int, w: int,
     buf = np.full(need, 4, np.uint8)
     buf[:min(L, need)] = codes[:min(L, need)]
     hi, lo, pos, emit = _pallas_sketch(
-        jnp.asarray(buf.astype(np.int32)[None, :]),
+        jnp.asarray(buf[None, :]),
         jnp.asarray(np.array([[n_valid]], np.int32)), k, w, n_blocks,
         interpret)
     emit = np.asarray(emit[0]).astype(bool)

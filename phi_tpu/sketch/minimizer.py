@@ -311,8 +311,8 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
 
     # one round trip for all counts, one for all hit arrays
     counts = np.array(jnp.stack(
-        [jnp.stack((out[0].astype(jnp.int64), out[1].astype(jnp.int64)))
-         for _, _, _, out in pending]))
+        [jnp.stack((out[0].astype(jnp.int32), out[1].astype(jnp.int32)))
+         for _, _, _, out in pending])).astype(np.int64)
     overflow = (counts[:, 1] > hitcap) | (counts[:, 0] > emitcap)
     if overflow.any():  # rare: redo overflowing chunks with exact caps
         for i in np.flatnonzero(overflow).tolist():
