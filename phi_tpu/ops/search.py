@@ -24,13 +24,15 @@ def pair_searchsorted(sp_hi: jnp.ndarray, sp_lo: jnp.ndarray,
     if n == 0:
         return lo
     for _ in range(max(1, math.ceil(math.log2(n + 1)))):
+        active = lo < hi
         mid = (lo + hi) >> 1
         mid_c = jnp.minimum(mid, n - 1)
         mhi = sp_hi[mid_c]
         mlo = sp_lo[mid_c]
         less = (mhi < q_hi) | ((mhi == q_hi) & (mlo < q_lo))
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        new_lo = jnp.where(active & less, mid + 1, lo)
+        new_hi = jnp.where(active & ~less, mid, hi)
+        lo, hi = new_lo, new_hi
     return lo
 
 
@@ -40,6 +42,49 @@ def pair_isin(sp_hi, sp_lo, q_hi, q_lo):
     idx = pair_searchsorted(sp_hi, sp_lo, q_hi, q_lo)
     if n == 0:
         return jnp.zeros(q_hi.shape, bool), idx
+    idx_c = jnp.minimum(idx, n - 1)
+    found = (idx < n) & (sp_hi[idx_c] == q_hi) & (sp_lo[idx_c] == q_lo)
+    return found, idx
+
+
+BUCKET_BITS = 12  # echoes the reference's bucket_bits idea (PHI.h:19)
+
+
+def make_search_buckets(sp_hi_np, bits: int = BUCKET_BITS):
+    """Host-side bucket table over the top `bits` of hi: offsets[b] = first
+    spectrum index with hi >= b << (32-bits). Returns (offsets, rounds) where
+    rounds bounds the per-bucket binary search depth."""
+    import numpy as np
+    thresholds = (np.arange((1 << bits) + 1, dtype=np.uint64) << np.uint64(32 - bits))
+    thresholds = np.minimum(thresholds, np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    off = np.searchsorted(np.asarray(sp_hi_np), thresholds, side="left").astype(np.int32)
+    off[-1] = len(sp_hi_np)
+    max_bucket = int(np.diff(off).max()) if len(off) > 1 else len(sp_hi_np)
+    rounds = max(1, math.ceil(math.log2(max_bucket + 1)))
+    return off, rounds
+
+
+def pair_isin_bucketed(sp_hi, sp_lo, bucket_off, q_hi, q_lo,
+                       rounds: int, bits: int = BUCKET_BITS):
+    """pair_isin with a first-probe bucket table: ~log2(max_bucket) gather
+    rounds instead of log2(n)."""
+    n = sp_hi.shape[0]
+    if n == 0:
+        return jnp.zeros(q_hi.shape, bool), jnp.zeros(q_hi.shape, jnp.int32)
+    b = (q_hi >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    lo = bucket_off[b]
+    hi = bucket_off[b + 1]
+    for _ in range(rounds):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        mid_c = jnp.minimum(mid, n - 1)
+        mhi = sp_hi[mid_c]
+        mlo = sp_lo[mid_c]
+        less = (mhi < q_hi) | ((mhi == q_hi) & (mlo < q_lo))
+        new_lo = jnp.where(active & less, mid + 1, lo)
+        new_hi = jnp.where(active & ~less, mid, hi)
+        lo, hi = new_lo, new_hi
+    idx = lo
     idx_c = jnp.minimum(idx, n - 1)
     found = (idx < n) & (sp_hi[idx_c] == q_hi) & (sp_lo[idx_c] == q_lo)
     return found, idx

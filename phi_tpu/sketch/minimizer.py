@@ -213,11 +213,13 @@ def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
         cap = _next_pow2(count)  # rare retry (highly repetitive input)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "emitcap", "hitcap"))
+@functools.partial(jax.jit, static_argnames=("k", "w", "emitcap", "hitcap",
+                                             "rounds"))
 def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
                      prev_hi: jnp.ndarray, prev_lo: jnp.ndarray,
                      sp_hi: jnp.ndarray, sp_lo: jnp.ndarray,
-                     k: int, w: int, emitcap: int, hitcap: int):
+                     sp_off: jnp.ndarray,
+                     k: int, w: int, emitcap: int, hitcap: int, rounds: int):
     """Sketch one chunk AND join against the (sorted) read spectrum on
     device; only the joined hits leave the device. Exact for sequences
     without non-ACGT bases (the pipeline falls back to the host join
@@ -225,7 +227,7 @@ def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
     selection is the reference's prev_hash rule, and the previous chunk's
     last selection is threaded through (prev_hi/prev_lo) so chunk boundaries
     dedup exactly too."""
-    from phi_tpu.ops.search import pair_isin
+    from phi_tpu.ops.search import pair_isin_bucketed
 
     hi, lo, invalid = _pack_canonical(codes, k)
     pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
@@ -249,7 +251,7 @@ def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
     epos = spos_g[eidx]
     evalid = epos >= 0
 
-    found, idx = pair_isin(sp_hi, sp_lo, ehi, elo)
+    found, idx = pair_isin_bucketed(sp_hi, sp_lo, sp_off, ehi, elo, rounds)
     hit = found & evalid
     n_hit = hit.sum()
     hidx = jnp.nonzero(hit, size=hitcap, fill_value=ehi.shape[0])[0]
@@ -270,9 +272,16 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
     returns (n_minimizers, hit_kmer_start_positions, hit_spectrum_ids).
     Uses the fused Pallas kernel on TPU backends (falls back to the chunked
     XLA path on CPU or if the kernel fails to compile)."""
+    import os
+
     import jax.numpy as jnp
     global _pallas_join_ok
-    if jax.default_backend() != "cpu" and _pallas_join_ok is not False \
+    # The fused Pallas join is opt-in for now: on the remote-attached chip the
+    # chunked XLA path's smaller per-call compaction/gather footprint wins
+    # end-to-end (the raw Pallas kernel itself is 15x faster and is the
+    # right base once the join gathers are bucketed).
+    if os.environ.get("PHI_TPU_PALLAS_JOIN") == "1" \
+            and jax.default_backend() != "cpu" and _pallas_join_ok is not False \
             and k + w - 2 <= 128:
         try:
             from phi_tpu.sketch.kernels import pallas_join_sequence
@@ -292,6 +301,10 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
     # device scalar, so no host sync is needed between chunks), then read
     # all results in one round trip — per-call tunnel latency would
     # otherwise dominate on remote-attached TPUs.
+    from phi_tpu.ops.search import make_search_buckets
+    sp_off_np, rounds = make_search_buckets(np.asarray(sp_hi))
+    sp_off = jnp.asarray(sp_off_np)
+
     starts = list(range(0, max(1, L - halo), CHUNK))
     emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
     pending = []
@@ -304,8 +317,8 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
             chunk = np.concatenate([chunk, np.full(pad_len - len(chunk), 4, np.uint8)])
         n_valid = min(CHUNK, L - halo - start)
         out = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
-                               prev_hi, prev_lo, sp_hi, sp_lo, k, w,
-                               emitcap, hitcap)
+                               prev_hi, prev_lo, sp_hi, sp_lo, sp_off, k, w,
+                               emitcap, hitcap, rounds)
         prev_hi, prev_lo = out[4], out[5]
         pending.append((start, n_valid, chunk, out))
 
@@ -323,8 +336,8 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
             # so one retry with caps >= n_min is always sufficient
             ec = _next_pow2(max(emitcap, int(counts[i, 0])))
             out2 = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
-                                    prev[0], prev[1], sp_hi, sp_lo, k, w,
-                                    ec, ec)
+                                    prev[0], prev[1], sp_hi, sp_lo, sp_off,
+                                    k, w, ec, ec, rounds)
             pending[i] = (start, n_valid, chunk, out2)
             counts[i, 1] = int(out2[1])
     n_min_total = int(counts[:, 0].sum())
