@@ -223,7 +223,8 @@ def pallas_join_sequence(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
             break
         emitcap = 1 << max(emitcap.bit_length(), nm.bit_length())
         hitcap = emitcap
-    return nm, np.asarray(hpos[:nh]), np.asarray(hid[:nh])
+    from phi_tpu.sketch.minimizer import fetch_prefix
+    return nm, fetch_prefix(hpos, nh), fetch_prefix(hid, nh)
 
 
 def pallas_sketch_sequence(codes: np.ndarray, k: int, w: int,

@@ -133,6 +133,16 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def fetch_prefix(arr, n: int) -> np.ndarray:
+    """np.asarray(arr[:n]) without minting a new XLA program per distinct n:
+    device-slices to a pow2 bucket, trims on host."""
+    if n <= 0:
+        return np.zeros((0,) + arr.shape[1:], arr.dtype)
+    cap = arr.shape[0]
+    b = min(cap, _next_pow2(n))
+    return (np.asarray(arr[:b]) if b < cap else np.asarray(arr))[:n]
+
+
 # Long sequences are sketched in fixed-size chunks with a (k+w-2)-base halo:
 # one compiled program is reused for every chunk of every haplotype (compile
 # time and executable cache stay O(1) in sequence length), and this is the
@@ -199,9 +209,9 @@ def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
         count, hi, lo, pos = _sketch_jit(jnp.asarray(codes), jnp.int32(n_valid), k, w, cap)
         count = int(count)
         if count <= cap:
-            hi = np.asarray(hi[:count])
-            lo = np.asarray(lo[:count])
-            pos = np.asarray(pos[:count])
+            hi = fetch_prefix(hi, count)
+            lo = fetch_prefix(lo, count)
+            pos = fetch_prefix(pos, count)
             if count > 1:
                 # exact prev_hash dedup across invalid-window gaps
                 keep = np.empty(count, bool)
@@ -409,8 +419,8 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
         if count <= cap:
             break
         cap = _next_pow2(count)
-    shi = np.asarray(shi[:count])
-    slo = np.asarray(slo[:count])
+    shi = fetch_prefix(shi, count)
+    slo = fetch_prefix(slo, count)
     combined = (shi.astype(np.uint64) << np.uint64(32)) | slo.astype(np.uint64)
     uniq = np.unique(combined)
     return (uniq >> np.uint64(32)).astype(np.uint32), (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
