@@ -410,6 +410,30 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
         valid = codes < 4
         lengths = np.where(valid.all(axis=1), codes.shape[1],
                            np.argmin(valid, axis=1)).astype(np.int32)
+    # Mixed short/long read sets (e.g. the long-read configs) are bucketed by
+    # pow2 padded width so a few kilobase reads don't inflate the whole batch.
+    max_len = int(lengths.max())
+    mean_len = float(lengths.mean()) if len(lengths) else 0.0
+    parts: list[np.ndarray] = []
+    if mean_len > 0 and max_len > 4 * mean_len:
+        widths = np.maximum(128, 2 ** np.ceil(np.log2(
+            np.maximum(lengths, 1))).astype(np.int64))
+        for wd in np.unique(widths):
+            sel = widths == wd
+            sub = np.ascontiguousarray(codes[sel, :min(int(wd), codes.shape[1])])
+            parts.append(_sketch_batch_emissions(sub, lengths[sel], k, w))
+    else:
+        parts.append(_sketch_batch_emissions(codes, lengths, k, w))
+    combined = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    uniq = np.unique(combined)
+    return (uniq >> np.uint64(32)).astype(np.uint32), (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def _sketch_batch_emissions(codes: np.ndarray, lengths: np.ndarray,
+                            k: int, w: int) -> np.ndarray:
+    """Emitted minimizer keys (uint64, duplicates included) of one batch."""
+    if codes.shape[0] == 0 or codes.shape[1] < w + k - 1:
+        return np.zeros(0, np.uint64)
     total = int(lengths.sum())
     cap = max(1024, 4 * total // (w + 1) + 64)
     while True:
@@ -421,6 +445,4 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
         cap = _next_pow2(count)
     shi = fetch_prefix(shi, count)
     slo = fetch_prefix(slo, count)
-    combined = (shi.astype(np.uint64) << np.uint64(32)) | slo.astype(np.uint64)
-    uniq = np.unique(combined)
-    return (uniq >> np.uint64(32)).astype(np.uint32), (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return (shi.astype(np.uint64) << np.uint64(32)) | slo.astype(np.uint64)
