@@ -45,14 +45,15 @@ def synth_pangenome(rng: np.random.Generator, length: int = 100_000,
 
     ref = _rand_seq(rng, length)
     walk_segs: list[list[str]] = [[] for _ in range(n_haps)]
-    hap_seqs = ["" for _ in range(n_haps)]
+    hap_parts: list[list[str]] = [[] for _ in range(n_haps)]
     cursor = 0
     for pos in positions.tolist():
         if pos > cursor:
             shared = add(ref[cursor:pos])
+            chunk = ref[cursor:pos]
             for h in range(n_haps):
                 walk_segs[h].extend(shared)
-                hap_seqs[h] += ref[cursor:pos]
+                hap_parts[h].append(chunk)
         ref_base = ref[pos]
         alt_base = "ACGT"[(("ACGT".index(ref_base)) + int(rng.integers(1, 4))) % 4]
         nodes = [add(ref_base), add(alt_base)]
@@ -61,15 +62,17 @@ def synth_pangenome(rng: np.random.Generator, length: int = 100_000,
         for h in range(n_haps):
             a = 1 if takes_alt[h] else 0
             walk_segs[h].extend(nodes[a])
-            hap_seqs[h] += (alt_base if a else ref_base)
+            hap_parts[h].append(alt_base if a else ref_base)
         cursor = pos + 1
     if cursor < length:
         tail = add(ref[cursor:])
+        chunk = ref[cursor:]
         for h in range(n_haps):
             walk_segs[h].extend(tail)
-            hap_seqs[h] += ref[cursor:]
+            hap_parts[h].append(chunk)
 
     walks = [(f"synth{h}.0", walk_segs[h]) for h in range(n_haps)]
+    hap_seqs = ["".join(p) for p in hap_parts]
     return build_gfa_data(segments, walks), hap_seqs
 
 

@@ -8,7 +8,6 @@ Reference implementation: realtime()/cputime() in /root/reference/src/sys.cpp:92
 
 from __future__ import annotations
 
-import os
 import resource
 import sys
 import time

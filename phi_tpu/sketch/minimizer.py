@@ -434,6 +434,13 @@ def _sketch_batch_emissions(codes: np.ndarray, lengths: np.ndarray,
     """Emitted minimizer keys (uint64, duplicates included) of one batch."""
     if codes.shape[0] == 0 or codes.shape[1] < w + k - 1:
         return np.zeros(0, np.uint64)
+    # bucket the row count so nearby dataset sizes reuse one compiled program
+    n = codes.shape[0]
+    n_pad = -(-n // 8192) * 8192 if n > 8192 else _next_pow2(n)
+    if n_pad != n:
+        codes = np.concatenate([codes, np.full((n_pad - n, codes.shape[1]), 4,
+                                               np.uint8)])
+        lengths = np.concatenate([lengths, np.zeros(n_pad - n, np.int32)])
     total = int(lengths.sum())
     cap = max(1024, 4 * total // (w + 1) + 64)
     while True:

@@ -18,8 +18,6 @@ import gzip
 import sys
 from typing import IO
 
-import numpy as np
-
 from phi_tpu.io.build import build_gfa_data
 from phi_tpu.io.gfa import GfaData
 
