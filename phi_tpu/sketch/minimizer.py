@@ -429,27 +429,46 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
     return (uniq >> np.uint64(32)).astype(np.uint32), (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
 
+ROW_TILE = 8192  # fixed row-tile: one compiled batch program per width bucket
+
+
 def _sketch_batch_emissions(codes: np.ndarray, lengths: np.ndarray,
                             k: int, w: int) -> np.ndarray:
-    """Emitted minimizer keys (uint64, duplicates included) of one batch."""
+    """Emitted minimizer keys (uint64, duplicates included) of one batch.
+
+    Rows are processed in fixed ROW_TILE tiles (padded with empty reads) so
+    the compiled program shape never depends on dataset size — compiles are
+    minutes-expensive on remote-attached TPUs."""
     if codes.shape[0] == 0 or codes.shape[1] < w + k - 1:
         return np.zeros(0, np.uint64)
-    # bucket the row count so nearby dataset sizes reuse one compiled program
     n = codes.shape[0]
-    n_pad = -(-n // 8192) * 8192 if n > 8192 else _next_pow2(n)
-    if n_pad != n:
-        codes = np.concatenate([codes, np.full((n_pad - n, codes.shape[1]), 4,
-                                               np.uint8)])
-        lengths = np.concatenate([lengths, np.zeros(n_pad - n, np.int32)])
-    total = int(lengths.sum())
-    cap = max(1024, 4 * total // (w + 1) + 64)
-    while True:
-        count, shi, slo = _sketch_batch_jit(
-            jnp.asarray(codes), jnp.asarray(lengths), k, w, cap)
-        count = int(count)
-        if count <= cap:
-            break
-        cap = _next_pow2(count)
-    shi = fetch_prefix(shi, count)
-    slo = fetch_prefix(slo, count)
-    return (shi.astype(np.uint64) << np.uint64(32)) | slo.astype(np.uint64)
+    width = codes.shape[1]
+    cap = max(1024, 4 * ROW_TILE * width // (w + 1) + 64)
+    outs = []
+    pending = []
+    for r0 in range(0, n, ROW_TILE):
+        tile = codes[r0:r0 + ROW_TILE]
+        tl = lengths[r0:r0 + ROW_TILE]
+        if tile.shape[0] < ROW_TILE:
+            pad = ROW_TILE - tile.shape[0]
+            tile = np.concatenate([tile, np.full((pad, width), 4, np.uint8)])
+            tl = np.concatenate([tl, np.zeros(pad, np.int32)])
+        pending.append(_sketch_batch_jit(jnp.asarray(tile), jnp.asarray(tl),
+                                         k, w, cap))
+    for i, (count, shi, slo) in enumerate(pending):
+        c = int(count)
+        if c > cap:  # adversarial density (every window emits): redo exactly
+            r0 = i * ROW_TILE
+            tile = codes[r0:r0 + ROW_TILE]
+            tl = lengths[r0:r0 + ROW_TILE]
+            if tile.shape[0] < ROW_TILE:
+                pad = ROW_TILE - tile.shape[0]
+                tile = np.concatenate([tile, np.full((pad, width), 4, np.uint8)])
+                tl = np.concatenate([tl, np.zeros(pad, np.int32)])
+            count, shi, slo = _sketch_batch_jit(
+                jnp.asarray(tile), jnp.asarray(tl), k, w, _next_pow2(c))
+            c = int(count)
+        hi = fetch_prefix(shi, c)
+        lo = fetch_prefix(slo, c)
+        outs.append((hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64))
+    return np.concatenate(outs) if outs else np.zeros(0, np.uint64)
