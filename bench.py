@@ -14,57 +14,91 @@ solve itself replaces a Gurobi ILP that dominates the reference runtime.
 Correctness gate: the emitted haplotype must be byte-identical to the CHM13
 truth (test/MHC-CHM13.0.fa.gz) — stricter than the reference's own result
 (small nonzero edit distance); on failure the metric reports value -1.
+
+Robustness: the measurement runs in a child process. The TPU attempt gets a
+hard deadline (first-ever XLA compiles through the remote tunnel can take
+many minutes; they are cached across runs in /root/.cache/jax_phi_tpu). If
+the TPU attempt times out or fails, the benchmark reruns on host CPU — a
+valid same-host wall-clock, just without the chip.
 """
 
 from __future__ import annotations
 
-import gzip
 import json
+import os
+import subprocess
 import sys
-import time
+
+BASELINE_S = 69.0  # data/plots/increasing.csv:2 (3-hap, 15x, 32 CPU threads)
+TPU_DEADLINE_S = int(os.environ.get("PHI_BENCH_TPU_DEADLINE", "2700"))
+CPU_DEADLINE_S = 1800
+
+_CHILD = r"""
+import gzip, json, time, sys
+from phi_tpu import logging as plog
+from phi_tpu.config import Options
+from phi_tpu.pipeline import run_pipeline
 
 GFA = "/root/reference/test/MHC_4.gfa.gz"
 READS = "/root/reference/test/CHM13_reads.fq.gz"
 TRUTH = "/root/reference/test/MHC-CHM13.0.fa.gz"
 OUT = "/tmp/phi_tpu_bench_out.fa"
-BASELINE_S = 69.0  # data/plots/increasing.csv:2 (3-hap, 15x, 32 CPU threads)
 
-
-def read_fasta_seq(path: str) -> str:
-    op = gzip.open if path.endswith(".gz") else open
+def truth_seq():
     parts = []
-    with op(path, "rt") as f:
+    with gzip.open(TRUTH, "rt") as f:
         for line in f:
             if not line.startswith(">"):
                 parts.append(line.strip())
     return "".join(parts)
 
+plog.reset_timer()
+opt = Options(k=31, w=25, recombination=100, lagrangian_rounds=4)
+run_pipeline(GFA, READS, OUT, opt)  # warmup: compiles (cached across runs)
+wall = float("inf")
+res = None
+for _ in range(3):
+    t0 = time.time()
+    res = run_pipeline(GFA, READS, OUT, opt)
+    wall = min(wall, time.time() - t0)
+ok = res.sequence == truth_seq()
+print("BENCH_RESULT " + json.dumps({"wall": wall, "ok": ok}), flush=True)
+"""
+
+
+def _attempt(env: dict, deadline: int):
+    try:
+        proc = subprocess.run([sys.executable, "-u", "-c", _CHILD],
+                              env=env, timeout=deadline,
+                              capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    sys.stderr.write(proc.stderr[-2000:] + "\n")
+    return None
+
 
 def main() -> int:
-    from phi_tpu import logging as plog
-    from phi_tpu.config import Options
-    from phi_tpu.pipeline import run_pipeline
-
-    plog.reset_timer()
-    opt = Options(k=31, w=25, recombination=100, lagrangian_rounds=4)
-
-    # warmup pass compiles every kernel (first XLA compile is excluded from
-    # the measured runs, standard practice for steady-state device benchmarks)
-    run_pipeline(GFA, READS, OUT, opt)
-
-    # best of 3: the remote-attached TPU tunnel has high latency variance
-    wall = float("inf")
-    res = None
-    for _ in range(3):
-        t0 = time.time()
-        res = run_pipeline(GFA, READS, OUT, opt)
-        wall = min(wall, time.time() - t0)
-
-    ok = res.sequence == read_fasta_seq(TRUTH)
-    value = round(wall, 3) if ok else -1.0
+    env = dict(os.environ)
+    result = _attempt(env, TPU_DEADLINE_S)
+    if result is None:
+        sys.stderr.write("[bench] TPU attempt failed/timed out; "
+                         "falling back to host CPU\n")
+        env_cpu = dict(os.environ)
+        env_cpu["PALLAS_AXON_POOL_IPS"] = ""
+        env_cpu["JAX_PLATFORMS"] = "cpu"
+        result = _attempt(env_cpu, CPU_DEADLINE_S)
+    if result is None:
+        print(json.dumps({"metric": "mhc4_chm13_e2e_wall_clock", "value": -1.0,
+                          "unit": "s", "vs_baseline": 0.0}))
+        return 1
+    ok = result["ok"]
+    wall = result["wall"]
     print(json.dumps({
         "metric": "mhc4_chm13_e2e_wall_clock",
-        "value": value,
+        "value": round(wall, 3) if ok else -1.0,
         "unit": "s",
         "vs_baseline": round(BASELINE_S / wall, 2) if ok else 0.0,
     }))
