@@ -105,6 +105,27 @@ def _window_min(hi, lo, pos, w: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
+def _sketch_masked_jit(codes: jnp.ndarray, window_ok: jnp.ndarray,
+                       k: int, w: int, cap: int):
+    """Sketch with an explicit per-window validity mask — used for
+    concatenated read sets, where window_ok marks windows lying entirely
+    within one read (per-read window semantics, exactly the reference's
+    per-read scan). Same canonical chunk shape as _sketch_jit, so the
+    compiled-program set stays tiny."""
+    hi, lo, invalid = _pack_canonical(codes, k)
+    pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
+    pos = jnp.where(invalid, jnp.int32(-1), pos)
+    shi, slo, spos = _window_min(hi, lo, pos, w)
+    valid = (spos >= 0) & window_ok
+    emit = _dedup_emit(shi, slo, valid)
+    count = emit.sum()
+    idx = jnp.nonzero(emit, size=cap, fill_value=shi.shape[0])[0]
+    shi_g = jnp.concatenate([shi, UMAX[None]])
+    slo_g = jnp.concatenate([slo, UMAX[None]])
+    return count, shi_g[idx], slo_g[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
 def _sketch_jit(codes: jnp.ndarray, n_valid_windows: jnp.ndarray, k: int, w: int, cap: int):
     hi, lo, invalid = _pack_canonical(codes, k)
     pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
@@ -367,32 +388,6 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
     return (n_min_total, np.concatenate(pos_parts), np.concatenate(id_parts))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
-def _sketch_batch_jit(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
-                      cap: int):
-    """Batched read sketch with device-side compaction: returns
-    (count, hi[cap], lo[cap]) of all emitted minimizers across the batch
-    (duplicates included — the spectrum dedup happens on host over this
-    much smaller stream)."""
-    def one(row, length):
-        hi, lo, invalid = _pack_canonical(row, k)
-        pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
-        pos = jnp.where(invalid, jnp.int32(-1), pos)
-        shi, slo, spos = _window_min(hi, lo, pos, w)
-        valid = (spos >= 0) & (jnp.arange(shi.shape[0]) < length - (k + w - 2))
-        return shi, slo, _dedup_emit(shi, slo, valid)
-
-    shi, slo, emit = jax.vmap(one)(codes, lengths)
-    shi = shi.reshape(-1)
-    slo = slo.reshape(-1)
-    emit = emit.reshape(-1)
-    count = emit.sum()
-    idx = jnp.nonzero(emit, size=cap, fill_value=emit.shape[0])[0]
-    shi_g = jnp.concatenate([shi, UMAX[None]])
-    slo_g = jnp.concatenate([slo, UMAX[None]])
-    return count, shi_g[idx], slo_g[idx]
-
-
 def sketch_read_batch(codes: np.ndarray, k: int, w: int,
                       lengths: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Distinct minimizer values over a padded read batch.
@@ -410,65 +405,73 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
         valid = codes < 4
         lengths = np.where(valid.all(axis=1), codes.shape[1],
                            np.argmin(valid, axis=1)).astype(np.int32)
-    # Mixed short/long read sets (e.g. the long-read configs) are bucketed by
-    # pow2 padded width so a few kilobase reads don't inflate the whole batch.
-    max_len = int(lengths.max())
-    mean_len = float(lengths.mean()) if len(lengths) else 0.0
-    parts: list[np.ndarray] = []
-    if mean_len > 0 and max_len > 4 * mean_len:
-        widths = np.maximum(128, 2 ** np.ceil(np.log2(
-            np.maximum(lengths, 1))).astype(np.int64))
-        for wd in np.unique(widths):
-            sel = widths == wd
-            sub = np.ascontiguousarray(codes[sel, :min(int(wd), codes.shape[1])])
-            parts.append(_sketch_batch_emissions(sub, lengths[sel], k, w))
-    else:
-        parts.append(_sketch_batch_emissions(codes, lengths, k, w))
-    combined = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    # Reads are concatenated (ragged, no padding) and sketched with the same
+    # canonical fixed-size chunk program as haplotypes, with a per-window mask
+    # restricting selection to windows lying entirely inside one read — exact
+    # per-read window semantics with no per-batch-shape compiles at all.
+    combined = _sketch_concat_emissions(codes, lengths, k, w)
     uniq = np.unique(combined)
     return (uniq >> np.uint64(32)).astype(np.uint32), (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
 
-ROW_TILE = 8192  # fixed row-tile: one compiled batch program per width bucket
-
-
-def _sketch_batch_emissions(codes: np.ndarray, lengths: np.ndarray,
-                            k: int, w: int) -> np.ndarray:
-    """Emitted minimizer keys (uint64, duplicates included) of one batch.
-
-    Rows are processed in fixed ROW_TILE tiles (padded with empty reads) so
-    the compiled program shape never depends on dataset size — compiles are
-    minutes-expensive on remote-attached TPUs."""
-    if codes.shape[0] == 0 or codes.shape[1] < w + k - 1:
-        return np.zeros(0, np.uint64)
+def _sketch_concat_emissions(codes: np.ndarray, lengths: np.ndarray,
+                             k: int, w: int) -> np.ndarray:
+    """Emitted minimizer keys (uint64, duplicates included) of a read set,
+    via masked concatenated sketching."""
     n = codes.shape[0]
-    width = codes.shape[1]
-    cap = max(1024, 4 * ROW_TILE * width // (w + 1) + 64)
-    outs = []
+    total = int(lengths.sum())
+    concat = np.empty(total, np.uint8)
+    read_end = np.zeros(n, np.int64)
+    off = 0
+    for i in range(n):
+        ln = int(lengths[i])
+        concat[off:off + ln] = codes[i, :ln]
+        off += ln
+        read_end[i] = off
+    # window at global index a is per-read-valid iff [a, a + k + w - 2] lies
+    # within one read: a >= read_start and a + k + w - 2 <= read_end - 1
+    span = k + w - 1
+    read_start = np.concatenate([[0], read_end[:-1]])
+    window_ok_global = np.zeros(total, bool)
+    ok_end = np.maximum(read_start, read_end - span + 1)
+    for i in range(n):
+        if read_end[i] - read_start[i] >= span:
+            window_ok_global[read_start[i]:ok_end[i]] = True
+    return _masked_emissions(concat, window_ok_global, k, w)
+
+
+def _masked_emissions(concat: np.ndarray, window_ok_global: np.ndarray,
+                      k: int, w: int) -> np.ndarray:
+    """Chunked masked sketch over a concatenated sequence; returns emitted
+    uint64 keys (duplicates included)."""
+    L = len(concat)
+    if L < w + k - 1:
+        return np.zeros(0, np.uint64)
+    halo = k + w - 2
+    pad_len = CHUNK + halo
+    cap = max(1024, min(pad_len, 4 * pad_len // (w + 1) + 64))
+    outs: list[np.ndarray] = []
     pending = []
-    for r0 in range(0, n, ROW_TILE):
-        tile = codes[r0:r0 + ROW_TILE]
-        tl = lengths[r0:r0 + ROW_TILE]
-        if tile.shape[0] < ROW_TILE:
-            pad = ROW_TILE - tile.shape[0]
-            tile = np.concatenate([tile, np.full((pad, width), 4, np.uint8)])
-            tl = np.concatenate([tl, np.zeros(pad, np.int32)])
-        pending.append(_sketch_batch_jit(jnp.asarray(tile), jnp.asarray(tl),
-                                         k, w, cap))
-    for i, (count, shi, slo) in enumerate(pending):
+    for start in range(0, max(1, L - halo), CHUNK):
+        chunk = concat[start:start + pad_len]
+        mask = window_ok_global[start:start + pad_len]
+        if len(chunk) < pad_len:
+            chunk = np.concatenate([chunk, np.full(pad_len - len(chunk), 4, np.uint8)])
+            mask = np.concatenate([mask, np.zeros(pad_len - len(mask), bool)])
+        mask = mask.copy()
+        mask[min(CHUNK, len(mask)):] = False  # windows owned by the next chunk
+        pending.append((chunk, mask,
+                        _sketch_masked_jit(jnp.asarray(chunk),
+                                           jnp.asarray(mask), k, w, cap)))
+    for chunk, mask, (count, shi, slo) in pending:
         c = int(count)
-        if c > cap:  # adversarial density (every window emits): redo exactly
-            r0 = i * ROW_TILE
-            tile = codes[r0:r0 + ROW_TILE]
-            tl = lengths[r0:r0 + ROW_TILE]
-            if tile.shape[0] < ROW_TILE:
-                pad = ROW_TILE - tile.shape[0]
-                tile = np.concatenate([tile, np.full((pad, width), 4, np.uint8)])
-                tl = np.concatenate([tl, np.zeros(pad, np.int32)])
-            count, shi, slo = _sketch_batch_jit(
-                jnp.asarray(tile), jnp.asarray(tl), k, w, _next_pow2(c))
+        if c > cap:  # adversarial density: redo with a pow2 cap
+            count, shi, slo = _sketch_masked_jit(
+                jnp.asarray(chunk), jnp.asarray(mask), k, w, _next_pow2(c))
             c = int(count)
         hi = fetch_prefix(shi, c)
         lo = fetch_prefix(slo, c)
         outs.append((hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64))
     return np.concatenate(outs) if outs else np.zeros(0, np.uint64)
+
+
