@@ -62,19 +62,21 @@ def _run_hashes(graph: PangenomeGraph, hap: np.ndarray, start: np.ndarray,
     """Order-sensitive hash of the vertex run walk[h][s..e] per occurrence.
 
     Stands in for the reference's stringified vertex path used as the anchor
-    group key (`anchor_str`, ILP_index.cpp:680-683).
-    """
+    group key (`anchor_str`, ILP_index.cpp:680-683). Full-array gathers with
+    masked updates — no per-iteration index compaction."""
     n = len(hap)
     h = np.ones(n, dtype=np.uint64)
     if n == 0:
         return h
     span = (end - start).astype(np.int64)
-    wm = graph.walk_mat
-    P = wm.shape[1]
+    wm_flat = graph.walk_mat.reshape(-1).astype(np.uint64)
+    P = graph.walk_mat.shape[1]
+    flat = hap.astype(np.int64) * P + start.astype(np.int64)
+    limit = len(wm_flat) - 1
     for j in range(int(span.max()) + 1):
-        active = np.flatnonzero(span >= j)
-        vtx = wm[hap[active], np.minimum(start[active] + j, P - 1)]
-        h[active] = _mix64(h[active] ^ vtx.astype(np.uint64))
+        act = span >= j
+        vtx = wm_flat[np.minimum(flat + j, limit)]
+        h = np.where(act, _mix64(h ^ vtx), h)
     return h
 
 
@@ -164,7 +166,10 @@ def anchor_tables_from_hits(graph: PangenomeGraph, k: int,
         occ_bad = bad_group[inv]
         bad_kmers = np.unique(occ_kmer[occ_bad])
         filtered_kmers = len(bad_kmers)
-        keep_occ = ~np.isin(occ_kmer, bad_kmers)
+        idx = np.searchsorted(bad_kmers, occ_kmer)
+        idx_c = np.minimum(idx, max(len(bad_kmers) - 1, 0))
+        keep_occ = ~((idx < len(bad_kmers)) & (bad_kmers[idx_c] == occ_kmer)) \
+            if len(bad_kmers) else np.ones(len(occ_kmer), bool)
 
     per_hap_anchors = np.bincount(occ_hap[keep_occ], minlength=H).astype(np.int64)
 

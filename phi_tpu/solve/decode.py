@@ -43,13 +43,17 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     INF = np.float32(np.inf)
 
     D = np.where(valid, M - t.B, INF)
-    # entry values (replay one numpy sweep from the fixpoint)
+    # entry values (replay one numpy sweep from the fixpoint);
+    # sort + reduceat instead of np.minimum.at (which is unbuffered and
+    # orders of magnitude slower at tens of millions of source states)
+    ent = np.full(t.n_vtx, INF, np.float32)
     if len(t.esrc_h):
         sv = D[t.esrc_h, t.esrc_p]
-        ent = np.full(t.n_vtx, INF, np.float32)
-        np.minimum.at(ent, t.esrc_target, sv)
-    else:
-        ent = np.full(t.n_vtx, INF, np.float32)
+        order = np.argsort(t.esrc_target, kind="stable")
+        tgt_s = t.esrc_target[order]
+        sv_s = sv[order]
+        starts = np.flatnonzero(np.concatenate([[True], tgt_s[1:] != tgt_s[:-1]]))
+        ent[tgt_s[starts]] = np.minimum.reduceat(sv_s, starts)
     e_state = np.where(t.state_vertex >= 0,
                        ent[np.maximum(t.state_vertex, 0)] + t.R, INF)
     start_entry = e_state[:, 0].copy()
@@ -60,9 +64,12 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     cols = np.arange(P)[None, :]
     qlatest = np.maximum.accumulate(np.where(A <= run_min + 0, cols, -1), axis=1)
 
-    # CSR over esrc_target for switch-source lookup
-    order = np.argsort(t.esrc_target, kind="stable")
-    tgt_sorted = t.esrc_target[order]
+    # CSR over esrc_target for switch-source lookup (reuses the sort above)
+    if len(t.esrc_h):
+        tgt_sorted = t.esrc_target[order]
+    else:
+        order = np.zeros(0, np.int64)
+        tgt_sorted = np.zeros(0, np.int32)
 
     h = int(np.argmin(ends))
     p = int(walk_len[h]) - 1
