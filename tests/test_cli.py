@@ -1,0 +1,38 @@
+"""CLI smoke tests on the reference's toy fixtures (README debug flow)."""
+
+import subprocess
+import sys
+
+
+def test_cli_toy_run(tmp_path):
+    out = tmp_path / "toy.fa"
+    proc = subprocess.run(
+        [sys.executable, "-m", "phi_tpu.cli",
+         "-g", "/root/reference/test/test.gfa",
+         "-r", "/root/reference/test/read.fa",
+         "-o", str(out), "-k", "4", "-w", "2", "-R", "1", "-d", "1"],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root", "PYTHONPATH": "/root/repo"})
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    err = proc.stderr
+    # [M::] phase-log contract lines (postprocessing.py scrapes these)
+    assert "Indexed reads with spectrum size:" in err
+    assert "Filtered/Retained Minimizers:" in err
+    assert "Minimizers are in ILP" in err
+    assert "Recombination count:" in err
+    assert "Real time:" in err and "Peak RSS:" in err
+    text = out.read_text()
+    assert text.startswith(">test_read LN:19\n")
+
+
+def test_cli_version():
+    proc = subprocess.run(
+        [sys.executable, "-m", "phi_tpu.cli", "--version"],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin", "PALLAS_AXON_POOL_IPS": "",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": "/root/repo"})
+    assert proc.returncode == 0
+    assert proc.stdout.startswith("PHI version:")
