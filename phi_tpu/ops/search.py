@@ -61,9 +61,6 @@ def make_search_buckets(sp_hi_np, bits: int = BUCKET_BITS):
     off[-1] = len(sp_hi_np)
     max_bucket = int(np.diff(off).max()) if len(off) > 1 else len(sp_hi_np)
     rounds = max(1, math.ceil(math.log2(max_bucket + 1)))
-    # bucket the round count (it is a static jit arg): data-dependent values
-    # would mint a fresh compiled join program per spectrum
-    rounds = min(32, ((rounds + 3) // 4) * 4)
     return off, rounds
 
 
