@@ -306,6 +306,19 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
     import os
 
     import jax.numpy as jnp
+
+    if (codes >= 4).any():
+        # exact prev_hash dedup across N-gaps needs the host path
+        hi, lo, pos = sketch_sequence(codes, k, w)
+        sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
+            | np.asarray(sp_lo).astype(np.uint64)
+        key = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+        idx = np.searchsorted(sp_key, key)
+        idx_c = np.minimum(idx, max(len(sp_key) - 1, 0))
+        hit = (idx < len(sp_key)) & (sp_key[idx_c] == key) \
+            if len(sp_key) else np.zeros(len(key), bool)
+        return len(hi), pos[hit].astype(np.int32), idx[hit].astype(np.int32)
+
     global _pallas_join_ok
     # The fused Pallas join is opt-in for now: on the remote-attached chip the
     # chunked XLA path's smaller per-call compaction/gather footprint wins
