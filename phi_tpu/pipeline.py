@@ -12,8 +12,7 @@ import dataclasses
 import numpy as np
 
 from phi_tpu import logging as plog
-from phi_tpu.anchors.join import (AnchorTables, build_anchor_tables,
-                                  sketch_haplotypes)
+from phi_tpu.anchors.join import AnchorTables
 from phi_tpu.config import Options
 from phi_tpu.emit import recombination_report
 from phi_tpu.graph import PangenomeGraph, tensorize
@@ -75,27 +74,22 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     timings["sketch_reads"] = time.time() - t1
 
     # --- haplotype sketching + anchor join (hot loops #1 and #3) ---
+    # device join per haplotype; sketch_join_sequence falls back to the exact
+    # host join automatically for walks containing non-ACGT bases
     t1 = time.time()
-    # device join is exact only for N-free haplotype sequences (DESIGN.md);
-    # fall back to the host join otherwise
-    n_free = not bool((graph.gfa.seq_code >= 4).any())
+    import jax.numpy as jnp
+
+    from phi_tpu.anchors.join import anchor_tables_from_hits
+    from phi_tpu.sketch.minimizer import sketch_join_sequence
+    sp_hi_d = jnp.asarray(spectrum[0])
+    sp_lo_d = jnp.asarray(spectrum[1])
     plog.raw("Number of Minimizers")
-    if n_free:
-        import jax.numpy as jnp
-        from phi_tpu.anchors.join import anchor_tables_from_hits
-        from phi_tpu.sketch.minimizer import sketch_join_sequence
-        sp_hi_d = jnp.asarray(spectrum[0])
-        sp_lo_d = jnp.asarray(spectrum[1])
-        hits = []
-        for h in range(graph.num_walks):
-            n_min, hpos, hid = sketch_join_sequence(
-                graph.walk_seq_codes(h), opt.k, opt.w, sp_hi_d, sp_lo_d)
-            plog.raw(f"{graph.walk_names[h]} : {n_min}")
-            hits.append((n_min, hpos, hid))
-    else:
-        hap_sketches = sketch_haplotypes(
-            graph, opt.k, opt.w,
-            progress=lambda h, n: plog.raw(f"{graph.walk_names[h]} : {n}"))
+    hits = []
+    for h in range(graph.num_walks):
+        n_min, hpos, hid = sketch_join_sequence(
+            graph.walk_seq_codes(h), opt.k, opt.w, sp_hi_d, sp_lo_d)
+        plog.raw(f"{graph.walk_names[h]} : {n_min}")
+        hits.append((n_min, hpos, hid))
     plog.log("ILP_function", "Haplotypes sketched")
     timings["sketch_haps"] = time.time() - t1
     plog.log("ILP_function",
@@ -103,12 +97,8 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
 
     # --- anchor tables: interval conversion + threshold filter ---
     t1 = time.time()
-    if n_free:
-        anchors = anchor_tables_from_hits(graph, opt.k, hits,
-                                          len(spectrum[0]), opt.threshold)
-    else:
-        anchors = build_anchor_tables(graph, opt.k, hap_sketches, spectrum,
-                                      opt.threshold)
+    anchors = anchor_tables_from_hits(graph, opt.k, hits,
+                                      len(spectrum[0]), opt.threshold)
     plog.raw("Number of Anchors")
     for h in range(graph.num_walks):
         plog.raw(f"{graph.walk_names[h]} : {anchors.per_hap_anchors[h]}")
