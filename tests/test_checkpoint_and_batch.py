@@ -1,0 +1,37 @@
+"""Index checkpointing and the benchmark matrix runner."""
+
+import numpy as np
+
+from phi_tpu.checkpoint import load_index, save_index
+from phi_tpu.config import Options
+from phi_tpu.eval.batch import run_matrix, write_matrix_csv
+
+
+def test_index_checkpoint_roundtrip(tmp_path):
+    spectrum = (np.arange(5, dtype=np.uint32), np.arange(5, dtype=np.uint32) * 3)
+    hits = [(7, np.array([1, 2], np.int32), np.array([0, 4], np.int32)),
+            (9, np.zeros(0, np.int32), np.zeros(0, np.int32))]
+    p = tmp_path / "index.npz"
+    save_index(str(p), spectrum, hits, meta={"k": 31, "w": 25})
+    sp2, hits2, meta = load_index(str(p))
+    assert np.array_equal(sp2[0], spectrum[0])
+    assert np.array_equal(sp2[1], spectrum[1])
+    assert hits2[0][0] == 7 and hits2[1][0] == 9
+    assert np.array_equal(hits2[0][1], hits[0][1])
+    assert int(meta["k"]) == 31
+
+
+def test_run_matrix_toy(tmp_path):
+    truth = tmp_path / "truth.fa"
+    # CHM13-free toy: use the reference toy graph; truth = hap4.4 sequence
+    truth.write_text(">t\nATCGAAAATACTTACCATG\n")
+    reads = tmp_path / "reads.fa"
+    reads.write_text(">r1\nATCGAAAATACTTACCATG\n")
+    opt = Options(k=4, w=2, recombination=1.0)
+    cells = [("toy", "1x", str(reads), str(truth))]
+    res = run_matrix("/root/reference/test/test.gfa", cells, opt,
+                     out_csv=str(tmp_path / "out.csv"))
+    assert len(res) == 1
+    assert res[0].edit_distance == 0
+    csv_text = (tmp_path / "out.csv").read_text()
+    assert "Reads" in csv_text and "toy" in csv_text
