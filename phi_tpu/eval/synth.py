@@ -24,9 +24,11 @@ def _rand_seq(rng: np.random.Generator, n: int) -> str:
 
 def synth_pangenome(rng: np.random.Generator, length: int = 100_000,
                     n_haps: int = 8, var_rate: float = 0.01,
-                    max_node_len: int = 30) -> tuple[GfaData, list[str]]:
-    """Returns (graph, per-hap sequences). Variants are biallelic SNPs at
-    ~var_rate density with a random allele frequency per site."""
+                    max_node_len: int = 30,
+                    indel_fraction: float = 0.0) -> tuple[GfaData, list[str]]:
+    """Returns (graph, per-hap sequences). Variants are biallelic at
+    ~var_rate density with a random allele frequency per site; a fraction of
+    sites are short insertions/deletions (alt allele of different length)."""
     n_sites = max(1, int(length * var_rate))
     positions = np.sort(rng.choice(np.arange(1, length - 1), n_sites,
                                    replace=False))
@@ -55,7 +57,13 @@ def synth_pangenome(rng: np.random.Generator, length: int = 100_000,
                 walk_segs[h].extend(shared)
                 hap_parts[h].append(chunk)
         ref_base = ref[pos]
-        alt_base = "ACGT"[(("ACGT".index(ref_base)) + int(rng.integers(1, 4))) % 4]
+        if rng.random() < indel_fraction:
+            if rng.random() < 0.5:  # insertion after the ref base
+                alt_base = ref_base + _rand_seq(rng, int(rng.integers(1, 6)))
+            else:  # deletion encoded as an empty-ish alt (keep 1 base anchor)
+                alt_base = ""
+        else:
+            alt_base = "ACGT"[(("ACGT".index(ref_base)) + int(rng.integers(1, 4))) % 4]
         nodes = [add(ref_base), add(alt_base)]
         freq = rng.uniform(0.1, 0.9)
         takes_alt = rng.random(n_haps) < freq
