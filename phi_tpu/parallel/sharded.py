@@ -68,6 +68,74 @@ def prepare_sharded_tables(tables, mesh: Mesh):
     return S, B, sv, wl
 
 
+def sharded_solve(mesh: Mesh, *, R: float, n_vtx: int, max_sweeps: int = 256):
+    """Convergence-based sharded DP solver (the whole-chromosome mode,
+    BASELINE config 5): lanes sharded over 'hap', positions over 'sp' with
+    blocked prefix-min + carry exchange, fixpoint via while_loop with a
+    cross-shard convergence reduction. Returns a jitted function
+    (S, B, state_vertex, walk_len, esrc_h, esrc_p, esrc_target)
+      -> (M_sharded, end_min, sweeps)."""
+
+    def step(S, B, state_vertex, walk_len, esrc_h, esrc_p, esrc_target):
+        Hs, Ps = S.shape
+        sp_idx = jax.lax.axis_index("sp")
+        n_sp = jax.lax.axis_size("sp")
+        gcol = sp_idx * Ps + jnp.arange(Ps)
+        valid = gcol[None, :] < walk_len[:, None]
+        vtx_clip = jnp.maximum(state_vertex, 0)
+        has_vtx = state_vertex >= 0
+
+        def sweep(M):
+            D = jnp.where(valid, M - B, _INF)
+            D_sp = jax.lax.all_gather(D, "sp", axis=1, tiled=True)
+            D_full = jax.lax.all_gather(D_sp, "hap", axis=0, tiled=True)
+            sv = D_full[esrc_h, esrc_p]
+            ent = jax.ops.segment_min(sv, esrc_target, num_segments=n_vtx)
+            E = jnp.where(has_vtx, ent[vtx_clip] + R, _INF)
+            E = jnp.where((gcol[None, :] == 0), jnp.minimum(E, 0.0), E)
+            A = jnp.where(valid, E + S, _INF)
+            local = jax.lax.associative_scan(jnp.minimum, A, axis=1)
+            tot = local[:, -1]
+            all_tot = jax.lax.all_gather(tot, "sp", axis=0)
+            pred = jnp.arange(n_sp)[:, None] < sp_idx
+            carry = jnp.min(jnp.where(pred, all_tot, _INF), axis=0)
+            return jnp.minimum(local, carry[:, None])
+
+        def cond(c):
+            M, M_prev, it = c
+            changed = jnp.any(M < M_prev - 1e-4)
+            changed = jax.lax.pmax(jax.lax.pmax(
+                changed.astype(jnp.int32), "sp"), "hap") > 0
+            return (it < max_sweeps) & changed
+
+        def body(c):
+            M, _, it = c
+            return sweep(M), M, it + 1
+
+        M0 = jnp.full(S.shape, _INF)
+        M1 = sweep(M0)
+        M, _, sweeps = jax.lax.while_loop(cond, body, (sweep(M1), M1, jnp.int32(2)))
+        D = jnp.where(valid, M - B, _INF)
+        ends = jnp.where((gcol[None, :] == (walk_len[:, None] - 1)) & valid,
+                         D, _INF)
+        end_min = jax.lax.pmin(jax.lax.pmin(ends.min(), "sp"), "hap")
+        return M, end_min, sweeps
+
+    in_specs = (
+        P("hap", "sp"), P("hap", "sp"),   # S, B
+        P("hap", "sp"), P("hap"),         # state_vertex, walk_len
+        P(None), P(None), P(None),        # esrc tables (replicated)
+    )
+    out_specs = (P("hap", "sp"), P(), P())
+    try:
+        sm = shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover
+        sm = shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+    return jax.jit(sm)
+
+
 def sharded_full_step(mesh: Mesh, *, k: int, w: int, R: float, n_vtx: int,
                       n_sweeps: int = 4):
     """Build the jitted multi-chip step:
