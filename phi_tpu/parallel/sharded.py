@@ -219,3 +219,28 @@ def sharded_full_step(mesh: Mesh, *, k: int, w: int, R: float, n_vtx: int,
         sm = shard_map(step, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)
     return jax.jit(sm)
+
+
+def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
+    """Drop-in sharded counterpart of solve.dp.solve_dp: same
+    (M, ends, n_sweeps, dp_objective) contract, computed over the mesh
+    (lanes on 'hap', positions on 'sp'). M is returned unpadded on host for
+    the standard decoder."""
+    import numpy as np
+    S, B, state_vertex, walk_len = prepare_sharded_tables(tables, mesh)
+    solver = sharded_solve(mesh, R=tables.R, n_vtx=tables.n_vtx,
+                           max_sweeps=max_sweeps)
+    M, end_min, sweeps = solver(
+        jnp.asarray(S), jnp.asarray(B),
+        jnp.asarray(state_vertex), jnp.asarray(walk_len),
+        jnp.asarray(tables.esrc_h), jnp.asarray(tables.esrc_p),
+        jnp.asarray(tables.esrc_target))
+    H, P = tables.S.shape
+    M_np = np.asarray(M)[:H, :P]
+    valid = np.arange(P)[None, :] < tables.walk_len[:, None]
+    D = np.where(valid, M_np - tables.B, np.inf)
+    ends = np.where(tables.walk_len > 0,
+                    D[np.arange(H), np.maximum(tables.walk_len - 1, 0)],
+                    np.inf).astype(np.float32)
+    dp_obj = float(tables.const + ends.min()) if H else float(tables.const)
+    return M_np, ends, int(sweeps), dp_obj

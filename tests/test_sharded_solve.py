@@ -66,3 +66,20 @@ def test_sharded_solve_synthetic():
     Ms = np.asarray(M)[:H, :P]
     finite = np.isfinite(M_single)
     assert np.allclose(Ms[finite], M_single[finite], atol=1e-3)
+
+
+def test_solve_dp_sharded_drop_in():
+    """solve_dp_sharded feeds the standard decoder identically to solve_dp."""
+    from phi_tpu.parallel.sharded import solve_dp_sharded
+    from phi_tpu.solve.decode import decode_path
+
+    k, w, R = 4, 2, 1.0
+    graph, codes, lengths, spectrum, anchors, t = tiny_instance(k, w, R)
+    mesh = make_mesh(8)
+    M_s, ends_s, sweeps_s, obj_s = solve_dp_sharded(t, mesh)
+    M_1, ends_1, sweeps_1, obj_1 = solve_dp(t)
+    assert obj_s == pytest.approx(obj_1, abs=1e-4)
+    res_s = decode_path(graph, t, anchors, M_s, ends_s, sweeps_s, obj_s)
+    res_1 = decode_path(graph, t, anchors, M_1, ends_1, sweeps_1, obj_1)
+    assert res_s.segments == res_1.segments
+    assert np.array_equal(res_s.vertices, res_1.vertices)
