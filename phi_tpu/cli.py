@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sweeps", type=int, default=256, help="DP sweep cap [256]")
     p.add_argument("--lagrangian", type=int, default=4,
                    help="Lagrangian refinement rounds when gap > 0 [4]")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="solve over an N-device mesh (hap x sp sharding) [off]")
     p.add_argument("--version", action="store_true", help="print version")
     return p
 
@@ -57,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     opt = Options(k=args.k, w=args.w, recombination=args.R, threshold=args.T,
                   is_qclp=args.q, is_mixed=args.m, is_naive_exp=args.N,
                   num_threads=args.t, max_occ=args.c, debug=bool(args.d),
-                  max_sweeps=args.sweeps, lagrangian_rounds=args.lagrangian)
+                  max_sweeps=args.sweeps, lagrangian_rounds=args.lagrangian,
+                  mesh_devices=args.mesh)
 
     from phi_tpu.pipeline import run_pipeline
     run_pipeline(args.gfa, args.reads, args.out, opt)

@@ -24,6 +24,7 @@ class Options:
     max_sweeps: int = 256       # solver fixpoint sweep cap
     lagrangian_rounds: int = 4  # reweighting rounds to tighten the z_i gap (0=off)
     device: str | None = None   # 'tpu' | 'cpu' | None (jax default)
+    mesh_devices: int = 0       # >1: solve over a device mesh (hap x sp sharding)
 
     def __post_init__(self) -> None:
         if not (1 <= self.k <= 32):

@@ -158,6 +158,15 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     )
 
 
+def _solve_once(tables, opt: Options):
+    """Single-chip or mesh-sharded solve, by Options.mesh_devices."""
+    if opt.mesh_devices and opt.mesh_devices > 1:
+        from phi_tpu.parallel.sharded import make_mesh, solve_dp_sharded
+        mesh = make_mesh(opt.mesh_devices)
+        return solve_dp_sharded(tables, mesh, opt.max_sweeps)
+    return solve_dp(tables, opt.max_sweeps)
+
+
 def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
                            opt: Options) -> DecodeResult:
     """One DP solve; if the decoded path's exact objective is above the DP
@@ -165,7 +174,7 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
     occurrence weights mu_i are subgradient-updated and the DP re-run; valid
     lower bound max_mu L(mu), best primal path kept (DESIGN.md)."""
     tables = build_solver_tables(graph, anchors, opt.recombination)
-    M, ends, sweeps, dp_obj = solve_dp(tables, opt.max_sweeps)
+    M, ends, sweeps, dp_obj = _solve_once(tables, opt)
     best = decode_path(graph, tables, anchors, M, ends, sweeps, dp_obj)
     best_bound = dp_obj
     rounds = opt.lagrangian_rounds
@@ -186,7 +195,7 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
         mu = np.clip(mu - step * np.maximum(mult - 1, 0), 0.0, 1.0).astype(np.float32)
         anchors.occ_weight = mu[anchors.occ_kmer]
         tables = build_solver_tables(graph, anchors, opt.recombination)
-        M, ends, sweeps, dp_obj = solve_dp(tables, opt.max_sweeps)
+        M, ends, sweeps, dp_obj = _solve_once(tables, opt)
         cand = decode_path(graph, tables, anchors, M, ends, sweeps, dp_obj)
         best_bound = max(best_bound, dp_obj)
         if cand.true_objective < best.true_objective:
