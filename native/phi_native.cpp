@@ -383,6 +383,66 @@ int phi_toposort(int64_t n, int64_t m, const int32_t* eu, const int32_t* ev,
   return done == n ? 0 : 1;
 }
 
+// ------------------------------------------------------- minimizer scan
+// Exact counterpart of the JAX sketch semantics (which in turn mirror the
+// reference's string-deque scan, ILP_index.cpp:359-445): canonical k-mer =
+// numeric min(fwd, revcomp) of the 2-bit big-endian packing, window minimum
+// with rightmost tie-break, consecutive equal-value emissions deduplicated,
+// k-mers containing non-ACGT codes excluded. Used as the CPU fast path.
+//
+// Returns the emission count; writes up to cap triples. If the count
+// exceeds cap, output beyond cap is dropped (caller retries with a larger
+// cap using the returned count).
+int64_t phi_minimizers(const uint8_t* codes, int64_t n, int k, int w,
+                       uint32_t* out_hi, uint32_t* out_lo, int32_t* out_pos,
+                       int64_t cap) {
+  if (k < 1 || k > 31 || w < 1 || n < (int64_t)(k + w - 1)) return 0;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const int rc_shift = 2 * (k - 1);
+  uint64_t fwd = 0, rc = 0;
+  int valid_run = 0;
+  // monotonic deque of (value, kmer start)
+  std::vector<std::pair<uint64_t, int64_t>> dq(w + 1);
+  size_t head = 0, tail = 0;  // [head, tail)
+  uint64_t prev_val = ~0ULL;
+  bool have_prev = false;
+  int64_t count = 0;
+  for (int64_t j = 0; j < n; j++) {
+    uint8_t c = codes[j];
+    if (c < 4) {
+      fwd = ((fwd << 2) | c) & mask;
+      rc = (rc >> 2) | ((uint64_t)(3 - c) << rc_shift);
+      valid_run++;
+    } else {
+      valid_run = 0;
+    }
+    int64_t i = j - k + 1;  // k-mer start index
+    if (i < 0) continue;
+    if (valid_run >= k) {
+      uint64_t cur = fwd < rc ? fwd : rc;
+      while (tail > head && dq[(tail - 1) % (w + 1)].first >= cur) tail--;
+      dq[tail % (w + 1)] = {cur, i};
+      tail++;
+    }
+    if (tail > head && dq[head % (w + 1)].second <= i - w) head++;
+    if (i >= w - 1 && tail > head) {
+      uint64_t best = dq[head % (w + 1)].first;
+      int64_t pos = dq[head % (w + 1)].second;
+      if (!have_prev || best != prev_val) {
+        prev_val = best;
+        have_prev = true;
+        if (count < cap) {
+          out_hi[count] = (uint32_t)(best >> 32);
+          out_lo[count] = (uint32_t)best;
+          out_pos[count] = (int32_t)pos;
+        }
+        count++;
+      }
+    }
+  }
+  return count;
+}
+
 // ------------------------------------------------- banded Myers edit distance
 // Block bit-parallel Myers (Hyyro 2003) with Ukkonen band doubling — the
 // algorithm family behind edlib, written from scratch. query = rows,

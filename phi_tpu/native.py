@@ -90,6 +90,12 @@ def get_lib() -> ctypes.CDLL | None:
 
     lib.phi_edit_distance.restype = c_i64
     lib.phi_edit_distance.argtypes = [c_u8p, c_i64, c_u8p, c_i64, c_i64]
+
+    lib.phi_minimizers.restype = c_i64
+    lib.phi_minimizers.argtypes = [c_u8p, c_i64, ctypes.c_int, ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_uint32),
+                                   ctypes.POINTER(ctypes.c_uint32),
+                                   c_i32p, c_i64]
     _lib = lib
     return _lib
 
@@ -177,6 +183,29 @@ def toposort_native(n_vtx: int, edge_u: np.ndarray, edge_v: np.ndarray):
         raise ValueError("graph has a cycle: topological order impossible "
                          "(PHI requires an acyclic graph)")
     return order
+
+
+def minimizers_native(codes: np.ndarray, k: int, w: int):
+    """(hi, lo, pos) minimizer stream via the C++ scan, or None if the
+    library is unavailable. Bit-identical to sketch.minimizer semantics."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cc = np.ascontiguousarray(codes, np.uint8)
+    n = len(cc)
+    cap = max(1024, 4 * n // (w + 1) + 64)
+    while True:
+        hi = np.empty(cap, np.uint32)
+        lo = np.empty(cap, np.uint32)
+        pos = np.empty(cap, np.int32)
+        cnt = lib.phi_minimizers(
+            cc.ctypes.data_as(c_u8p), n, k, w,
+            hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            pos.ctypes.data_as(c_i32p), cap)
+        if cnt <= cap:
+            return hi[:cnt].copy(), lo[:cnt].copy(), pos[:cnt].copy()
+        cap = int(cnt)
 
 
 def edit_distance(a: np.ndarray | str, b: np.ndarray | str,

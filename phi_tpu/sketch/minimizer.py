@@ -184,6 +184,16 @@ def sketch_sequence(codes: np.ndarray, k: int, w: int,
     if L < w + k - 1:
         z = np.zeros(0, np.uint32)
         return z, z.copy(), np.zeros(0, np.int32)
+    # CPU backend: the native C++ scan is ~100x the XLA-on-CPU path and
+    # bit-identical (it is also the reference-semantics oracle in C++)
+    if jax.default_backend() == "cpu":
+        try:
+            from phi_tpu.native import minimizers_native
+            res = minimizers_native(codes, k, w)
+            if res is not None:
+                return res
+        except Exception:
+            pass
     halo = k + w - 2
     if L <= CHUNK + halo:
         return _sketch_padded(codes, k, w, cap)
@@ -307,8 +317,9 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
 
     import jax.numpy as jnp
 
-    if (codes >= 4).any():
-        # exact prev_hash dedup across N-gaps needs the host path
+    if jax.default_backend() == "cpu" or (codes >= 4).any():
+        # host path: exact prev_hash dedup across N-gaps, and on the CPU
+        # backend the native C++ scan beats the XLA join end to end
         hi, lo, pos = sketch_sequence(codes, k, w)
         sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
             | np.asarray(sp_lo).astype(np.uint64)
