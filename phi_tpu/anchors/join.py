@@ -72,11 +72,25 @@ def _run_hashes(graph: PangenomeGraph, hap: np.ndarray, start: np.ndarray,
     wm_flat = graph.walk_mat.reshape(-1).astype(np.uint64)
     P = graph.walk_mat.shape[1]
     flat = hap.astype(np.int64) * P + start.astype(np.int64)
-    limit = len(wm_flat) - 1
-    for j in range(int(span.max()) + 1):
+    max_span = int(span.max())
+    # dense head: every occurrence has span >= 1 (solver intervals) and the
+    # vast majority span exactly 1-2 nodes; mix those with full-array ops
+    head = min(max_span, 2)
+    for j in range(head + 1):
         act = span >= j
-        vtx = wm_flat[np.minimum(flat + j, limit)]
+        vtx = wm_flat[flat + j * act]  # inactive rows re-read j=0 (masked out)
         h = np.where(act, _mix64(h ^ vtx), h)
+    if max_span > head:
+        # sparse tail: compact once, then iterate over the shrinking subset
+        rest = np.flatnonzero(span > head)
+        hr = h[rest]
+        flat_r = flat[rest]
+        span_r = span[rest]
+        for j in range(head + 1, max_span + 1):
+            act = np.flatnonzero(span_r >= j)
+            vtx = wm_flat[flat_r[act] + j]
+            hr[act] = _mix64(hr[act] ^ vtx)
+        h[rest] = hr
     return h
 
 
