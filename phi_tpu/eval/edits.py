@@ -48,3 +48,15 @@ def edit_stats(query: str, target: str) -> EditStats:
 def edit_stats_files(query_fa: str, target_fa: str) -> EditStats:
     return edit_stats(_read_fasta_first_seq(query_fa),
                       _read_fasta_first_seq(target_fa))
+
+
+def truth_vs_panel(truth_fa: str, panel_fas: list[str]):
+    """Edit distance of a truth haplotype against each panel haplotype with
+    mean/min/max — the reference's get_edit_stats.sh analysis in-process."""
+    truth = _read_fasta_first_seq(truth_fa)
+    dists = [edit_stats(truth, _read_fasta_first_seq(p)).edit_distance
+             for p in panel_fas]
+    if not dists:
+        return {"distances": [], "mean": 0.0, "min": 0, "max": 0}
+    return {"distances": dists, "mean": sum(dists) / len(dists),
+            "min": min(dists), "max": max(dists)}

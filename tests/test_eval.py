@@ -29,3 +29,29 @@ Recombined haplotypes: >(CHM13.0,[0,4920302])
     assert d["peak_rss_gb"] == 3.211
     assert d["haplotype_size"] == 4920303
     assert d["recombined_haplotypes"] == ">(CHM13.0,[0,4920302])"
+
+
+def test_plot_matrix(tmp_path):
+    csv_path = tmp_path / "m.csv"
+    csv_path.write_text(
+        "Reads,0.1x,1x\n"
+        "APD,\"(10.0, 1.00, 7551)\",\"(12.0, 1.10, 2220)\"\n"
+        "DBB,\"(11.0, 1.05, 9000)\",\"(13.0, 1.20, 2500)\"\n")
+    from phi_tpu.eval.plots import plot_matrix, read_matrix_csv
+    reads, covs, cells = read_matrix_csv(str(csv_path))
+    assert reads == ["APD", "DBB"] and covs == ["0.1x", "1x"]
+    assert cells[("APD", "1x")] == (12.0, 1.10, 2220)
+    out = tmp_path / "fig.png"
+    plot_matrix(str(csv_path), str(out))
+    assert out.stat().st_size > 1000
+
+
+def test_truth_vs_panel(tmp_path):
+    from phi_tpu.eval.edits import truth_vs_panel
+    (tmp_path / "t.fa").write_text(">t\nACGTACGTAC\n")
+    (tmp_path / "p1.fa").write_text(">p1\nACGTACGTAC\n")
+    (tmp_path / "p2.fa").write_text(">p2\nACGAACGTAC\n")
+    st = truth_vs_panel(str(tmp_path / "t.fa"),
+                        [str(tmp_path / "p1.fa"), str(tmp_path / "p2.fa")])
+    assert st["distances"] == [0, 1]
+    assert st["min"] == 0 and st["max"] == 1
