@@ -67,6 +67,10 @@ print("BENCH_RESULT " + json.dumps({"wall": wall, "ok": ok}), flush=True)
 
 
 def _attempt(env: dict, deadline: int):
+    env = dict(env)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + (os.pathsep + env["PYTHONPATH"]
+                                if env.get("PYTHONPATH") else "")
     try:
         proc = subprocess.run([sys.executable, "-u", "-c", _CHILD],
                               env=env, timeout=deadline,
