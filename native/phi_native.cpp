@@ -401,8 +401,12 @@ int64_t phi_minimizers(const uint8_t* codes, int64_t n, int k, int w,
   const int rc_shift = 2 * (k - 1);
   uint64_t fwd = 0, rc = 0;
   int valid_run = 0;
-  // monotonic deque of (value, kmer start)
-  std::vector<std::pair<uint64_t, int64_t>> dq(w + 1);
+  // monotonic ring deque (pow2 capacity, mask indexing)
+  size_t ring = 8;
+  while (ring < (size_t)(w + 1)) ring <<= 1;
+  const size_t rmask = ring - 1;
+  std::vector<uint64_t> dqv(ring);
+  std::vector<int64_t> dqp(ring);
   size_t head = 0, tail = 0;  // [head, tail)
   uint64_t prev_val = ~0ULL;
   bool have_prev = false;
@@ -420,21 +424,21 @@ int64_t phi_minimizers(const uint8_t* codes, int64_t n, int k, int w,
     if (i < 0) continue;
     if (valid_run >= k) {
       uint64_t cur = fwd < rc ? fwd : rc;
-      while (tail > head && dq[(tail - 1) % (w + 1)].first >= cur) tail--;
-      dq[tail % (w + 1)] = {cur, i};
+      while (tail > head && dqv[(tail - 1) & rmask] >= cur) tail--;
+      dqv[tail & rmask] = cur;
+      dqp[tail & rmask] = i;
       tail++;
     }
-    if (tail > head && dq[head % (w + 1)].second <= i - w) head++;
+    if (tail > head && dqp[head & rmask] <= i - w) head++;
     if (i >= w - 1 && tail > head) {
-      uint64_t best = dq[head % (w + 1)].first;
-      int64_t pos = dq[head % (w + 1)].second;
+      uint64_t best = dqv[head & rmask];
       if (!have_prev || best != prev_val) {
         prev_val = best;
         have_prev = true;
         if (count < cap) {
           out_hi[count] = (uint32_t)(best >> 32);
           out_lo[count] = (uint32_t)best;
-          out_pos[count] = (int32_t)pos;
+          out_pos[count] = (int32_t)dqp[head & rmask];
         }
         count++;
       }
