@@ -56,14 +56,20 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     plog.reset_timer()
-    opt = Options(k=args.k, w=args.w, recombination=args.R, threshold=args.T,
-                  is_qclp=args.q, is_mixed=args.m, is_naive_exp=args.N,
-                  num_threads=args.t, max_occ=args.c, debug=bool(args.d),
-                  max_sweeps=args.sweeps, lagrangian_rounds=args.lagrangian,
-                  mesh_devices=args.mesh)
+    try:
+        opt = Options(k=args.k, w=args.w, recombination=args.R, threshold=args.T,
+                      is_qclp=args.q, is_mixed=args.m, is_naive_exp=args.N,
+                      num_threads=args.t, max_occ=args.c, debug=bool(args.d),
+                      max_sweeps=args.sweeps, lagrangian_rounds=args.lagrangian,
+                      mesh_devices=args.mesh)
 
-    from phi_tpu.pipeline import run_pipeline
-    run_pipeline(args.gfa, args.reads, args.out, opt)
+        from phi_tpu.pipeline import run_pipeline
+        run_pipeline(args.gfa, args.reads, args.out, opt)
+    except (ValueError, OSError, RuntimeError) as e:
+        # reference prints [E::main] and returns 1 on load failures
+        # (main.cpp:102-105) rather than aborting with a traceback
+        sys.stderr.write(f"[E::main] {e}\n")
+        return 1
     plog.footer(__version__, ["phi"] + argv)
     return 0
 

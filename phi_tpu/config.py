@@ -27,7 +27,7 @@ class Options:
     mesh_devices: int = 0       # >1: solve over a device mesh (hap x sp sharding)
 
     def __post_init__(self) -> None:
-        if not (1 <= self.k <= 32):
-            raise ValueError(f"k must be in [1,32] (2-bit packed into 64 bits), got {self.k}")
+        if not (1 <= self.k <= 31):
+            raise ValueError(f"k must be in [1,31] (2-bit packed, unambiguous sentinel), got {self.k}")
         if self.w < 1:
             raise ValueError(f"w must be >= 1, got {self.w}")
