@@ -210,10 +210,14 @@ def credit_arrays(graph: PangenomeGraph, t: AnchorTables) -> tuple[np.ndarray, n
     float32 [H, P] each.
     """
     H, P = graph.walk_mat.shape
-    B = np.zeros((H, P), np.float32)
-    S = np.zeros((H, P), np.float32)
-    np.add.at(B, (t.occ_hap, t.occ_end), t.occ_weight)
-    start_next = t.occ_start + 1
+    # weighted bincount instead of np.add.at (unbuffered ufunc.at is ~10x
+    # slower at millions of occurrences)
+    b_idx = t.occ_hap.astype(np.int64) * P + t.occ_end
+    B = np.bincount(b_idx, weights=t.occ_weight,
+                    minlength=H * P).reshape(H, P).astype(np.float32)
+    start_next = t.occ_start.astype(np.int64) + 1
     in_range = start_next < P
-    np.add.at(S, (t.occ_hap[in_range], start_next[in_range]), t.occ_weight[in_range])
-    return np.cumsum(S, axis=1), np.cumsum(B, axis=1)
+    s_idx = t.occ_hap[in_range].astype(np.int64) * P + start_next[in_range]
+    S = np.bincount(s_idx, weights=t.occ_weight[in_range],
+                    minlength=H * P).reshape(H, P).astype(np.float32)
+    return np.cumsum(S, axis=1, dtype=np.float32), np.cumsum(B, axis=1, dtype=np.float32)
