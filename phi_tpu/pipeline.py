@@ -80,16 +80,14 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     import jax.numpy as jnp
 
     from phi_tpu.anchors.join import anchor_tables_from_hits
-    from phi_tpu.sketch.minimizer import sketch_join_sequence
+    from phi_tpu.sketch.minimizer import sketch_join_many
     sp_hi_d = jnp.asarray(spectrum[0])
     sp_lo_d = jnp.asarray(spectrum[1])
     plog.raw("Number of Minimizers")
-    hits = []
+    hap_codes = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
+    hits = sketch_join_many(hap_codes, opt.k, opt.w, sp_hi_d, sp_lo_d)
     for h in range(graph.num_walks):
-        n_min, hpos, hid = sketch_join_sequence(
-            graph.walk_seq_codes(h), opt.k, opt.w, sp_hi_d, sp_lo_d)
-        plog.raw(f"{graph.walk_names[h]} : {n_min}")
-        hits.append((n_min, hpos, hid))
+        plog.raw(f"{graph.walk_names[h]} : {hits[h][0]}")
     plog.log("ILP_function", "Haplotypes sketched")
     timings["sketch_haps"] = time.time() - t1
     plog.log("ILP_function",

@@ -320,15 +320,7 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
     if jax.default_backend() == "cpu" or (codes >= 4).any():
         # host path: exact prev_hash dedup across N-gaps, and on the CPU
         # backend the native C++ scan beats the XLA join end to end
-        hi, lo, pos = sketch_sequence(codes, k, w)
-        sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
-            | np.asarray(sp_lo).astype(np.uint64)
-        key = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
-        idx = np.searchsorted(sp_key, key)
-        idx_c = np.minimum(idx, max(len(sp_key) - 1, 0))
-        hit = (idx < len(sp_key)) & (sp_key[idx_c] == key) \
-            if len(sp_key) else np.zeros(len(key), bool)
-        return len(hi), pos[hit].astype(np.int32), idx[hit].astype(np.int32)
+        return _host_join_one(codes, k, w, sp_hi, sp_lo)
 
     global _pallas_join_ok
     # The fused Pallas join is opt-in for now: on the remote-attached chip the
@@ -348,26 +340,23 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
             print(f"[W::sketch] pallas join unavailable ({type(e).__name__}); "
                   "using XLA path", file=sys.stderr)
             _pallas_join_ok = False
-    L = len(codes)
-    if L < w + k - 1:
-        return 0, np.zeros(0, np.int32), np.zeros(0, np.int32)
-    halo = k + w - 2
-    # Dispatch every chunk asynchronously (the prev-selection carry is a
-    # device scalar, so no host sync is needed between chunks), then read
-    # all results in one round trip — per-call tunnel latency would
-    # otherwise dominate on remote-attached TPUs.
-    from phi_tpu.ops.search import make_search_buckets
-    sp_off_np, rounds = make_search_buckets(np.asarray(sp_hi))
-    sp_off = jnp.asarray(sp_off_np)
+    outs = sketch_join_many([codes], k, w, sp_hi, sp_lo, hitcap)
+    return outs[0]
 
-    starts = list(range(0, max(1, L - halo), CHUNK))
-    emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
+
+def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
+                          sp_off, rounds: int, emitcap: int, hitcap: int):
+    """Dispatch every chunk of one sequence asynchronously (the dedup carry
+    is a device scalar, so no host sync is needed between chunks)."""
+    import jax.numpy as jnp
+    L = len(codes)
+    halo = k + w - 2
+    pad_len = CHUNK + halo
     pending = []
     prev_hi = jnp.uint32(0xFFFFFFFF)
     prev_lo = jnp.uint32(0xFFFFFFFF)
-    for start in starts:
-        chunk = codes[start:start + CHUNK + halo]
-        pad_len = CHUNK + halo
+    for start in range(0, max(1, L - halo), CHUNK):
+        chunk = codes[start:start + pad_len]
         if len(chunk) < pad_len:
             chunk = np.concatenate([chunk, np.full(pad_len - len(chunk), 4, np.uint8)])
         n_valid = min(CHUNK, L - halo - start)
@@ -376,40 +365,102 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
                                emitcap, hitcap, rounds)
         prev_hi, prev_lo = out[4], out[5]
         pending.append((start, n_valid, chunk, out))
+    return pending
 
-    # one round trip for all counts, one for all hit arrays
+
+def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
+                     hitcap: int = 1 << 15
+                     ) -> list[tuple[int, np.ndarray, np.ndarray]]:
+    """Device-joined minimizers for MANY sequences with exactly two sync
+    round trips total (counts, hits) — per-call tunnel latency would
+    otherwise multiply across haplotypes. Sequences with non-ACGT codes (or
+    the CPU backend) take the exact host path per sequence."""
+    import jax.numpy as jnp
+
+    from phi_tpu.ops.search import make_search_buckets
+
+    results: list = [None] * len(seqs)
+    device_idx = []
+    for i, codes in enumerate(seqs):
+        L = len(codes)
+        if L < w + k - 1:
+            results[i] = (0, np.zeros(0, np.int32), np.zeros(0, np.int32))
+        elif jax.default_backend() == "cpu" or (codes >= 4).any():
+            results[i] = _host_join_one(codes, k, w, sp_hi, sp_lo)
+        else:
+            device_idx.append(i)
+    if not device_idx:
+        return results
+
+    sp_off_np, rounds = make_search_buckets(np.asarray(sp_hi))
+    sp_off = jnp.asarray(sp_off_np)
+    halo = k + w - 2
+    emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
+
+    pendings = {i: _dispatch_join_chunks(seqs[i], k, w, sp_hi, sp_lo, sp_off,
+                                         rounds, emitcap, hitcap)
+                for i in device_idx}
+
+    # one round trip for ALL counts across all sequences
+    flat = [(i, j) for i in device_idx for j in range(len(pendings[i]))]
     counts = np.array(jnp.stack(
-        [jnp.stack((out[0].astype(jnp.int32), out[1].astype(jnp.int32)))
-         for _, _, _, out in pending])).astype(np.int64)
+        [jnp.stack((pendings[i][j][3][0].astype(jnp.int32),
+                    pendings[i][j][3][1].astype(jnp.int32)))
+         for (i, j) in flat])).astype(np.int64)
     overflow = (counts[:, 1] > hitcap) | (counts[:, 0] > emitcap)
-    if overflow.any():  # rare: redo overflowing chunks with exact caps
-        for i in np.flatnonzero(overflow).tolist():
-            start, n_valid, chunk, out = pending[i]
-            prev = (pending[i - 1][3][4], pending[i - 1][3][5]) if i else \
-                (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF))
-            # n_min is exact even under truncation, and hits <= emissions,
-            # so one retry with caps >= n_min is always sufficient
-            ec = _next_pow2(max(emitcap, int(counts[i, 0])))
-            out2 = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
-                                    prev[0], prev[1], sp_hi, sp_lo, sp_off,
-                                    k, w, ec, ec, rounds)
-            pending[i] = (start, n_valid, chunk, out2)
-            counts[i, 1] = int(out2[1])
-    n_min_total = int(counts[:, 0].sum())
-    all_pos = np.asarray(jnp.concatenate([out[2] for _, _, _, out in pending]))
-    all_id = np.asarray(jnp.concatenate([out[3] for _, _, _, out in pending]))
-    pos_parts, id_parts = [], []
+    for fidx in np.flatnonzero(overflow).tolist():  # rare
+        i, j = flat[fidx]
+        start, n_valid, chunk, out = pendings[i][j]
+        prev = (pendings[i][j - 1][3][4], pendings[i][j - 1][3][5]) if j else \
+            (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF))
+        # n_min is exact even under truncation, and hits <= emissions,
+        # so one retry with caps >= n_min is always sufficient
+        ec = _next_pow2(max(emitcap, int(counts[fidx, 0])))
+        out2 = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
+                                prev[0], prev[1], sp_hi, sp_lo, sp_off,
+                                k, w, ec, ec, rounds)
+        pendings[i][j] = (start, n_valid, chunk, out2)
+        counts[fidx, 1] = int(out2[1])
+
+    # one round trip for ALL hit arrays
+    all_pos = np.asarray(jnp.concatenate(
+        [pendings[i][j][3][2] for (i, j) in flat]))
+    all_id = np.asarray(jnp.concatenate(
+        [pendings[i][j][3][3] for (i, j) in flat]))
+
     off = 0
-    for i, (start, _, _, out) in enumerate(pending):
+    acc: dict[int, tuple[int, list, list]] = {i: (0, [], []) for i in device_idx}
+    for fidx, (i, j) in enumerate(flat):
+        start, _, _, out = pendings[i][j]
         cap_i = out[2].shape[0]
-        nh = int(min(counts[i, 1], cap_i)) if not overflow[i] else int(counts[i, 1])
+        nh = int(min(counts[fidx, 1], cap_i)) if not overflow[fidx] \
+            else int(counts[fidx, 1])
+        n_min, pos_parts, id_parts = acc[i]
         if nh:
             pos_parts.append(all_pos[off:off + nh] + start)
             id_parts.append(all_id[off:off + nh])
+        acc[i] = (n_min + int(counts[fidx, 0]), pos_parts, id_parts)
         off += cap_i
-    if not pos_parts:
-        return n_min_total, np.zeros(0, np.int32), np.zeros(0, np.int32)
-    return (n_min_total, np.concatenate(pos_parts), np.concatenate(id_parts))
+    for i in device_idx:
+        n_min, pos_parts, id_parts = acc[i]
+        if pos_parts:
+            results[i] = (n_min, np.concatenate(pos_parts),
+                          np.concatenate(id_parts))
+        else:
+            results[i] = (n_min, np.zeros(0, np.int32), np.zeros(0, np.int32))
+    return results
+
+
+def _host_join_one(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo):
+    hi, lo, pos = sketch_sequence(codes, k, w)
+    sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(sp_lo).astype(np.uint64)
+    key = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    idx = np.searchsorted(sp_key, key)
+    idx_c = np.minimum(idx, max(len(sp_key) - 1, 0))
+    hit = (idx < len(sp_key)) & (sp_key[idx_c] == key) \
+        if len(sp_key) else np.zeros(len(key), bool)
+    return len(hi), pos[hit].astype(np.int32), idx[hit].astype(np.int32)
 
 
 def sketch_read_batch(codes: np.ndarray, k: int, w: int,
