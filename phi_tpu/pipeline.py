@@ -57,6 +57,12 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     t0 = time.time()
 
     graph = tensorize(read_gfa(gfa_path))
+    if graph.n_vtx == 0:
+        raise ValueError(f"no segments parsed from {gfa_path} "
+                         "(is it a GFA v1.1 file?)")
+    if graph.num_walks == 0:
+        raise ValueError(f"{gfa_path} has no W-line haplotype walks; PHI "
+                         "requires walks (convert VCF input with phi-vcf2gfa)")
     plog.log("main", f"Loaded graph from: {gfa_path}")
     timings["load_graph"] = time.time() - t0
 

@@ -36,3 +36,35 @@ def test_cli_version():
              "PYTHONPATH": "/root/repo"})
     assert proc.returncode == 0
     assert proc.stdout.startswith("PHI version:")
+
+
+def test_cli_rejects_non_gfa(tmp_path):
+    bad = tmp_path / "x.gfa"
+    bad.write_text(">seq\nACGT\n")
+    reads = tmp_path / "r.fa"
+    reads.write_text(">r\nACGT\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "phi_tpu.cli", "-g", str(bad),
+         "-r", str(reads), "-o", str(tmp_path / "o.fa")],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "PALLAS_AXON_POOL_IPS": "",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": "/root/repo"})
+    assert proc.returncode == 1
+    assert "[E::main]" in proc.stderr and "no segments" in proc.stderr
+
+
+def test_cli_rejects_walkless_gfa(tmp_path):
+    bad = tmp_path / "x.gfa"
+    bad.write_text("S\ta\tACGT\nS\tb\tCCCC\nL\ta\t+\tb\t+\t0M\n")
+    reads = tmp_path / "r.fa"
+    reads.write_text(">r\nACGT\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "phi_tpu.cli", "-g", str(bad),
+         "-r", str(reads), "-o", str(tmp_path / "o.fa")],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "PALLAS_AXON_POOL_IPS": "",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": "/root/repo"})
+    assert proc.returncode == 1
+    assert "W-line" in proc.stderr
