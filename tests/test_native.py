@@ -84,3 +84,18 @@ def test_toposort_native():
     with pytest.raises(ValueError, match="cycle"):
         native.toposort_native(2, np.array([0, 1], np.int32),
                                np.array([1, 0], np.int32))
+
+
+def test_native_gfa_matches_python_mhc4():
+    """Full-scale parity on the real 111,805-segment MHC graph."""
+    from phi_tpu.io.gfa import _read_gfa_py
+    path = "/root/reference/test/MHC_4.gfa.gz"
+    gn = native.parse_gfa_native(path)
+    gp = _read_gfa_py(path)
+    assert gn.seg_names == gp.seg_names
+    assert np.array_equal(gn.node_len, gp.node_len)
+    assert np.array_equal(gn.seq_code, gp.seq_code)
+    assert np.array_equal(gn.edge_u, gp.edge_u)
+    assert np.array_equal(gn.edge_v, gp.edge_v)
+    assert gn.walk_names == gp.walk_names
+    assert all(np.array_equal(a, b) for a, b in zip(gn.walks, gp.walks))
