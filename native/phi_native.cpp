@@ -143,6 +143,10 @@ void* phi_gfa_parse(const char* path) {
     } else if (t == 'L') {
       auto f = split_tab(line, 6);
       if (f.size() < 5) continue;
+      if ((f[2] != "+" && f[2] != "-") || (f[4] != "+" && f[4] != "-")) {
+        h->error = "bad L-line orientation";
+        return h;
+      }
       int64_t u = get_seg(f[1]);
       int64_t ou = (f[2] == "-") ? 1 : 0;
       int64_t v = get_seg(f[3]);

@@ -11,6 +11,11 @@ from __future__ import annotations
 import numpy as np
 
 
+def _norm_path(path: str) -> str:
+    """np.savez appends '.npz' when absent; normalize so save/load agree."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_index(path: str, spectrum: tuple[np.ndarray, np.ndarray],
                hits: list[tuple[int, np.ndarray, np.ndarray]],
                meta: dict | None = None) -> None:
@@ -24,12 +29,12 @@ def save_index(path: str, spectrum: tuple[np.ndarray, np.ndarray],
         arrays[f"h{h}_sid"] = sid
     for k, v in (meta or {}).items():
         arrays[f"meta_{k}"] = np.asarray(v)
-    np.savez_compressed(path, **arrays)
+    np.savez_compressed(_norm_path(path), **arrays)
 
 
 def load_index(path: str):
     """Returns (spectrum, hits, meta)."""
-    z = np.load(path)
+    z = np.load(_norm_path(path))
     spectrum = (z["sp_hi"], z["sp_lo"])
     n = int(z["n_haps"][0])
     hits = [(int(z[f"h{h}_nmin"][0]), z[f"h{h}_pos"], z[f"h{h}_sid"])

@@ -124,10 +124,15 @@ def _read_gfa_py(path: str) -> GfaData:
                 seq = fields[2]
                 seqs[i] = b"" if seq == b"*" else seq
             elif t == b"L":
-                fields = line.split(b"\t", 5)
+                fields = line.rstrip(b"\r\n").split(b"\t", 5)
+                if len(fields) < 5:
+                    raise ValueError(f"truncated L line: {line!r}")
                 u = get_seg(fields[1].decode())
-                ou = 0 if fields[2] == b"+" else 1
                 v = get_seg(fields[3].decode())
+                if fields[2] not in (b"+", b"-") or fields[4] not in (b"+", b"-"):
+                    raise ValueError(
+                        f"bad L-line orientation {fields[2]!r}/{fields[4]!r}")
+                ou = 0 if fields[2] == b"+" else 1
                 ov = 0 if fields[4] == b"+" else 1
                 links.append((u, ou, v, ov))
             elif t == b"W":

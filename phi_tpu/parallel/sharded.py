@@ -230,11 +230,13 @@ def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
     S, B, state_vertex, walk_len = prepare_sharded_tables(tables, mesh)
     solver = sharded_solve(mesh, R=tables.R, n_vtx=tables.n_vtx,
                            max_sweeps=max_sweeps)
-    M, end_min, sweeps = solver(
-        jnp.asarray(S), jnp.asarray(B),
-        jnp.asarray(state_vertex), jnp.asarray(walk_len),
-        jnp.asarray(tables.esrc_h), jnp.asarray(tables.esrc_p),
-        jnp.asarray(tables.esrc_target))
+    common = (jnp.asarray(state_vertex), jnp.asarray(walk_len),
+              jnp.asarray(tables.esrc_h), jnp.asarray(tables.esrc_p),
+              jnp.asarray(tables.esrc_target))
+    B_dev = jnp.asarray(B)
+    M, _, sweeps = solver(jnp.asarray(S), B_dev, *common)
+    # valid lower bound: optimistic entry charge S := B (see solve_dp)
+    _, end_min_lb, _ = solver(B_dev, B_dev, *common)
     H, P = tables.S.shape
     M_np = np.asarray(M)[:H, :P]
     valid = np.arange(P)[None, :] < tables.walk_len[:, None]
@@ -242,5 +244,5 @@ def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
     ends = np.where(tables.walk_len > 0,
                     D[np.arange(H), np.maximum(tables.walk_len - 1, 0)],
                     np.inf).astype(np.float32)
-    dp_obj = float(tables.const + ends.min()) if H else float(tables.const)
-    return M_np, ends, int(sweeps), dp_obj
+    lb = float(tables.const + float(end_min_lb)) if H else float(tables.const)
+    return M_np, ends, int(sweeps), lb

@@ -127,7 +127,7 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     plog.log("ILP_function",
              f"DP sweeps: {result.n_sweeps}; lower bound: {result.dp_objective:.3f}; "
              f"path objective: {result.true_objective:.3f}; "
-             f"gap: {result.true_objective - result.dp_objective:.3f}")
+             f"gap: {max(0.0, result.true_objective - result.dp_objective):.3f}")
     timings["solve"] = time.time() - t1
 
     if opt.debug:
@@ -171,6 +171,26 @@ def _solve_once(tables, opt: Options):
     return solve_dp(tables, opt.max_sweeps)
 
 
+def _solve_and_decode(graph, tables, anchors, opt: Options) -> DecodeResult:
+    """Solve and decode; on the single-chip path both the search and the
+    optimistic fixpoints are decoded and the better-scoring path kept (they
+    bracket the non-separable exact credit from below/above; either can win)."""
+    if opt.mesh_devices and opt.mesh_devices > 1:
+        M, ends, sweeps, lb = _solve_once(tables, opt)
+        return decode_path(graph, tables, anchors, M, ends, sweeps, lb)
+    from phi_tpu.solve.dp import solve_dp_both
+    (M, ends), (M_opt, ends_opt), sweeps, lb = solve_dp_both(tables, opt.max_sweeps)
+    best = decode_path(graph, tables, anchors, M, ends, sweeps, lb)
+    try:
+        t_opt = dataclasses.replace(tables, S=tables.B)
+        cand = decode_path(graph, t_opt, anchors, M_opt, ends_opt, sweeps, lb)
+        if cand.true_objective < best.true_objective:
+            best = cand
+    except RuntimeError:
+        pass  # optimistic backtrace can fail on degenerate ties; search path stands
+    return best
+
+
 def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
                            opt: Options) -> DecodeResult:
     """One DP solve; if the decoded path's exact objective is above the DP
@@ -178,9 +198,8 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
     occurrence weights mu_i are subgradient-updated and the DP re-run; valid
     lower bound max_mu L(mu), best primal path kept (DESIGN.md)."""
     tables = build_solver_tables(graph, anchors, opt.recombination)
-    M, ends, sweeps, dp_obj = _solve_once(tables, opt)
-    best = decode_path(graph, tables, anchors, M, ends, sweeps, dp_obj)
-    best_bound = dp_obj
+    best = _solve_and_decode(graph, tables, anchors, opt)
+    best_bound = best.dp_objective
     rounds = opt.lagrangian_rounds
     if best.true_objective - best_bound <= 0.5 or rounds <= 0:
         best.dp_objective = best_bound
@@ -199,9 +218,8 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
         mu = np.clip(mu - step * np.maximum(mult - 1, 0), 0.0, 1.0).astype(np.float32)
         anchors.occ_weight = mu[anchors.occ_kmer]
         tables = build_solver_tables(graph, anchors, opt.recombination)
-        M, ends, sweeps, dp_obj = _solve_once(tables, opt)
-        cand = decode_path(graph, tables, anchors, M, ends, sweeps, dp_obj)
-        best_bound = max(best_bound, dp_obj)
+        cand = _solve_and_decode(graph, tables, anchors, opt)
+        best_bound = max(best_bound, cand.dp_objective)
         if cand.true_objective < best.true_objective:
             best = cand
         if best.true_objective - best_bound <= 0.5:

@@ -476,10 +476,13 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
         z = np.zeros(0, np.uint32)
         return z, z.copy()
     if lengths is None:
-        # infer per-read length as position of first padding code (4)
+        # infer per-read length from the TRAILING pad run only: code 4 also
+        # encodes a real 'N' base, so the first >=4 position would silently
+        # truncate N-containing reads — scan from the right instead
         valid = codes < 4
-        lengths = np.where(valid.all(axis=1), codes.shape[1],
-                           np.argmin(valid, axis=1)).astype(np.int32)
+        W = codes.shape[1]
+        lengths = (W - np.argmax(valid[:, ::-1], axis=1)).astype(np.int32)
+        lengths[~valid.any(axis=1)] = 0
     # Reads are concatenated (ragged, no padding) and sketched with the same
     # canonical fixed-size chunk program as haplotypes, with a per-window mask
     # restricting selection to windows lying entirely inside one read — exact

@@ -77,7 +77,9 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     edges_used: list[int] = []
     for _ in range(P * H + 1):
         q = int(qlatest[h, p])
-        assert q >= 0, "backtrace: no entry point found"
+        if q < 0:
+            raise RuntimeError(
+                f"backtrace: no entry point found for lane {h} position {p}")
         segments.append((h, q, p))
         v = int(t.state_vertex[h, q])
         entry_val = A[h, q] - t.S[h, q]
@@ -89,7 +91,10 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         cand = order[lo:hi_i]
         vals = D[t.esrc_h[cand], t.esrc_p[cand]]
         j = int(np.argmin(vals))
-        assert vals[j] <= ent[v] + _EPS, "backtrace: switch source mismatch"
+        if not vals[j] <= ent[v] + _EPS:
+            raise RuntimeError(
+                f"backtrace: switch source mismatch at vertex {v} "
+                f"(best source {vals[j]:.4f} > entry {ent[v]:.4f})")
         sel = cand[j]
         edges_used.append(int(t.esrc_edge[sel]))
         h, p = int(t.esrc_h[sel]), int(t.esrc_p[sel])

@@ -62,23 +62,46 @@ def _solve_jit(S, B, esrc_h, esrc_p, esrc_target, state_vertex, walk_len,
     return M, ends, sweeps
 
 
-def solve_dp(t: SolverTables, max_sweeps: int = 256):
-    """Returns (M, ends, n_sweeps, dp_objective). dp_objective = const +
-    min path cost, a lower bound on (and usually equal to) the reference's
-    ILP optimum (DESIGN.md: local-credit vs distinct-kmer accounting)."""
-    M, ends, sweeps = _solve_jit(
-        jnp.asarray(t.S), jnp.asarray(t.B),
-        jnp.asarray(t.esrc_h), jnp.asarray(t.esrc_p),
-        jnp.asarray(t.esrc_target),
-        jnp.asarray(t.state_vertex), jnp.asarray(t.walk_len),
-        jnp.float32(t.R), t.n_vtx, max_sweeps,
-    )
+def solve_dp_both(t: SolverTables, max_sweeps: int = 256):
+    """Run both credit accountings; returns
+    ((M, ends), (M_opt, ends_opt), n_sweeps, lower_bound).
+
+    The search DP charges entry at S[q] = sum(start < q), whose per-visit
+    credit B[p] - S[q] equals (covered occurrences) - (occurrences spanning
+    the whole visit) — an UNDER-count, so its value is a heuristic score,
+    not a bound (exact per-visit credit is not separable into f(p) - g(q)).
+
+    The second fixpoint uses the optimistic entry charge S := B (credit
+    B[p] - B[q] = sum(q < end <= p), an over-count of coverable credit,
+    since every covered occurrence has q <= start < end <= p). Its minimum
+    is <= the local-credit relaxation optimum <= the reference's
+    distinct-kmer ILP optimum — a valid lower bound, with slack only from
+    entry-straddling occurrences at switch points (and from duplicate
+    k-mer credit, which Lagrangian reweighting tightens). Both fixpoints
+    are decodable paths; callers keep whichever re-scores better."""
+    args = (jnp.asarray(t.esrc_h), jnp.asarray(t.esrc_p),
+            jnp.asarray(t.esrc_target),
+            jnp.asarray(t.state_vertex), jnp.asarray(t.walk_len),
+            jnp.float32(t.R), t.n_vtx, max_sweeps)
+    B_dev = jnp.asarray(t.B)
+    M, ends, sweeps = _solve_jit(jnp.asarray(t.S), B_dev, *args)
+    M_opt, ends_opt, sweeps_opt = _solve_jit(B_dev, B_dev, *args)
     M = np.asarray(M)
     ends = np.asarray(ends)
-    n_sweeps = int(sweeps)
+    M_opt = np.asarray(M_opt)
+    ends_opt = np.asarray(ends_opt)
+    n_sweeps = max(int(sweeps), int(sweeps_opt))
     if n_sweeps >= max_sweeps:
         import sys
         print(f"[W::solve_dp] sweep cap {max_sweeps} reached; solution may be "
               "suboptimal (raise Options.max_sweeps)", file=sys.stderr)
-    dp_obj = float(t.const + ends.min()) if len(ends) else float(t.const)
-    return M, ends, n_sweeps, dp_obj
+    lb = float(t.const + ends_opt.min()) if len(ends_opt) else float(t.const)
+    return (M, ends), (M_opt, ends_opt), n_sweeps, lb
+
+
+def solve_dp(t: SolverTables, max_sweeps: int = 256):
+    """Returns (M, ends, n_sweeps, dp_objective). dp_objective is the valid
+    lower bound from the optimistic accounting (see solve_dp_both); M/ends
+    are the search DP's, for decoding."""
+    (M, ends), _, n_sweeps, lb = solve_dp_both(t, max_sweeps)
+    return M, ends, n_sweeps, lb

@@ -35,3 +35,13 @@ def test_run_matrix_toy(tmp_path):
     assert res[0].edit_distance == 0
     csv_text = (tmp_path / "out.csv").read_text()
     assert "Reads" in csv_text and "toy" in csv_text
+
+
+def test_checkpoint_suffix_normalized(tmp_path):
+    from phi_tpu.checkpoint import load_index, save_index
+    sp = (np.array([1, 2], np.uint32), np.array([3, 4], np.uint32))
+    hits = [(5, np.array([0], np.int32), np.array([1], np.int32))]
+    base = str(tmp_path / "idx")  # no .npz suffix
+    save_index(base, sp, hits)
+    sp2, hits2, _ = load_index(base)
+    assert np.array_equal(sp2[0], sp[0]) and hits2[0][0] == 5

@@ -61,3 +61,18 @@ def test_write_roundtrip(tmp_path):
     assert np.array_equal(g2.edge_u, g.edge_u)
     assert np.array_equal(g2.edge_v, g.edge_v)
     assert all(np.array_equal(a, b) for a, b in zip(g2.walks, g.walks))
+
+
+def test_l_line_without_overlap_and_bad_orientation(tmp_path):
+    # an L line lacking the overlap column still parses '+' correctly
+    # (round-1 advisor finding: b'+\n' was silently treated as '-')
+    p = tmp_path / "no_overlap.gfa"
+    p.write_text("S\ta\tAAAA\nS\tb\tCCCC\nL\ta\t+\tb\t+\n"
+                 "W\ts\t0\t_\t0\t8\t>a>b\n")
+    g = read_gfa(str(p))
+    assert g.edge_u.tolist() == [0] and g.edge_v.tolist() == [1]
+
+    bad = tmp_path / "bad_orient.gfa"
+    bad.write_text("S\ta\tAAAA\nS\tb\tCCCC\nL\ta\t+\tb\tx\t0M\n")
+    with pytest.raises(ValueError, match="orientation"):
+        read_gfa(str(bad))

@@ -37,3 +37,24 @@ def test_join_handles_n_sequences():
     assert n_min == len(hi)
     assert np.array_equal(got_pos, want_pos)
     assert np.array_equal(got_id, want_id)
+
+
+def test_read_batch_inferred_lengths_keep_mid_read_n():
+    """lengths=None must not truncate reads at an interior N (code 4 is both
+    'N' and padding; only the trailing pad run marks the end)."""
+    from phi_tpu.io.gfa import encode_seq
+    from phi_tpu.sketch.minimizer import sketch_read_batch
+    rng = np.random.default_rng(7)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 80))
+    read = seq[:40] + "N" + seq[41:]
+    codes = np.full((1, 96), 4, np.uint8)
+    codes[0, :80] = encode_seq(read)
+    explicit = sketch_read_batch(codes, 11, 5, np.array([80], np.int32))
+    inferred = sketch_read_batch(codes, 11, 5, None)
+    assert np.array_equal(explicit[0], inferred[0])
+    assert np.array_equal(explicit[1], inferred[1])
+    # and the post-N half actually contributes (would be empty if truncated)
+    first_half = np.full((1, 96), 4, np.uint8)
+    first_half[0, :40] = encode_seq(read[:40])
+    trunc = sketch_read_batch(first_half, 11, 5, None)
+    assert len(inferred[0]) > len(trunc[0])
