@@ -66,6 +66,14 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     plog.log("main", f"Loaded graph from: {gfa_path}")
     timings["load_graph"] = time.time() - t0
 
+    # Overlap the solver's XLA compile (minutes through the remote TPU
+    # tunnel on a fresh process) with read ingest + sketching: the solver's
+    # bucketed shape depends only on the graph, known now.
+    import jax as _jax
+    if _jax.default_backend() != "cpu":
+        from phi_tpu.solve.dp import start_prewarm_thread
+        start_prewarm_thread(graph, opt.recombination, opt.max_sweeps)
+
     t1 = time.time()
     reads = load_read_batch(reads_path)
     timings["load_reads"] = time.time() - t1

@@ -26,6 +26,58 @@ from phi_tpu.solve.prep import SolverTables
 _INF = jnp.float32(jnp.inf)
 
 
+def bucket_size(n: int, minimum: int = 8) -> int:
+    """Smallest {2^k, 3*2^(k-1)} >= n: waste <= 33%, ~2 shapes per octave.
+    Solver inputs are padded to bucketed shapes so one compiled program
+    covers a whole instance family — XLA compiles through the remote TPU
+    tunnel cost 90 s - 30 min each (DESIGN.md platform model), so the
+    program set must stay tiny and predictable (prewarmable)."""
+    if n <= minimum:
+        return minimum
+    p = minimum
+    while True:
+        if n <= p:
+            return p
+        if n <= p + p // 2:
+            return p + p // 2
+        p *= 2
+
+
+def _pad1(x: np.ndarray, n: int, value) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    return np.pad(x, (0, n - x.shape[0]), constant_values=value)
+
+
+def bucket_shapes(H: int, P: int, n_esrc: int, n_vtx: int):
+    """The padded (H, P, n_esrc, n_vtx) for an instance. P and n_vtx are
+    padded strictly (+1) so position Pb-1 is invalid in every lane and
+    vertex n_vtx_b-1 is a dummy — padded esrc rows point there harmlessly."""
+    return (bucket_size(H), bucket_size(P + 1, 1024),
+            bucket_size(n_esrc + 1, 1024), bucket_size(n_vtx + 1, 1024))
+
+
+def _bucketed_args(t: SolverTables, max_sweeps: int):
+    H, P = t.S.shape
+    Hb, Pb, Eb, Vb = bucket_shapes(H, P, len(t.esrc_h), t.n_vtx)
+    S = np.zeros((Hb, Pb), np.float32)
+    S[:H, :P] = t.S
+    B = np.zeros((Hb, Pb), np.float32)
+    B[:H, :P] = t.B
+    sv = np.full((Hb, Pb), -1, np.int32)
+    sv[:H, :P] = t.state_vertex
+    wl = _pad1(t.walk_len.astype(np.int32), Hb, 0)
+    # padded esrc rows: source state (0, Pb-1) is invalid in every lane
+    # (walk_len <= P < Pb), target Vb-1 is a dummy vertex no state maps to
+    eh = _pad1(t.esrc_h.astype(np.int32), Eb, 0)
+    ep = _pad1(t.esrc_p.astype(np.int32), Eb, Pb - 1)
+    et = _pad1(t.esrc_target.astype(np.int32), Eb, Vb - 1)
+    common = (jnp.asarray(eh), jnp.asarray(ep), jnp.asarray(et),
+              jnp.asarray(sv), jnp.asarray(wl),
+              jnp.float32(t.R), Vb, max_sweeps)
+    return (jnp.asarray(S), jnp.asarray(B)), common, (H, P)
+
+
 @functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps"))
 def _solve_jit(S, B, esrc_h, esrc_p, esrc_target, state_vertex, walk_len,
                R, n_vtx: int, max_sweeps: int):
@@ -79,17 +131,13 @@ def solve_dp_both(t: SolverTables, max_sweeps: int = 256):
     entry-straddling occurrences at switch points (and from duplicate
     k-mer credit, which Lagrangian reweighting tightens). Both fixpoints
     are decodable paths; callers keep whichever re-scores better."""
-    args = (jnp.asarray(t.esrc_h), jnp.asarray(t.esrc_p),
-            jnp.asarray(t.esrc_target),
-            jnp.asarray(t.state_vertex), jnp.asarray(t.walk_len),
-            jnp.float32(t.R), t.n_vtx, max_sweeps)
-    B_dev = jnp.asarray(t.B)
-    M, ends, sweeps = _solve_jit(jnp.asarray(t.S), B_dev, *args)
-    M_opt, ends_opt, sweeps_opt = _solve_jit(B_dev, B_dev, *args)
-    M = np.asarray(M)
-    ends = np.asarray(ends)
-    M_opt = np.asarray(M_opt)
-    ends_opt = np.asarray(ends_opt)
+    (S_dev, B_dev), common, (H, P) = _bucketed_args(t, max_sweeps)
+    M, ends, sweeps = _solve_jit(S_dev, B_dev, *common)
+    M_opt, ends_opt, sweeps_opt = _solve_jit(B_dev, B_dev, *common)
+    M = np.asarray(M)[:H, :P]
+    ends = np.asarray(ends)[:H]
+    M_opt = np.asarray(M_opt)[:H, :P]
+    ends_opt = np.asarray(ends_opt)[:H]
     n_sweeps = max(int(sweeps), int(sweeps_opt))
     if n_sweeps >= max_sweeps:
         import sys
@@ -105,3 +153,40 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
     are the search DP's, for decoding."""
     (M, ends), _, n_sweeps, lb = solve_dp_both(t, max_sweeps)
     return M, ends, n_sweeps, lb
+
+
+def prewarm_solver(graph, R: float, max_sweeps: int = 256) -> None:
+    """Compile (and trivially execute) the solver program for this graph's
+    bucket shapes — anchors are not needed, because the bucketed shape
+    depends only on (H, P, n_esrc, n_vtx), all graph properties. Run in a
+    background thread right after graph load so the expensive remote-tunnel
+    XLA compile overlaps host read ingest + sketch/join (VERDICT round 1:
+    cold-process wall was dominated by this compile arriving last)."""
+    from phi_tpu.solve.prep import switch_sources_cached
+    esrc_h, _, _, _ = switch_sources_cached(graph)
+    H, P = graph.walk_mat.shape
+    Hb, Pb, Eb, Vb = bucket_shapes(H, P, len(esrc_h), graph.n_vtx)
+    S = jnp.zeros((Hb, Pb), jnp.float32)
+    sv = jnp.full((Hb, Pb), -1, jnp.int32)
+    wl = jnp.zeros((Hb,), jnp.int32)
+    eh = jnp.zeros((Eb,), jnp.int32)
+    ep = jnp.full((Eb,), Pb - 1, jnp.int32)
+    et = jnp.full((Eb,), Vb - 1, jnp.int32)
+    out = _solve_jit(S, S, eh, ep, et, sv, wl, jnp.float32(R), Vb, max_sweeps)
+    jax.block_until_ready(out)
+
+
+def start_prewarm_thread(graph, R: float, max_sweeps: int = 256):
+    """prewarm_solver on a daemon thread; returns the Thread (join before
+    timing-sensitive solves if you want deterministic phases)."""
+    import threading
+
+    def work():
+        try:
+            prewarm_solver(graph, R, max_sweeps)
+        except Exception:
+            pass  # prewarm is best-effort; the real solve will compile
+
+    th = threading.Thread(target=work, daemon=True, name="phi-solver-prewarm")
+    th.start()
+    return th

@@ -12,6 +12,7 @@ arrays over lane states (h, p):
 from __future__ import annotations
 
 import dataclasses
+import threading
 
 import numpy as np
 
@@ -65,10 +66,27 @@ def switch_sources(graph: PangenomeGraph) -> tuple[np.ndarray, np.ndarray, np.nd
             rep_edge[diverge].astype(np.int32))
 
 
+_esrc_lock = threading.Lock()
+
+
+def switch_sources_cached(graph: PangenomeGraph):
+    """switch_sources depends only on the graph; cache it on the instance so
+    Lagrangian refinement rounds (and the compile-prewarm thread) never
+    recompute the tens-of-millions-row expansion."""
+    cached = getattr(graph, "_esrc_cache", None)
+    if cached is None:
+        with _esrc_lock:
+            cached = getattr(graph, "_esrc_cache", None)
+            if cached is None:
+                cached = switch_sources(graph)
+                graph._esrc_cache = cached
+    return cached
+
+
 def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
                         R: float) -> SolverTables:
     S, B = credit_arrays(graph, anchors)
-    esrc_h, esrc_p, esrc_target, esrc_edge = switch_sources(graph)
+    esrc_h, esrc_p, esrc_target, esrc_edge = switch_sources_cached(graph)
     # const term: each model k-mer contributes weight mu_i (occ_weight is
     # per-occurrence but equal across occurrences of a k-mer)
     if len(anchors.occ_kmer):
