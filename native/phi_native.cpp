@@ -79,6 +79,8 @@ struct GfaHandle {
   std::vector<int64_t> walk_off;     // [n_walks + 1]
   std::string seg_names;             // '\0'-joined
   std::string walk_names;            // '\0'-joined "sample.hap"
+  std::string seg_tags;              // '\0'-joined raw S-line tag suffixes
+  std::string walk_meta;             // '\0'-joined "seq_name\tstart\tend"
   std::string error;
 };
 
@@ -118,8 +120,11 @@ void* phi_gfa_parse(const char* path) {
   std::unordered_map<std::string, int32_t> seg_id;
   std::vector<std::string> seqs;
   std::vector<std::string> names;
+  std::vector<std::string> tags;        // raw S-line tag suffix per segment
+  std::vector<int64_t> declared_len;    // LN:i for '*'-sequence segments
   // raw links (u, ou, v, ov)
   std::vector<int64_t> links;
+  int64_t fa_seg = -1;  // embedded-FASTA mode (gfa-io.cpp:479-499)
 
   auto get_seg = [&](const std::string& name) -> int32_t {
     auto it = seg_id.find(name);
@@ -128,18 +133,44 @@ void* phi_gfa_parse(const char* path) {
     seg_id.emplace(name, id);
     names.push_back(name);
     seqs.emplace_back();
+    tags.emplace_back();
+    declared_len.push_back(0);
     return id;
   };
 
   std::string line;
   while (rd.getline(line)) {
-    if (line.size() < 2 || line[1] != '\t') continue;
+    if (line.size() < 2 || line[1] != '\t') {
+      // embedded-FASTA mode: '>name' switches the stream; plain lines
+      // append sequence to that segment
+      if (!line.empty() && line[0] == '>') {
+        size_t sp = line.find_first_of(" \t");
+        fa_seg = get_seg(line.substr(1, sp == std::string::npos
+                                            ? std::string::npos : sp - 1));
+        seqs[fa_seg].clear();
+      } else if (fa_seg >= 0 && !line.empty()) {
+        seqs[fa_seg] += line;
+      }
+      continue;
+    }
+    fa_seg = -1;
     char t = line[0];
     if (t == 'S') {
       auto f = split_tab(line, 4);
       if (f.size() < 3) continue;
       int32_t id = get_seg(f[1]);
       if (f[2] != "*") seqs[id] = f[2];
+      if (f.size() > 3) {
+        tags[id] = f[3];
+        if (f[2] == "*") {
+          // LN:i:<len> declares the length of a sequence-less segment
+          size_t pos = f[3].find("LN:i:");
+          if (pos != std::string::npos &&
+              (pos == 0 || f[3][pos - 1] == '\t')) {
+            declared_len[id] = atoll(f[3].c_str() + pos + 5);
+          }
+        }
+      }
     } else if (t == 'L') {
       auto f = split_tab(line, 6);
       if (f.size() < 5) continue;
@@ -158,6 +189,8 @@ void* phi_gfa_parse(const char* path) {
       if (f.size() < 7) continue;
       h->walk_names += f[1] + "." + f[2];
       h->walk_names.push_back('\0');
+      h->walk_meta += f[3] + "\t" + f[4] + "\t" + f[5];
+      h->walk_meta.push_back('\0');
       // parse >s1>s2<s3...
       const std::string& wk = f[6];
       std::vector<int64_t> verts;  // seg<<1 | strand
@@ -193,6 +226,12 @@ void* phi_gfa_parse(const char* path) {
   }
 
   size_t n = names.size();
+  // '*'-sequence segments with declared LN:i lengths: fill with 'N' so the
+  // tensor invariant sum(node_len) == len(seq_code) holds
+  for (size_t i = 0; i < n; i++) {
+    if (declared_len[i] > 0 && seqs[i].empty())
+      seqs[i].assign(static_cast<size_t>(declared_len[i]), 'N');
+  }
   h->node_len.resize(n);
   h->node_off.resize(n + 1);
   int64_t off = 0;
@@ -211,6 +250,10 @@ void* phi_gfa_parse(const char* path) {
   for (const std::string& name : names) {
     h->seg_names += name;
     h->seg_names.push_back('\0');
+  }
+  for (const std::string& tg : tags) {
+    h->seg_tags += tg;
+    h->seg_tags.push_back('\0');
   }
   // walk_off needs leading 0
   h->walk_off.insert(h->walk_off.begin(), 0);
@@ -284,6 +327,16 @@ const char* phi_gfa_walk_names(void* hp, int64_t* len) {
   auto* h = static_cast<GfaHandle*>(hp);
   *len = static_cast<int64_t>(h->walk_names.size());
   return h->walk_names.data();
+}
+const char* phi_gfa_seg_tags(void* hp, int64_t* len) {
+  auto* h = static_cast<GfaHandle*>(hp);
+  *len = static_cast<int64_t>(h->seg_tags.size());
+  return h->seg_tags.data();
+}
+const char* phi_gfa_walk_meta(void* hp, int64_t* len) {
+  auto* h = static_cast<GfaHandle*>(hp);
+  *len = static_cast<int64_t>(h->walk_meta.size());
+  return h->walk_meta.data();
 }
 void phi_gfa_free(void* hp) { delete static_cast<GfaHandle*>(hp); }
 

@@ -1,0 +1,143 @@
+"""Scale benchmark: reference-shaped synthetic instances at the published
+configs — the 49-hap x 5 Mbp headline and the progressive 3/7/13/25/49 panel
+sweep (BASELINE.md, data/plots/increasing.csv analog; reference runs them via
+data/run_batch_{9..13}.py + chop_graph.sh:37-69 panel subsets).
+
+Instances are materialized as real files (GFA + FASTQ + truth FASTA) in a
+cache directory and driven through the standard `run_pipeline` CLI path, so
+measured numbers cover the same surface the reference times.
+
+    python -m phi_tpu.eval.scale --haps 3,7,13,25,49 --length 5000000 \
+        --coverage 2 --out-csv scale.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from phi_tpu.config import Options
+from phi_tpu.eval.edits import edit_stats
+from phi_tpu.eval.synth import sample_reads, synth_pangenome
+from phi_tpu.io.gfa import write_gfa
+
+CACHE_DIR = os.environ.get("PHI_TPU_SCALE_CACHE", "/tmp/phi_tpu_scale")
+
+
+def instance_dir(n_haps: int, length: int, coverage: float, seed: int,
+                 var_rate: float, error_rate: float, n_breaks: int) -> str:
+    tag = (f"h{n_haps}_L{length}_c{coverage:g}_s{seed}_v{var_rate:g}"
+           f"_e{error_rate:g}_b{n_breaks}")
+    return os.path.join(CACHE_DIR, tag)
+
+
+def build_instance(n_haps: int, length: int = 5_000_000, coverage: float = 2.0,
+                   seed: int = 0, var_rate: float = 0.01,
+                   error_rate: float = 0.002, n_breaks: int = 2,
+                   indel_fraction: float = 0.05) -> dict[str, str]:
+    """Materialize (or reuse) a cached instance; returns its file paths.
+
+    The read target is a recombinant mosaic of panel haplotypes with
+    n_breaks switchpoints (the inference task the reference's benchmark
+    exercises: infer a recombined haplotype from low-coverage reads)."""
+    d = instance_dir(n_haps, length, coverage, seed, var_rate, error_rate,
+                     n_breaks)
+    paths = {"gfa": os.path.join(d, "graph.gfa"),
+             "reads": os.path.join(d, "reads.fq.gz"),
+             "truth": os.path.join(d, "truth.fa"),
+             "meta": os.path.join(d, "meta.json")}
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    graph, hap_seqs = synth_pangenome(rng, length=length, n_haps=n_haps,
+                                      var_rate=var_rate,
+                                      indel_fraction=indel_fraction)
+    breaks = []
+    if n_breaks:
+        bpos = np.sort(rng.integers(length // 10, length - length // 10,
+                                    n_breaks))
+        haps = rng.permutation(n_haps)[:n_breaks + 1]
+        breaks = [(int(p), int(h)) for p, h in zip(bpos, haps[1:])]
+    reads, target = sample_reads(rng, hap_seqs, coverage=coverage,
+                                 error_rate=error_rate, recomb_breaks=breaks)
+    write_gfa(graph, path=paths["gfa"])
+    with gzip.open(paths["reads"], "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    with open(paths["truth"], "w") as f:
+        f.write(">truth\n")
+        for i in range(0, len(target), 80):
+            f.write(target[i:i + 80] + "\n")
+    with open(paths["meta"], "w") as f:
+        json.dump({"n_haps": n_haps, "length": length, "coverage": coverage,
+                   "seed": seed, "breaks": breaks, "n_reads": len(reads)},
+                  f)
+    return paths
+
+
+def peak_rss_gb() -> float:
+    import resource
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def run_one(n_haps: int, length: int = 5_000_000, coverage: float = 2.0,
+            seed: int = 0, opt: Options | None = None, **kw) -> dict:
+    """Build/reuse the instance, run the full pipeline, score vs truth."""
+    from phi_tpu.pipeline import run_pipeline
+    paths = build_instance(n_haps, length, coverage, seed, **kw)
+    opt = opt or Options()
+    out = os.path.join(os.path.dirname(paths["gfa"]), "inferred.fa")
+    t0 = time.time()
+    res = run_pipeline(paths["gfa"], paths["reads"], out, opt)
+    wall = time.time() - t0
+    with open(paths["truth"]) as f:
+        truth = "".join(l.strip() for l in f if not l.startswith(">"))
+    es = edit_stats(res.sequence, truth)
+    meta = json.load(open(paths["meta"]))
+    return {"n_haps": n_haps, "length": length, "coverage": coverage,
+            "wall_s": round(wall, 2), "peak_rss_gb": round(peak_rss_gb(), 2),
+            "edit_distance": es.edit_distance,
+            "recombinations": res.recombination_count,
+            "true_breaks": len(meta["breaks"]),
+            "gap": round(max(0.0, res.decode.true_objective
+                             - res.decode.dp_objective), 3),
+            "timings": {k: round(v, 2) for k, v in res.timings.items()}}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="phi-scale")
+    ap.add_argument("--haps", default="49", help="comma list, e.g. 3,7,13,25,49")
+    ap.add_argument("--length", type=int, default=5_000_000)
+    ap.add_argument("--coverage", type=float, default=2.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out-csv", default=None)
+    ap.add_argument("--lagrangian", type=int, default=4)
+    args = ap.parse_args(argv)
+    rows = []
+    for n in [int(x) for x in args.haps.split(",")]:
+        r = run_one(n, args.length, args.coverage, args.seed,
+                    opt=Options(lagrangian_rounds=args.lagrangian))
+        print(json.dumps(r), flush=True)
+        rows.append(r)
+    if args.out_csv:
+        import csv
+        with open(args.out_csv, "w", newline="") as f:
+            wtr = csv.writer(f)
+            wtr.writerow(["n_haps", "wall_s", "peak_rss_gb", "edit_distance",
+                          "recombinations", "true_breaks", "gap"])
+            for r in rows:
+                wtr.writerow([r["n_haps"], r["wall_s"], r["peak_rss_gb"],
+                              r["edit_distance"], r["recombinations"],
+                              r["true_breaks"], r["gap"]])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

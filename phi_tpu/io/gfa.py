@@ -58,6 +58,14 @@ class GfaData:
     edge_v: np.ndarray          # int32 [n_edges]
     walks: list[np.ndarray]     # per walk: int32 vertex ids
     walk_names: list[str]       # "sample.hap" (ILP_index.cpp:98)
+    # GFA fidelity extras (round-tripped by write_gfa):
+    seg_tags: list[str] | None = None
+    #   per segment: raw tab-joined typed tag suffix of its S line, e.g.
+    #   "LN:i:30\tSN:Z:chr6" ("" if none) — gfa_aux_parse analog keeps the
+    #   bytes, parse_tags() below gives typed access (gfa-io.cpp:117-177)
+    walk_meta: list[tuple[str, int, int]] | None = None
+    #   per walk: (seq_name, seq_start, seq_end) from W columns 4-6
+    #   (gfa-io.cpp:379-389); writer emits them back (not "_ 0 len")
 
     @property
     def n_vtx(self) -> int:
@@ -68,6 +76,36 @@ class GfaData:
 
     def node_seq(self, v: int) -> str:
         return decode_seq(self.node_seq_codes(v))
+
+
+def parse_tags(raw: str) -> dict[str, tuple[str, int | float | str]]:
+    """Typed view of a raw tag suffix: 'LN:i:30\\tSN:Z:chr6' ->
+    {'LN': ('i', 30), 'SN': ('Z', 'chr6')} (gfa_aux_parse semantics,
+    gfa-io.cpp:117-172: i/f typed numerically, A/Z/H/B kept as strings;
+    malformed fields are skipped)."""
+    out: dict[str, tuple[str, int | float | str]] = {}
+    if not raw:
+        return out
+    for field in raw.split("\t"):
+        parts = field.split(":", 2)
+        if len(parts) != 3 or len(parts[0]) != 2 or len(parts[1]) != 1:
+            continue
+        tag, typ, val = parts
+        try:
+            if typ == "i":
+                out[tag] = (typ, int(val))
+            elif typ == "f":
+                out[tag] = (typ, float(val))
+            else:
+                out[tag] = (typ, val)
+        except ValueError:
+            continue
+    return out
+
+
+def format_tags(tags: dict[str, tuple[str, int | float | str]]) -> str:
+    """Inverse of parse_tags (gfa_aux_format analog, gfa-io.cpp:174-212)."""
+    return "\t".join(f"{t}:{ty}:{v}" for t, (ty, v) in tags.items())
 
 
 def _open_maybe_gzip(path: str) -> IO[bytes]:
@@ -100,9 +138,13 @@ def _read_gfa_py(path: str) -> GfaData:
     seg_names: list[str] = []
     seg_id: dict[str, int] = {}
     seqs: list[bytes] = []          # per segment, raw bytes ("" until its S line)
+    seg_tags: list[str] = []        # per segment, raw typed-tag suffix
+    declared_len: list[int] = []    # LN:i for '*'-sequence segments
     links: list[tuple[int, int, int, int]] = []  # (u, ou, v, ov); o: 0='+', 1='-'
     walks: list[np.ndarray] = []
     walk_names: list[str] = []
+    walk_meta: list[tuple[str, int, int]] = []
+    fa_seg = -1                     # embedded-FASTA mode (gfa-io.cpp:479-499)
 
     def get_seg(name: str) -> int:
         i = seg_id.get(name)
@@ -111,18 +153,36 @@ def _read_gfa_py(path: str) -> GfaData:
             seg_id[name] = i
             seg_names.append(name)
             seqs.append(b"")
+            seg_tags.append("")
+            declared_len.append(0)
         return i
 
     with _open_maybe_gzip(path) as fh:
         for line in fh:
             if len(line) < 2 or line[1:2] != b"\t":
+                # embedded-FASTA mode: '>name' headers switch the stream to
+                # FASTA; subsequent plain lines append to that segment
+                line_s = line.rstrip(b"\r\n")
+                if line_s.startswith(b">"):
+                    fa_seg = get_seg(line_s[1:].split()[0].decode())
+                    seqs[fa_seg] = b""
+                elif fa_seg >= 0 and line_s:
+                    seqs[fa_seg] += line_s
                 continue
+            fa_seg = -1
             t = line[0:1]
             if t == b"S":
-                fields = line.rstrip(b"\n").split(b"\t")
+                fields = line.rstrip(b"\r\n").split(b"\t")
                 i = get_seg(fields[1].decode())
                 seq = fields[2]
                 seqs[i] = b"" if seq == b"*" else seq
+                if len(fields) > 3:
+                    raw = b"\t".join(fields[3:]).decode()
+                    seg_tags[i] = raw
+                    if seq == b"*":
+                        ln = parse_tags(raw).get("LN")
+                        if ln is not None and ln[0] == "i":
+                            declared_len[i] = int(ln[1])
             elif t == b"L":
                 fields = line.rstrip(b"\r\n").split(b"\t", 5)
                 if len(fields) < 5:
@@ -136,12 +196,25 @@ def _read_gfa_py(path: str) -> GfaData:
                 ov = 0 if fields[4] == b"+" else 1
                 links.append((u, ou, v, ov))
             elif t == b"W":
-                fields = line.rstrip(b"\n").split(b"\t")
+                fields = line.rstrip(b"\r\n").split(b"\t")
                 # sample, hap_index, seq_name, start, end, walk (gfa-io.cpp:379-389)
                 sample, hap_idx = fields[1].decode(), fields[2].decode()
                 walk_names.append(f"{sample}.{hap_idx}")
+
+                def _i(b: bytes) -> int:
+                    try:
+                        return int(b)
+                    except ValueError:
+                        return 0
+                walk_meta.append((fields[3].decode(), _i(fields[4]),
+                                  _i(fields[5])))
                 walks.append(_parse_walk(fields[6], get_seg))
 
+    # '*'-sequence segments with a declared LN:i length: keep the tensor
+    # invariants (sum(node_len) == len(seq_code)) by filling with N codes
+    for i, d in enumerate(declared_len):
+        if d > 0 and not seqs[i]:
+            seqs[i] = b"N" * d
     n_vtx = len(seg_names)
     node_len = np.array([len(s) for s in seqs], dtype=np.int64)
     node_off = np.zeros(n_vtx + 1, dtype=np.int64)
@@ -151,7 +224,8 @@ def _read_gfa_py(path: str) -> GfaData:
     edge_u, edge_v = _fold_links(links)
     walks = [_normalize_walk(w, i) for i, w in enumerate(walks)]
     return GfaData(seg_names, node_len, node_off, seq_code,
-                   edge_u, edge_v, walks, walk_names)
+                   edge_u, edge_v, walks, walk_names,
+                   seg_tags=seg_tags, walk_meta=walk_meta)
 
 
 def _parse_walk(walk_field: bytes, get_seg) -> np.ndarray:
@@ -201,17 +275,23 @@ def _fold_links(links: list[tuple[int, int, int, int]]) -> tuple[np.ndarray, np.
 
 
 def write_gfa(g: GfaData, fh: Iterable | None = None, path: str | None = None) -> str:
-    """GFA writer (gfa_print analog, gfa-io.cpp:510-566). Returns the text."""
+    """GFA writer (gfa_print analog, gfa-io.cpp:510-566). Returns the text.
+    Round-trips typed S-line tags and W-line seq_name/start/end."""
     lines = ["H\tVN:Z:1.1"]
     for i, name in enumerate(g.seg_names):
-        lines.append(f"S\t{name}\t{g.node_seq(i)}")
+        tags = g.seg_tags[i] if g.seg_tags else ""
+        suffix = ("\t" + tags) if tags else ""
+        lines.append(f"S\t{name}\t{g.node_seq(i)}{suffix}")
     for u, v in zip(g.edge_u.tolist(), g.edge_v.tolist()):
         lines.append(f"L\t{g.seg_names[u]}\t+\t{g.seg_names[v]}\t+\t0M")
-    for name, w in zip(g.walk_names, g.walks):
+    for i, (name, w) in enumerate(zip(g.walk_names, g.walks)):
         sample, hap = name.rsplit(".", 1)
-        wl = int(g.node_len[w].sum())
+        if g.walk_meta:
+            seq_name, st, en = g.walk_meta[i]
+        else:
+            seq_name, st, en = "_", 0, int(g.node_len[w].sum())
         walk_str = "".join(">" + g.seg_names[v] for v in w.tolist())
-        lines.append(f"W\t{sample}\t{hap}\t_\t0\t{wl}\t{walk_str}")
+        lines.append(f"W\t{sample}\t{hap}\t{seq_name}\t{st}\t{en}\t{walk_str}")
     text = "\n".join(lines) + "\n"
     if path is not None:
         with open(path, "w") as f:

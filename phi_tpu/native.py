@@ -67,6 +67,10 @@ def get_lib() -> ctypes.CDLL | None:
     lib.phi_gfa_seg_names.argtypes = [c_p, c_i64p]
     lib.phi_gfa_walk_names.restype = c_p
     lib.phi_gfa_walk_names.argtypes = [c_p, c_i64p]
+    lib.phi_gfa_seg_tags.restype = c_p
+    lib.phi_gfa_seg_tags.argtypes = [c_p, c_i64p]
+    lib.phi_gfa_walk_meta.restype = c_p
+    lib.phi_gfa_walk_meta.argtypes = [c_p, c_i64p]
     lib.phi_gfa_free.argtypes = [c_p]
 
     lib.phi_reads_load.restype = c_p
@@ -137,13 +141,26 @@ def parse_gfa_native(path: str):
         seg_names = ctypes.string_at(sp, ln.value).decode().split("\0")[:-1] if ln.value else []
         wp = lib.phi_gfa_walk_names(h, ctypes.byref(ln))
         walk_names = ctypes.string_at(wp, ln.value).decode().split("\0")[:-1] if ln.value else []
+        tp = lib.phi_gfa_seg_tags(h, ctypes.byref(ln))
+        seg_tags = ctypes.string_at(tp, ln.value).decode().split("\0")[:-1] if ln.value else []
+        mp = lib.phi_gfa_walk_meta(h, ctypes.byref(ln))
+        meta_raw = ctypes.string_at(mp, ln.value).decode().split("\0")[:-1] if ln.value else []
     finally:
         lib.phi_gfa_free(h)
     from phi_tpu.io.gfa import GfaData
+
+    def _meta(s: str) -> tuple[str, int, int]:
+        parts = s.split("\t")
+        try:
+            return parts[0], int(parts[1]), int(parts[2])
+        except (IndexError, ValueError):
+            return (parts[0] if parts else "_"), 0, 0
+    walk_meta = [_meta(s) for s in meta_raw]
     walks = [wconcat[woff[i]:woff[i + 1]].copy() for i in range(nw)]
     return GfaData(seg_names=seg_names, node_len=node_len, node_off=node_off,
                    seq_code=seq_code, edge_u=edge_u, edge_v=edge_v,
-                   walks=walks, walk_names=walk_names)
+                   walks=walks, walk_names=walk_names,
+                   seg_tags=seg_tags, walk_meta=walk_meta)
 
 
 def load_reads_native(path: str):

@@ -76,3 +76,49 @@ def test_l_line_without_overlap_and_bad_orientation(tmp_path):
     bad.write_text("S\ta\tAAAA\nS\tb\tCCCC\nL\ta\t+\tb\tx\t0M\n")
     with pytest.raises(ValueError, match="orientation"):
         read_gfa(str(bad))
+
+
+def test_aux_tags_and_walk_meta_roundtrip(tmp_path):
+    """Typed S-line tags and W-line seq_name/start/end survive parse+write
+    (gfa-io.cpp:117-177 aux tags, :510-566 writer)."""
+    from phi_tpu.io.gfa import format_tags, parse_tags, write_gfa
+    text = ("H\tVN:Z:1.1\n"
+            "S\ta\tACGT\tLN:i:4\tSN:Z:chr6\tSO:i:0\tSR:i:0\n"
+            "S\tb\tTTGG\tLN:i:4\n"
+            "L\ta\t+\tb\t+\t0M\n"
+            "W\tsample\t1\tchr6\t100\t108\t>a>b\n")
+    p = tmp_path / "tags.gfa"
+    p.write_text(text)
+    for native in (True, False):
+        g = read_gfa(str(p), prefer_native=native)
+        assert g.seg_tags is not None, f"native={native}"
+        tags = parse_tags(g.seg_tags[0])
+        assert tags["LN"] == ("i", 4) and tags["SN"] == ("Z", "chr6")
+        assert tags["SO"] == ("i", 0) and tags["SR"] == ("i", 0)
+        assert g.walk_meta == [("chr6", 100, 108)], f"native={native}"
+        out = write_gfa(g)
+        assert "LN:i:4\tSN:Z:chr6\tSO:i:0\tSR:i:0" in out
+        assert "W\tsample\t1\tchr6\t100\t108\t>a>b" in out
+    assert format_tags(parse_tags("LN:i:4\tXX:f:1.5\tSN:Z:x")) == \
+        "LN:i:4\tXX:f:1.5\tSN:Z:x"
+
+
+def test_embedded_fasta_and_ln_declared_length(tmp_path):
+    """'*'-sequence segments get bases from an embedded FASTA block, or N-fill
+    from a declared LN:i length (gfa-io.cpp:479-499, :238-270)."""
+    text = ("S\ta\t*\tLN:i:4\n"
+            "S\tb\t*\n"
+            "S\tc\t*\tLN:i:3\n"
+            "L\ta\t+\tb\t+\t0M\n"
+            "L\tb\t+\tc\t+\t0M\n"
+            "W\ts\t0\t_\t0\t11\t>a>b>c\n"
+            ">b\n"
+            "ACG\nT\n")
+    p = tmp_path / "fa.gfa"
+    p.write_text(text)
+    for native in (True, False):
+        g = read_gfa(str(p), prefer_native=native)
+        assert g.node_len.tolist() == [4, 4, 3], f"native={native}"
+        assert g.node_seq(0) == "NNNN"      # LN-declared, no sequence
+        assert g.node_seq(1) == "ACGT"      # embedded FASTA
+        assert g.node_seq(2) == "NNN"
