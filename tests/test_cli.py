@@ -39,8 +39,10 @@ def test_cli_version():
 
 
 def test_cli_rejects_non_gfa(tmp_path):
+    # note: a '>seq' header would now parse as embedded-FASTA GFA (a real
+    # GFA mode, gfa-io.cpp:479-499), so use genuinely segment-less content
     bad = tmp_path / "x.gfa"
-    bad.write_text(">seq\nACGT\n")
+    bad.write_text("this is not a gfa file\nACGT\n")
     reads = tmp_path / "r.fa"
     reads.write_text(">r\nACGT\n")
     proc = subprocess.run(
