@@ -642,4 +642,144 @@ int64_t phi_edit_distance(const uint8_t* q, int64_t qlen, const uint8_t* t,
   return myers::distance(q, qlen, t, tlen, k_limit);
 }
 
+// ------------------------------------------------------------------ anchors
+// Single-pass anchor-table construction (the hot part of
+// anchors/join.py:anchor_tables_from_hits, which is the rebuild of
+// ILP_index.cpp:495-526 compute_anchors + :670-722 threshold filter):
+// per-hap hit base positions -> walk-position intervals (linear merge with
+// the walk's cumulative base lengths), a splitmix64 run-identity hash over
+// the spanned vertices, sort-based (kmer, run)-group counting, and the
+// drop-the-whole-kmer filter. Hash constants match the Python reference
+// implementation bit-for-bit so the two paths are parity-testable.
+
+namespace anchors {
+
+inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 30;
+  x *= 0xBF58476D1CE4E5B9ULL;
+  x ^= x >> 27;
+  x *= 0x94D049BB133111EBULL;
+  x ^= x >> 31;
+  return x;
+}
+
+struct Handle {
+  std::vector<int32_t> occ_hap, occ_start, occ_end, occ_kmer;
+  std::vector<int64_t> per_hap_anchors;
+  int64_t n_model_kmers = 0;
+  int64_t filtered_kmers = 0;
+};
+
+}  // namespace anchors
+
+void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
+                  const int32_t* walk_len, const int64_t* node_len,
+                  const int64_t* hit_off, const int32_t* hit_pos,
+                  const int32_t* hit_sid, int64_t spectrum_size, int32_t k,
+                  double threshold) {
+  auto* h = new anchors::Handle();
+  int64_t total = hit_off[n_haps];
+  h->per_hap_anchors.assign(n_haps, 0);
+
+  // pass 1: intervals + run hashes
+  std::vector<int32_t> o_hap(total), o_start(total), o_end(total);
+  std::vector<uint64_t> group_key(total);
+  for (int64_t hp = 0; hp < n_haps; hp++) {
+    const int32_t* wm = walk_mat + hp * P;
+    int64_t L = walk_len[hp];
+    int64_t s_idx = 0, e_idx = 0;       // walk positions of interval ends
+    int64_t s_base = 0, e_base = 0;     // base offset of position starts
+    for (int64_t i = hit_off[hp]; i < hit_off[hp + 1]; i++) {
+      int64_t pos = hit_pos[i];
+      int64_t last = pos + k - 1;
+      // advance (hits ascend in pos within a hap)
+      while (s_idx + 1 < L && s_base + node_len[wm[s_idx]] <= pos)
+        s_base += node_len[wm[s_idx++]];
+      if (e_idx < s_idx) { e_idx = s_idx; e_base = s_base; }
+      while (e_idx + 1 < L && e_base + node_len[wm[e_idx]] <= last)
+        e_base += node_len[wm[e_idx++]];
+      o_hap[i] = static_cast<int32_t>(hp);
+      o_start[i] = static_cast<int32_t>(s_idx);
+      o_end[i] = static_cast<int32_t>(e_idx);
+      uint64_t rh = 1;
+      for (int64_t p = s_idx; p <= e_idx; p++)
+        rh = anchors::mix64(rh ^ static_cast<uint64_t>(wm[p]));
+      group_key[i] = anchors::mix64(static_cast<uint64_t>(hit_sid[i]) ^ rh);
+    }
+  }
+
+  // pass 2: group counting (sorted copy) -> bad groups -> bad k-mers
+  std::vector<char> bad_sid(static_cast<size_t>(spectrum_size), 0);
+  {
+    std::vector<int64_t> order(total);
+    for (int64_t i = 0; i < total; i++) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return group_key[a] < group_key[b];
+    });
+    double cutoff = threshold * static_cast<double>(n_haps);
+    int64_t run = 0;
+    while (run < total) {
+      int64_t end = run;
+      while (end < total && group_key[order[end]] == group_key[order[run]])
+        end++;
+      if (static_cast<double>(end - run) >= cutoff) {
+        for (int64_t j = run; j < end; j++)
+          bad_sid[hit_sid[order[j]]] = 1;
+      }
+      run = end;
+    }
+  }
+  for (int64_t s = 0; s < spectrum_size; s++) h->filtered_kmers += bad_sid[s];
+
+  // pass 3: retained occurrences; solver keeps multi-vertex ones
+  std::vector<char> model_sid(static_cast<size_t>(spectrum_size), 0);
+  int64_t n_keep = 0;
+  for (int64_t i = 0; i < total; i++)
+    if (!bad_sid[hit_sid[i]] && o_end[i] > o_start[i]) n_keep++;
+  h->occ_hap.reserve(n_keep);
+  h->occ_start.reserve(n_keep);
+  h->occ_end.reserve(n_keep);
+  h->occ_kmer.reserve(n_keep);
+  for (int64_t i = 0; i < total; i++) {
+    if (bad_sid[hit_sid[i]]) continue;
+    h->per_hap_anchors[o_hap[i]]++;
+    if (o_end[i] <= o_start[i]) continue;
+    h->occ_hap.push_back(o_hap[i]);
+    h->occ_start.push_back(o_start[i]);
+    h->occ_end.push_back(o_end[i]);
+    h->occ_kmer.push_back(hit_sid[i]);
+    if (!model_sid[hit_sid[i]]) {
+      model_sid[hit_sid[i]] = 1;
+      h->n_model_kmers++;
+    }
+  }
+  return h;
+}
+
+int64_t phi_anchors_n_occ(void* hp) {
+  return static_cast<int64_t>(static_cast<anchors::Handle*>(hp)->occ_hap.size());
+}
+int64_t phi_anchors_n_model_kmers(void* hp) {
+  return static_cast<anchors::Handle*>(hp)->n_model_kmers;
+}
+int64_t phi_anchors_filtered_kmers(void* hp) {
+  return static_cast<anchors::Handle*>(hp)->filtered_kmers;
+}
+const int32_t* phi_anchors_occ_hap(void* hp) {
+  return static_cast<anchors::Handle*>(hp)->occ_hap.data();
+}
+const int32_t* phi_anchors_occ_start(void* hp) {
+  return static_cast<anchors::Handle*>(hp)->occ_start.data();
+}
+const int32_t* phi_anchors_occ_end(void* hp) {
+  return static_cast<anchors::Handle*>(hp)->occ_end.data();
+}
+const int32_t* phi_anchors_occ_kmer(void* hp) {
+  return static_cast<anchors::Handle*>(hp)->occ_kmer.data();
+}
+const int64_t* phi_anchors_per_hap(void* hp) {
+  return static_cast<anchors::Handle*>(hp)->per_hap_anchors.data();
+}
+void phi_anchors_free(void* hp) { delete static_cast<anchors::Handle*>(hp); }
+
 }  // extern "C"

@@ -137,7 +137,35 @@ def anchor_tables_from_hits(graph: PangenomeGraph, k: int,
                             spectrum_size: int,
                             threshold: float) -> AnchorTables:
     """Build solver tables from per-hap join hits:
-    hits[h] = (n_minimizers, kmer_start_base_positions, spectrum_ids)."""
+    hits[h] = (n_minimizers, kmer_start_base_positions, spectrum_ids).
+
+    Uses the native single-pass C++ kernel when available (the numpy path
+    below is the behavioral reference, parity-tested); both implement the
+    reference's compute_anchors + threshold filter semantics."""
+    H = graph.num_walks
+    per_hap_min = np.array([hits[h][0] for h in range(H)], np.int64)
+    try:
+        from phi_tpu.native import anchors_native
+        nat = anchors_native(graph, k, hits, spectrum_size, threshold)
+    except Exception:
+        nat = None
+    if nat is not None:
+        occ_hap, occ_start, occ_end, occ_kmer, n_model, filtered, per_hap = nat
+        return AnchorTables(
+            occ_hap=occ_hap, occ_start=occ_start, occ_end=occ_end,
+            occ_kmer=occ_kmer,
+            occ_weight=np.ones(len(occ_hap), np.float32),
+            n_model_kmers=n_model, spectrum_size=spectrum_size,
+            filtered_kmers=filtered, per_hap_minimizers=per_hap_min,
+            per_hap_anchors=per_hap)
+    return _anchor_tables_from_hits_py(graph, k, hits, spectrum_size,
+                                       threshold)
+
+
+def _anchor_tables_from_hits_py(graph: PangenomeGraph, k: int,
+                                hits: list[tuple[int, np.ndarray, np.ndarray]],
+                                spectrum_size: int,
+                                threshold: float) -> AnchorTables:
     H = graph.num_walks
     parts_h, parts_s, parts_e, parts_id = [], [], [], []
     per_hap_minimizers = np.zeros(H, dtype=np.int64)

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Lagrangian refinement rounds when gap > 0 [4]")
     p.add_argument("--mesh", type=int, default=0,
                    help="solve over an N-device mesh (hap x sp sharding) [off]")
+    p.add_argument("--save-index", default=None, metavar="NPZ",
+                   help="persist spectrum + join hits for parameter re-solves")
+    p.add_argument("--load-index", default=None, metavar="NPZ",
+                   help="reuse a saved index (skips read loading + sketching)")
     p.add_argument("--version", action="store_true", help="print version")
     return p
 
@@ -51,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.version:
         print(f"PHI version: {__version__}")
         return 0
-    if not (args.gfa and args.reads and args.out):
+    if not (args.gfa and args.out and (args.reads or args.load_index)):
         build_parser().print_usage(sys.stderr)
         return 1
 
@@ -61,7 +65,8 @@ def main(argv: list[str] | None = None) -> int:
                       is_qclp=args.q, is_mixed=args.m, is_naive_exp=args.N,
                       num_threads=args.t, max_occ=args.c, debug=bool(args.d),
                       max_sweeps=args.sweeps, lagrangian_rounds=args.lagrangian,
-                      mesh_devices=args.mesh)
+                      mesh_devices=args.mesh, save_index=args.save_index,
+                      load_index=args.load_index)
 
         from phi_tpu.pipeline import run_pipeline
         run_pipeline(args.gfa, args.reads, args.out, opt)

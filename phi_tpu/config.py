@@ -25,6 +25,10 @@ class Options:
     lagrangian_rounds: int = 4  # reweighting rounds to tighten the z_i gap (0=off)
     device: str | None = None   # 'tpu' | 'cpu' | None (jax default)
     mesh_devices: int = 0       # >1: solve over a device mesh (hap x sp sharding)
+    save_index: str | None = None  # write spectrum+join-hits checkpoint here
+    load_index: str | None = None  # reuse a checkpoint (skips sketching);
+    #                                parameter re-solves (R/T sweeps) go
+    #                                straight to anchors+solve
 
     def __post_init__(self) -> None:
         if not (1 <= self.k <= 31):

@@ -100,6 +100,22 @@ def get_lib() -> ctypes.CDLL | None:
                                    ctypes.POINTER(ctypes.c_uint32),
                                    ctypes.POINTER(ctypes.c_uint32),
                                    c_i32p, c_i64]
+
+    lib.phi_anchors.restype = c_p
+    lib.phi_anchors.argtypes = [c_i64, c_i64, c_i32p, c_i32p, c_i64p,
+                                c_i64p, c_i32p, c_i32p, c_i64,
+                                ctypes.c_int32, ctypes.c_double]
+    for name in ("phi_anchors_n_occ", "phi_anchors_n_model_kmers",
+                 "phi_anchors_filtered_kmers"):
+        getattr(lib, name).restype = c_i64
+        getattr(lib, name).argtypes = [c_p]
+    for name in ("phi_anchors_occ_hap", "phi_anchors_occ_start",
+                 "phi_anchors_occ_end", "phi_anchors_occ_kmer"):
+        getattr(lib, name).restype = c_i32p
+        getattr(lib, name).argtypes = [c_p]
+    lib.phi_anchors_per_hap.restype = c_i64p
+    lib.phi_anchors_per_hap.argtypes = [c_p]
+    lib.phi_anchors_free.argtypes = [c_p]
     _lib = lib
     return _lib
 
@@ -223,6 +239,53 @@ def minimizers_native(codes: np.ndarray, k: int, w: int):
         if cnt <= cap:
             return hi[:cnt].copy(), lo[:cnt].copy(), pos[:cnt].copy()
         cap = int(cnt)
+
+
+def anchors_native(graph, k: int,
+                   hits: list[tuple[int, np.ndarray, np.ndarray]],
+                   spectrum_size: int, threshold: float):
+    """Native anchor-table construction: returns (occ_hap, occ_start,
+    occ_end, occ_kmer, n_model_kmers, filtered_kmers, per_hap_anchors) or
+    None. Requires per-hap hit positions in ascending order (the join emits
+    them that way)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    H = graph.num_walks
+    hit_off = np.zeros(H + 1, np.int64)
+    for h in range(H):
+        n = len(hits[h][1])
+        hit_off[h + 1] = hit_off[h] + n
+        if n > 1 and not (np.diff(hits[h][1].astype(np.int64)) >= 0).all():
+            return None  # fall back to the order-independent numpy path
+    hit_pos = np.ascontiguousarray(
+        np.concatenate([hits[h][1] for h in range(H)])
+        if hit_off[-1] else np.zeros(0, np.int32), np.int32)
+    hit_sid = np.ascontiguousarray(
+        np.concatenate([hits[h][2] for h in range(H)])
+        if hit_off[-1] else np.zeros(0, np.int32), np.int32)
+    wm = np.ascontiguousarray(graph.walk_mat, np.int32)
+    wl = np.ascontiguousarray(graph.walk_len, np.int32)
+    nl = np.ascontiguousarray(graph.gfa.node_len, np.int64)
+    hp = lib.phi_anchors(
+        H, graph.walk_mat.shape[1] if H else 0,
+        wm.ctypes.data_as(c_i32p), wl.ctypes.data_as(c_i32p),
+        nl.ctypes.data_as(c_i64p),
+        np.ascontiguousarray(hit_off).ctypes.data_as(c_i64p),
+        hit_pos.ctypes.data_as(c_i32p), hit_sid.ctypes.data_as(c_i32p),
+        spectrum_size, k, threshold)
+    try:
+        n_occ = lib.phi_anchors_n_occ(hp)
+        occ_hap = _copy(lib.phi_anchors_occ_hap(hp), n_occ, np.int32)
+        occ_start = _copy(lib.phi_anchors_occ_start(hp), n_occ, np.int32)
+        occ_end = _copy(lib.phi_anchors_occ_end(hp), n_occ, np.int32)
+        occ_kmer = _copy(lib.phi_anchors_occ_kmer(hp), n_occ, np.int32)
+        n_model = int(lib.phi_anchors_n_model_kmers(hp))
+        filtered = int(lib.phi_anchors_filtered_kmers(hp))
+        per_hap = _copy(lib.phi_anchors_per_hap(hp), H, np.int64)
+    finally:
+        lib.phi_anchors_free(hp)
+    return occ_hap, occ_start, occ_end, occ_kmer, n_model, filtered, per_hap
 
 
 def edit_distance(a: np.ndarray | str, b: np.ndarray | str,

@@ -74,38 +74,66 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         from phi_tpu.solve.dp import start_prewarm_thread
         start_prewarm_thread(graph, opt.recombination, opt.max_sweeps)
 
-    t1 = time.time()
-    reads = load_read_batch(reads_path)
-    timings["load_reads"] = time.time() - t1
-    plog.log("ILP_function",
-             f"Graph has {graph.n_vtx} vertices, {graph.num_walks} walks "
-             f"and read has {reads.n_reads} reads")
+    if opt.load_index:
+        # checkpoint path: spectrum + per-hap join hits were persisted by a
+        # previous run (--save-index); parameter re-solves skip sketching
+        from phi_tpu.checkpoint import load_index
+        t1 = time.time()
+        spectrum, hits, meta = load_index(opt.load_index)
+        if meta and (int(meta.get("k", opt.k)) != opt.k
+                     or int(meta.get("w", opt.w)) != opt.w):
+            raise ValueError(
+                f"index {opt.load_index} was built with k={meta.get('k')} "
+                f"w={meta.get('w')}, run requests k={opt.k} w={opt.w}")
+        if len(hits) != graph.num_walks:
+            raise ValueError(
+                f"index {opt.load_index} has {len(hits)} haplotypes, "
+                f"graph has {graph.num_walks}")
+        plog.log("ILP_function",
+                 f"Loaded index from {opt.load_index}: spectrum "
+                 f"{len(spectrum[0])}, {graph.num_walks} haplotypes")
+        timings["load_reads"] = 0.0
+        timings["sketch_reads"] = 0.0
+        timings["sketch_haps"] = time.time() - t1
+    else:
+        t1 = time.time()
+        reads = load_read_batch(reads_path)
+        timings["load_reads"] = time.time() - t1
+        plog.log("ILP_function",
+                 f"Graph has {graph.n_vtx} vertices, {graph.num_walks} walks "
+                 f"and read has {reads.n_reads} reads")
 
-    # --- read spectrum (hot loop #2 in the reference; first here so the
-    # haplotype sketch can join on device and ship only hits) ---
-    t1 = time.time()
-    spectrum = sketch_read_batch(reads.codes, opt.k, opt.w, reads.lengths)
-    timings["sketch_reads"] = time.time() - t1
+        # --- read spectrum (hot loop #2 in the reference; first here so the
+        # haplotype sketch can join on device and ship only hits) ---
+        t1 = time.time()
+        spectrum = sketch_read_batch(reads.codes, opt.k, opt.w, reads.lengths)
+        timings["sketch_reads"] = time.time() - t1
 
-    # --- haplotype sketching + anchor join (hot loops #1 and #3) ---
-    # device join per haplotype; sketch_join_sequence falls back to the exact
-    # host join automatically for walks containing non-ACGT bases
-    t1 = time.time()
-    import jax.numpy as jnp
+        # --- haplotype sketching + anchor join (hot loops #1 and #3) ---
+        # device join per haplotype; sketch_join_sequence falls back to the
+        # exact host join automatically for walks containing non-ACGT bases
+        t1 = time.time()
+        import jax.numpy as jnp
+
+        from phi_tpu.sketch.minimizer import sketch_join_many
+        sp_hi_d = jnp.asarray(spectrum[0])
+        sp_lo_d = jnp.asarray(spectrum[1])
+        plog.raw("Number of Minimizers")
+        hap_codes = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
+        hits = sketch_join_many(hap_codes, opt.k, opt.w, sp_hi_d, sp_lo_d)
+        for h in range(graph.num_walks):
+            plog.raw(f"{graph.walk_names[h]} : {hits[h][0]}")
+        plog.log("ILP_function", "Haplotypes sketched")
+        timings["sketch_haps"] = time.time() - t1
+        plog.log("ILP_function",
+                 f"Indexed reads with spectrum size: {len(spectrum[0])}")
+        if opt.save_index:
+            from phi_tpu.checkpoint import save_index
+            save_index(opt.save_index, spectrum, hits,
+                       meta={"k": opt.k, "w": opt.w})
+            plog.log("ILP_function", f"Index saved to {opt.save_index}")
 
     from phi_tpu.anchors.join import anchor_tables_from_hits
-    from phi_tpu.sketch.minimizer import sketch_join_many
-    sp_hi_d = jnp.asarray(spectrum[0])
-    sp_lo_d = jnp.asarray(spectrum[1])
-    plog.raw("Number of Minimizers")
-    hap_codes = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
-    hits = sketch_join_many(hap_codes, opt.k, opt.w, sp_hi_d, sp_lo_d)
-    for h in range(graph.num_walks):
-        plog.raw(f"{graph.walk_names[h]} : {hits[h][0]}")
-    plog.log("ILP_function", "Haplotypes sketched")
-    timings["sketch_haps"] = time.time() - t1
-    plog.log("ILP_function",
-             f"Indexed reads with spectrum size: {len(spectrum[0])}")
 
     # --- anchor tables: interval conversion + threshold filter ---
     t1 = time.time()
@@ -156,7 +184,7 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     t1 = time.time()
     seq = graph.path_seq(result.vertices)
     if out_path is not None:
-        name = hap_name_from_paths(gfa_path, reads_path)
+        name = hap_name_from_paths(gfa_path, reads_path or opt.load_index or "index")
         write_fasta(out_path, name, seq)
         plog.log("ILP_function",
                  f"Haplotype of size: {len(seq)} written to: {out_path}")

@@ -70,3 +70,30 @@ def test_cli_rejects_walkless_gfa(tmp_path):
              "PYTHONPATH": "/root/repo"})
     assert proc.returncode == 1
     assert "W-line" in proc.stderr
+
+
+def test_cli_save_and_load_index(tmp_path):
+    env = {"PATH": "/usr/bin:/bin", "PALLAS_AXON_POOL_IPS": "",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root", "PYTHONPATH": "/root/repo"}
+    idx = str(tmp_path / "mhc.idx.npz")
+    out1, out2 = str(tmp_path / "o1.fa"), str(tmp_path / "o2.fa")
+    base = [sys.executable, "-m", "phi_tpu.cli",
+            "-g", "/root/reference/test/test.gfa", "-k", "4", "-w", "2"]
+    p1 = subprocess.run(base + ["-r", "/root/reference/test/read.fa",
+                                "-o", out1, "--save-index", idx],
+                        capture_output=True, text=True, timeout=300, env=env)
+    assert p1.returncode == 0, p1.stderr
+    assert "Index saved" in p1.stderr
+    # re-solve from the index without reads (R sweep use case)
+    p2 = subprocess.run(base + ["-o", out2, "--load-index", idx, "-R", "50"],
+                        capture_output=True, text=True, timeout=300, env=env)
+    assert p2.returncode == 0, p2.stderr
+    assert "Loaded index" in p2.stderr
+    seq1 = "".join(l.strip() for l in open(out1) if not l.startswith(">"))
+    seq2 = "".join(l.strip() for l in open(out2) if not l.startswith(">"))
+    assert seq1 == seq2 == "ATCGAAAATACTTACCATG"
+    # k mismatch is a clean error
+    p3 = subprocess.run(base[:-4] + ["-k", "5", "-w", "2", "-o", out2,
+                                     "--load-index", idx],
+                        capture_output=True, text=True, timeout=300, env=env)
+    assert p3.returncode == 1 and "was built with" in p3.stderr

@@ -99,3 +99,77 @@ def test_native_gfa_matches_python_mhc4():
     assert np.array_equal(gn.edge_v, gp.edge_v)
     assert gn.walk_names == gp.walk_names
     assert all(np.array_equal(a, b) for a, b in zip(gn.walks, gp.walks))
+
+
+def test_native_anchor_tables_parity():
+    """Native single-pass anchors == numpy reference path, at a scale with
+    multi-node spans, zero-length nodes, and filterable repeats."""
+    import random
+
+    from phi_tpu.anchors.join import (_anchor_tables_from_hits_py,
+                                      anchor_tables_from_hits,
+                                      build_anchor_tables, sketch_haplotypes)
+    from phi_tpu.graph import tensorize
+    from phi_tpu.io.build import build_gfa_data
+    from phi_tpu.io.gfa import encode_seq
+    from phi_tpu.native import anchors_native
+    from phi_tpu.sketch.minimizer import sketch_read_batch
+
+    rng = random.Random(11)
+    bases = "ACGT"
+    segments, walks_segs = {}, [[] for _ in range(5)]
+    sid = 0
+    for b in range(60):
+        # repeat-heavy anchors (triggers the threshold filter) + tiny nodes
+        seq = ("ACGTACGT" if b % 7 == 0 else
+               "".join(rng.choice(bases) for _ in range(rng.randint(1, 9))))
+        name = f"s{sid}"; sid += 1
+        segments[name] = seq
+        for h in range(5):
+            walks_segs[h].append(name)
+        if b % 3 == 0:
+            alleles = []
+            for a in range(2):
+                name = f"s{sid}"; sid += 1
+                # include empty (deletion) alleles: zero-length nodes
+                segments[name] = "" if a == 0 and b % 6 == 0 else \
+                    "".join(rng.choice(bases) for _ in range(rng.randint(1, 4)))
+                alleles.append(name)
+            for h in range(5):
+                walks_segs[h].append(alleles[rng.randrange(2)])
+    graph = tensorize(build_gfa_data(
+        segments, [(f"hap{h}.0", walks_segs[h]) for h in range(5)]))
+
+    k, w = 6, 3
+    read = "".join(segments[s] for s in walks_segs[2])
+    codes = np.full((1, len(read)), 4, np.uint8)
+    codes[0] = encode_seq(read)
+    spectrum = sketch_read_batch(codes, k, w,
+                                 np.array([len(read)], np.int32))
+    sketches = sketch_haplotypes(graph, k, w)
+    anchors = build_anchor_tables(graph, k, sketches, spectrum, 0.5)
+
+    # reconstruct per-hap hits the way the pipeline produces them
+    from phi_tpu.sketch.encode import combine64
+    sp_key = combine64(*spectrum)
+    hits = []
+    for h in range(5):
+        hi, lo, pos = sketches[h]
+        key = combine64(hi, lo)
+        idx = np.searchsorted(sp_key, key)
+        idx_c = np.minimum(idx, len(sp_key) - 1)
+        m = sp_key[idx_c] == key
+        hits.append((len(hi), pos[m].astype(np.int32), idx[m].astype(np.int32)))
+
+    py = _anchor_tables_from_hits_py(graph, k, hits, len(sp_key), 0.5)
+    nat = anchors_native(graph, k, hits, len(sp_key), 0.5)
+    assert nat is not None, "native library unavailable"
+    occ_hap, occ_start, occ_end, occ_kmer, n_model, filtered, per_hap = nat
+    assert filtered == py.filtered_kmers
+    assert n_model == py.n_model_kmers
+    assert np.array_equal(per_hap, py.per_hap_anchors)
+    assert np.array_equal(occ_hap, py.occ_hap)
+    assert np.array_equal(occ_start, py.occ_start)
+    assert np.array_equal(occ_end, py.occ_end)
+    assert np.array_equal(occ_kmer, py.occ_kmer)
+    assert py.filtered_kmers > 0  # the filter actually fired in this instance
