@@ -756,6 +756,46 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
   return h;
 }
 
+// ------------------------------------------------------- graph tensor utils
+
+// lanes_of_vertex CSR by counting sort: for each vertex, the flat lane
+// states h*P+p in row-major order (same order as the numpy stable-argsort
+// path in pangenome.build_csr). Caller allocates off[n_vtx+1], values[total].
+void phi_lane_csr(int64_t H, int64_t P, const int32_t* walk_mat,
+                  const int32_t* walk_len, int64_t n_vtx, int64_t* off,
+                  int64_t* values) {
+  std::vector<int64_t> cnt(static_cast<size_t>(n_vtx) + 1, 0);
+  for (int64_t h = 0; h < H; h++) {
+    const int32_t* row = walk_mat + h * P;
+    int64_t L = walk_len[h];
+    for (int64_t p = 0; p < L; p++)
+      if (row[p] >= 0) cnt[row[p]]++;
+  }
+  off[0] = 0;
+  for (int64_t v = 0; v < n_vtx; v++) off[v + 1] = off[v] + cnt[v];
+  std::vector<int64_t> cur(off, off + n_vtx);
+  for (int64_t h = 0; h < H; h++) {
+    const int32_t* row = walk_mat + h * P;
+    int64_t L = walk_len[h];
+    for (int64_t p = 0; p < L; p++)
+      if (row[p] >= 0) values[cur[row[p]]++] = h * P + p;
+  }
+}
+
+// concatenated base codes of one walk (ILP_index.cpp:363-366 analog);
+// returns the total length written (caller allocates sum(node_len[walk])).
+int64_t phi_walk_codes(const uint8_t* seq_code, const int64_t* node_off,
+                       const int32_t* walk, int64_t walk_len, uint8_t* out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < walk_len; i++) {
+    int32_t v = walk[i];
+    int64_t n = node_off[v + 1] - node_off[v];
+    memcpy(out + pos, seq_code + node_off[v], static_cast<size_t>(n));
+    pos += n;
+  }
+  return pos;
+}
+
 int64_t phi_anchors_n_occ(void* hp) {
   return static_cast<int64_t>(static_cast<anchors::Handle*>(hp)->occ_hap.size());
 }

@@ -37,8 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", type=int, default=5000, help="max k-mer occurrence (compat) [5000]")
     p.add_argument("-d", type=int, default=0, help="debug mode [0]")
     p.add_argument("--sweeps", type=int, default=256, help="DP sweep cap [256]")
-    p.add_argument("--lagrangian", type=int, default=4,
-                   help="Lagrangian refinement rounds when gap > 0 [4]")
+    p.add_argument("--lagrangian", type=int, default=8,
+                   help="Lagrangian refinement rounds when gap > 0 [8]")
     p.add_argument("--mesh", type=int, default=0,
                    help="solve over an N-device mesh (hap x sp sharding) [off]")
     p.add_argument("--save-index", default=None, metavar="NPZ",

@@ -22,7 +22,7 @@ class Options:
     max_occ: int = 5000         # -c: accepted for compatibility (unused in reference solve path too)
     debug: bool = False         # -d
     max_sweeps: int = 256       # solver fixpoint sweep cap
-    lagrangian_rounds: int = 4  # reweighting rounds to tighten the z_i gap (0=off)
+    lagrangian_rounds: int = 8  # reweighting round cap (certification/stall stop early)
     device: str | None = None   # 'tpu' | 'cpu' | None (jax default)
     mesh_devices: int = 0       # >1: solve over a device mesh (hap x sp sharding)
     save_index: str | None = None  # write spectrum+join-hits checkpoint here

@@ -116,6 +116,12 @@ def get_lib() -> ctypes.CDLL | None:
     lib.phi_anchors_per_hap.restype = c_i64p
     lib.phi_anchors_per_hap.argtypes = [c_p]
     lib.phi_anchors_free.argtypes = [c_p]
+
+    lib.phi_lane_csr.restype = None
+    lib.phi_lane_csr.argtypes = [c_i64, c_i64, c_i32p, c_i32p, c_i64,
+                                 c_i64p, c_i64p]
+    lib.phi_walk_codes.restype = c_i64
+    lib.phi_walk_codes.argtypes = [c_u8p, c_i64p, c_i32p, c_i64, c_u8p]
     _lib = lib
     return _lib
 
@@ -286,6 +292,43 @@ def anchors_native(graph, k: int,
     finally:
         lib.phi_anchors_free(hp)
     return occ_hap, occ_start, occ_end, occ_kmer, n_model, filtered, per_hap
+
+
+def lane_csr_native(walk_mat: np.ndarray, walk_len: np.ndarray,
+                    n_vtx: int):
+    """(off, values) of the vertex -> flat-lane-state CSR, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    H, P = walk_mat.shape
+    wm = np.ascontiguousarray(walk_mat, np.int32)
+    wl = np.ascontiguousarray(walk_len, np.int32)
+    total = int(wl.sum())
+    off = np.zeros(n_vtx + 1, np.int64)
+    values = np.empty(total, np.int64)
+    lib.phi_lane_csr(H, P, wm.ctypes.data_as(c_i32p),
+                     wl.ctypes.data_as(c_i32p), n_vtx,
+                     off.ctypes.data_as(c_i64p),
+                     values.ctypes.data_as(c_i64p))
+    return off, values
+
+
+def walk_codes_native(seq_code: np.ndarray, node_off: np.ndarray,
+                      walk: np.ndarray) -> np.ndarray | None:
+    """Concatenated base codes of one walk, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sc = np.ascontiguousarray(seq_code, np.uint8)
+    no = np.ascontiguousarray(node_off, np.int64)
+    wk = np.ascontiguousarray(walk, np.int32)
+    total = int((no[wk + 1] - no[wk]).sum())
+    out = np.empty(total, np.uint8)
+    n = lib.phi_walk_codes(sc.ctypes.data_as(c_u8p),
+                           no.ctypes.data_as(c_i64p),
+                           wk.ctypes.data_as(c_i32p), len(wk),
+                           out.ctypes.data_as(c_u8p))
+    return out[:n]
 
 
 def edit_distance(a: np.ndarray | str, b: np.ndarray | str,

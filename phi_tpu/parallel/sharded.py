@@ -136,6 +136,76 @@ def sharded_solve(mesh: Mesh, *, R: float, n_vtx: int, max_sweeps: int = 256):
     return jax.jit(sm)
 
 
+def sharded_solve_exact(mesh: Mesh, *, R: float, n_vtx: int, n_layers: int,
+                        max_sweeps: int = 256):
+    """Exact-credit sharded DP (see solve.dp._solve_exact_jit): W straddle
+    layers are sharded like S/B; the prefix and recent-entry branches index
+    a full-row all_gather of A along 'sp' (same memory class as the D
+    gather the switch-source reduction already needs)."""
+
+    def step(S, B, W, state_vertex, walk_len, esrc_h, esrc_p, esrc_target):
+        Hs, Ps = S.shape
+        sp_idx = jax.lax.axis_index("sp")
+        gcol = sp_idx * Ps + jnp.arange(Ps)
+        valid = gcol[None, :] < walk_len[:, None]
+        vtx_clip = jnp.maximum(state_vertex, 0)
+        has_vtx = state_vertex >= 0
+
+        def sweep(M):
+            D = jnp.where(valid, M - B, _INF)
+            D_sp = jax.lax.all_gather(D, "sp", axis=1, tiled=True)
+            D_full = jax.lax.all_gather(D_sp, "hap", axis=0, tiled=True)
+            sv = D_full[esrc_h, esrc_p]
+            ent = jax.ops.segment_min(sv, esrc_target, num_segments=n_vtx)
+            E = jnp.where(has_vtx, ent[vtx_clip] + R, _INF)
+            E = jnp.where((gcol[None, :] == 0), jnp.minimum(E, 0.0), E)
+            A = jnp.where(valid, E + S, _INF)
+            A_sp = jax.lax.all_gather(A, "sp", axis=1, tiled=True)  # [Hs, P]
+            scan_full = jax.lax.associative_scan(jnp.minimum, A_sp, axis=1)
+            idx = jnp.maximum(gcol - n_layers, 0)
+            Mn = jnp.where((gcol >= n_layers)[None, :],
+                           scan_full[:, idx], _INF)
+            for j in range(n_layers):
+                idxj = jnp.maximum(gcol - j, 0)
+                aj = jnp.where((gcol >= j)[None, :], A_sp[:, idxj], _INF)
+                Mn = jnp.minimum(Mn, aj - W[j])
+            return Mn
+
+        def cond(c):
+            M, M_prev, it = c
+            changed = jnp.any(M < M_prev - 1e-4)
+            changed = jax.lax.pmax(jax.lax.pmax(
+                changed.astype(jnp.int32), "sp"), "hap") > 0
+            return (it < max_sweeps) & changed
+
+        def body(c):
+            M, _, it = c
+            return sweep(M), M, it + 1
+
+        M0 = jnp.full(S.shape, _INF)
+        M1 = sweep(M0)
+        M, _, sweeps = jax.lax.while_loop(cond, body, (sweep(M1), M1, jnp.int32(2)))
+        D = jnp.where(valid, M - B, _INF)
+        ends = jnp.where((gcol[None, :] == (walk_len[:, None] - 1)) & valid,
+                         D, _INF)
+        end_min = jax.lax.pmin(jax.lax.pmin(ends.min(), "sp"), "hap")
+        return M, end_min, sweeps
+
+    in_specs = (
+        P("hap", "sp"), P("hap", "sp"), P(None, "hap", "sp"),  # S, B, W
+        P("hap", "sp"), P("hap"),
+        P(None), P(None), P(None),
+    )
+    out_specs = (P("hap", "sp"), P(), P())
+    try:
+        sm = shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover
+        sm = shard_map(step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+    return jax.jit(sm)
+
+
 def sharded_full_step(mesh: Mesh, *, k: int, w: int, R: float, n_vtx: int,
                       n_sweeps: int = 4):
     """Build the jitted multi-chip step:
@@ -228,15 +298,27 @@ def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
     the standard decoder."""
     import numpy as np
     S, B, state_vertex, walk_len = prepare_sharded_tables(tables, mesh)
-    solver = sharded_solve(mesh, R=tables.R, n_vtx=tables.n_vtx,
-                           max_sweeps=max_sweeps)
     common = (jnp.asarray(state_vertex), jnp.asarray(walk_len),
               jnp.asarray(tables.esrc_h), jnp.asarray(tables.esrc_p),
               jnp.asarray(tables.esrc_target))
     B_dev = jnp.asarray(B)
-    M, _, sweeps = solver(jnp.asarray(S), B_dev, *common)
-    # valid lower bound: optimistic entry charge S := B (see solve_dp)
-    _, end_min_lb, _ = solver(B_dev, B_dev, *common)
+    if tables.W is not None:
+        # exact-credit mode: one fixpoint is both the bound and the path
+        L = tables.W.shape[0]
+        Wp = np.zeros((L,) + S.shape, np.float32)
+        Wp[:, :tables.W.shape[1], :tables.W.shape[2]] = tables.W
+        solver = sharded_solve_exact(mesh, R=tables.R, n_vtx=tables.n_vtx,
+                                     n_layers=L, max_sweeps=max_sweeps)
+        M, end_min, sweeps = solver(jnp.asarray(S), B_dev, jnp.asarray(Wp),
+                                    *common)
+        lb_term = float(end_min)
+    else:
+        solver = sharded_solve(mesh, R=tables.R, n_vtx=tables.n_vtx,
+                               max_sweeps=max_sweeps)
+        M, _, sweeps = solver(jnp.asarray(S), B_dev, *common)
+        # valid lower bound: optimistic entry charge S := B (see solve_dp)
+        _, end_min_lb, _ = solver(B_dev, B_dev, *common)
+        lb_term = float(end_min_lb)
     H, P = tables.S.shape
     M_np = np.asarray(M)[:H, :P]
     valid = np.arange(P)[None, :] < tables.walk_len[:, None]
@@ -244,5 +326,5 @@ def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
     ends = np.where(tables.walk_len > 0,
                     D[np.arange(H), np.maximum(tables.walk_len - 1, 0)],
                     np.inf).astype(np.float32)
-    lb = float(tables.const + float(end_min_lb)) if H else float(tables.const)
+    lb = float(tables.const + lb_term) if H else float(tables.const)
     return M_np, ends, int(sweeps), lb

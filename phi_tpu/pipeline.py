@@ -72,7 +72,7 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     import jax as _jax
     if _jax.default_backend() != "cpu":
         from phi_tpu.solve.dp import start_prewarm_thread
-        start_prewarm_thread(graph, opt.recombination, opt.max_sweeps)
+        start_prewarm_thread(graph, opt.recombination, opt.max_sweeps, opt.k)
 
     if opt.load_index:
         # checkpoint path: spectrum + per-hap join hits were persisted by a
@@ -208,17 +208,22 @@ def _solve_once(tables, opt: Options):
 
 
 def _solve_and_decode(graph, tables, anchors, opt: Options) -> DecodeResult:
-    """Solve and decode; on the single-chip path both the search and the
-    optimistic fixpoints are decoded and the better-scoring path kept (they
-    bracket the non-separable exact credit from below/above; either can win)."""
+    """Solve and decode. Normal case (tables.W present): one exact-credit
+    fixpoint — the decoded path is the optimal relaxed path and the value a
+    valid bound. Bracket fallback (pathological spans, W=None): both the
+    search and the optimistic fixpoints are decoded and the better-scoring
+    path kept (they bracket the non-separable credit from below/above)."""
     if opt.mesh_devices and opt.mesh_devices > 1:
         M, ends, sweeps, lb = _solve_once(tables, opt)
+        return decode_path(graph, tables, anchors, M, ends, sweeps, lb)
+    if tables.W is not None:
+        M, ends, sweeps, lb = solve_dp(tables, opt.max_sweeps)
         return decode_path(graph, tables, anchors, M, ends, sweeps, lb)
     from phi_tpu.solve.dp import solve_dp_both
     (M, ends), (M_opt, ends_opt), sweeps, lb = solve_dp_both(tables, opt.max_sweeps)
     best = decode_path(graph, tables, anchors, M, ends, sweeps, lb)
     try:
-        t_opt = dataclasses.replace(tables, S=tables.B)
+        t_opt = dataclasses.replace(tables, S=tables.B, W=None)
         cand = decode_path(graph, t_opt, anchors, M_opt, ends_opt, sweeps, lb)
         if cand.true_objective < best.true_objective:
             best = cand
@@ -231,9 +236,14 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
                            opt: Options) -> DecodeResult:
     """One DP solve; if the decoded path's exact objective is above the DP
     bound (duplicate k-mer credit), run Lagrangian reweighting rounds:
-    occurrence weights mu_i are subgradient-updated and the DP re-run; valid
-    lower bound max_mu L(mu), best primal path kept (DESIGN.md)."""
-    tables = build_solver_tables(graph, anchors, opt.recombination)
+    per-kmer multipliers mu_i in [0,1] scale occurrence weights, updated by
+    Polyak-stepped subgradients (g_i = covered multiplicity - 1 on the
+    current relaxation path: duplicates push mu down, uncovered k-mers
+    restore it toward 1); valid lower bound max_mu L(mu), best primal path
+    kept, loop stops early when the bound certifies or stalls (DESIGN.md)."""
+    from phi_tpu.solve.prep import solver_layers
+    layers = solver_layers(graph, opt.k)
+    tables = build_solver_tables(graph, anchors, opt.recombination, layers)
     best = _solve_and_decode(graph, tables, anchors, opt)
     best_bound = best.dp_objective
     rounds = opt.lagrangian_rounds
@@ -243,23 +253,44 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
 
     n_kmer_ids = int(anchors.occ_kmer.max()) + 1 if len(anchors.occ_kmer) else 0
     mu = np.ones(n_kmer_ids, np.float32)
+    relax_path = best  # the relaxation argmin path under the current mu
+    stall = 0
     for it in range(rounds):
-        # multiplicity of covered occurrences per k-mer on the current path
+        # covered-occurrence multiplicity per k-mer on the relaxation path
         covered = np.zeros(len(anchors.occ_hap), bool)
-        for (sh, sq, sp) in best.segments:
+        for (sh, sq, sp) in relax_path.segments:
             covered |= ((anchors.occ_hap == sh) & (anchors.occ_start >= sq)
                         & (anchors.occ_end <= sp))
         mult = np.bincount(anchors.occ_kmer[covered], minlength=n_kmer_ids)
-        step = 1.0 / (2 + it)
-        mu = np.clip(mu - step * np.maximum(mult - 1, 0), 0.0, 1.0).astype(np.float32)
-        anchors.occ_weight = mu[anchors.occ_kmer]
-        tables = build_solver_tables(graph, anchors, opt.recombination)
-        cand = _solve_and_decode(graph, tables, anchors, opt)
+        dup = mult >= 2
+        release = (mult == 0) & (mu < 1.0)
+        if not dup.any() and not release.any():
+            break
+        # k-mers duplicated on the argmin path: for this fixed path the
+        # dual-optimal multiplier is exactly 0 (their L-contribution is
+        # mu*(1-mult) <= -mu) — jump there (coordinate ascent); released
+        # k-mers (no longer covered at all) ascend back by a Polyak step
+        mu[dup] = 0.0
+        if release.any():
+            g = np.zeros(n_kmer_ids)
+            g[release] = -1.0
+            step = max(best.true_objective - best_bound, 0.1) / float(release.sum())
+            mu = np.clip(mu - step * g, 0.0, 1.0).astype(np.float32)
+        anchors_w = dataclasses.replace(
+            anchors, occ_weight=mu[anchors.occ_kmer])
+        tables = build_solver_tables(graph, anchors_w, opt.recombination,
+                                     layers)
+        cand = _solve_and_decode(graph, tables, anchors_w, opt)
+        relax_path = cand
+        improved = cand.dp_objective > best_bound + 1e-6
         best_bound = max(best_bound, cand.dp_objective)
-        if cand.true_objective < best.true_objective:
+        if cand.true_objective < best.true_objective - 1e-6:
             best = cand
+            improved = True
         if best.true_objective - best_bound <= 0.5:
             break
-    anchors.occ_weight = np.ones(len(anchors.occ_hap), np.float32)
+        stall = 0 if improved else stall + 1
+        if stall >= 3:
+            break
     best.dp_objective = best_bound
     return best

@@ -63,6 +63,22 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     run_min = np.minimum.accumulate(A, axis=1)
     cols = np.arange(P)[None, :]
     qlatest = np.maximum.accumulate(np.where(A <= run_min + 0, cols, -1), axis=1)
+    L = t.W.shape[0] if t.W is not None else 0
+
+    def entry_for(h: int, p: int) -> int:
+        """Entry position achieving M[h,p]. Bracket mode: rightmost running
+        minimum. Exact mode: the best of the L recent-entry candidates
+        (A[q] - W[p-q, p]) and the q <= p-L prefix branch."""
+        if L == 0:
+            return int(qlatest[h, p])
+        best_v, best_q = np.inf, -1
+        for j in range(min(L, p + 1)):
+            cv = A[h, p - j] - t.W[j, h, p]
+            if cv < best_v - 1e-9:
+                best_v, best_q = cv, p - j
+        if p - L >= 0 and run_min[h, p - L] < best_v - 1e-9:
+            return int(qlatest[h, p - L])
+        return best_q
 
     # CSR over esrc_target for switch-source lookup (reuses the sort above)
     if len(t.esrc_h):
@@ -76,7 +92,7 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     segments: list[tuple[int, int, int]] = []
     edges_used: list[int] = []
     for _ in range(P * H + 1):
-        q = int(qlatest[h, p])
+        q = entry_for(h, p)
         if q < 0:
             raise RuntimeError(
                 f"backtrace: no entry point found for lane {h} position {p}")

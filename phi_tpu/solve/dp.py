@@ -75,7 +75,13 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
     common = (jnp.asarray(eh), jnp.asarray(ep), jnp.asarray(et),
               jnp.asarray(sv), jnp.asarray(wl),
               jnp.float32(t.R), Vb, max_sweeps)
-    return (jnp.asarray(S), jnp.asarray(B)), common, (H, P)
+    W_dev = None
+    if t.W is not None:
+        L = t.W.shape[0]
+        W = np.zeros((L, Hb, Pb), np.float32)
+        W[:, :H, :P] = t.W
+        W_dev = jnp.asarray(W)
+    return (jnp.asarray(S), jnp.asarray(B), W_dev), common, (H, P)
 
 
 @functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps"))
@@ -114,24 +120,79 @@ def _solve_jit(S, B, esrc_h, esrc_p, esrc_target, state_vertex, walk_len,
     return M, ends, sweeps
 
 
+@functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps"))
+def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
+                     walk_len, R, n_vtx: int, max_sweeps: int):
+    """Exact-credit fixpoint: per-visit credit corrected by the straddle
+    layers W (SolverTables.W), so M is the true local-credit relaxation.
+    L = W.shape[0] is static; all shifts are shape-preserving rolls."""
+    H, P = S.shape
+    L = W.shape[0]
+    cols = jnp.arange(P)[None, :]
+    valid = cols < walk_len[:, None]
+    vtx_clip = jnp.maximum(state_vertex, 0)
+    has_vtx = state_vertex >= 0
+
+    def sweep(M):
+        D = jnp.where(valid, M - B, _INF)
+        sv = D[esrc_h, esrc_p]
+        ent = jax.ops.segment_min(sv, esrc_target, num_segments=n_vtx,
+                                  indices_are_sorted=False)
+        e_state = jnp.where(has_vtx, ent[vtx_clip] + R, _INF)
+        e_state = e_state.at[:, 0].set(jnp.minimum(e_state[:, 0], 0.0))
+        A = jnp.where(valid, e_state + S, _INF)
+        scan = jax.lax.associative_scan(jnp.minimum, A, axis=1)
+        # entries at q <= p - L: S charge exact (all straddlers closed)
+        Mn = jnp.where(cols >= L, jnp.roll(scan, L, axis=1), _INF)
+        # recent entries q = p - j, j < L: subtract still-open straddlers
+        for j in range(L):
+            aj = jnp.where(cols >= j, jnp.roll(A, j, axis=1), _INF)
+            Mn = jnp.minimum(Mn, aj - W[j])
+        return Mn
+
+    def cond(carry):
+        M, M_prev, it = carry
+        changed = jnp.any(M < M_prev - 1e-4)
+        return (it < max_sweeps) & changed
+
+    def body(carry):
+        M, _, it = carry
+        return sweep(M), M, it + 1
+
+    M0 = jnp.full((H, P), _INF)
+    M1 = sweep(M0)
+    M, _, sweeps = jax.lax.while_loop(cond, body, (sweep(M1), M1, jnp.int32(2)))
+    D = jnp.where(valid, M - B, _INF)
+    ends = D[jnp.arange(H), jnp.maximum(walk_len - 1, 0)]
+    ends = jnp.where(walk_len > 0, ends, _INF)
+    return M, ends, sweeps
+
+
+def _warn_cap(n_sweeps: int, max_sweeps: int) -> None:
+    if n_sweeps >= max_sweeps:
+        import sys
+        print(f"[W::solve_dp] sweep cap {max_sweeps} reached; solution may be "
+              "suboptimal (raise Options.max_sweeps)", file=sys.stderr)
+
+
 def solve_dp_both(t: SolverTables, max_sweeps: int = 256):
-    """Run both credit accountings; returns
-    ((M, ends), (M_opt, ends_opt), n_sweeps, lower_bound).
+    """Bracket-mode solve (fallback when t.W is None, i.e. pathological
+    anchor spans): returns ((M, ends), (M_opt, ends_opt), n_sweeps, lb).
 
     The search DP charges entry at S[q] = sum(start < q), whose per-visit
     credit B[p] - S[q] equals (covered occurrences) - (occurrences spanning
     the whole visit) — an UNDER-count, so its value is a heuristic score,
-    not a bound (exact per-visit credit is not separable into f(p) - g(q)).
+    not a bound (exact per-visit credit is not separable into f(p) - g(q)
+    without the W correction layers).
 
     The second fixpoint uses the optimistic entry charge S := B (credit
     B[p] - B[q] = sum(q < end <= p), an over-count of coverable credit,
     since every covered occurrence has q <= start < end <= p). Its minimum
     is <= the local-credit relaxation optimum <= the reference's
     distinct-kmer ILP optimum — a valid lower bound, with slack only from
-    entry-straddling occurrences at switch points (and from duplicate
-    k-mer credit, which Lagrangian reweighting tightens). Both fixpoints
-    are decodable paths; callers keep whichever re-scores better."""
-    (S_dev, B_dev), common, (H, P) = _bucketed_args(t, max_sweeps)
+    entry-straddling occurrences at switch points. Both fixpoints are
+    decodable paths; callers keep whichever re-scores better."""
+    (S_dev, B_dev, _), common, (H, P) = _bucketed_args(t, max_sweeps)
     M, ends, sweeps = _solve_jit(S_dev, B_dev, *common)
     M_opt, ends_opt, sweeps_opt = _solve_jit(B_dev, B_dev, *common)
     M = np.asarray(M)[:H, :P]
@@ -139,30 +200,44 @@ def solve_dp_both(t: SolverTables, max_sweeps: int = 256):
     M_opt = np.asarray(M_opt)[:H, :P]
     ends_opt = np.asarray(ends_opt)[:H]
     n_sweeps = max(int(sweeps), int(sweeps_opt))
-    if n_sweeps >= max_sweeps:
-        import sys
-        print(f"[W::solve_dp] sweep cap {max_sweeps} reached; solution may be "
-              "suboptimal (raise Options.max_sweeps)", file=sys.stderr)
+    _warn_cap(n_sweeps, max_sweeps)
     lb = float(t.const + ends_opt.min()) if len(ends_opt) else float(t.const)
     return (M, ends), (M_opt, ends_opt), n_sweeps, lb
 
 
 def solve_dp(t: SolverTables, max_sweeps: int = 256):
-    """Returns (M, ends, n_sweeps, dp_objective). dp_objective is the valid
-    lower bound from the optimistic accounting (see solve_dp_both); M/ends
-    are the search DP's, for decoding."""
-    (M, ends), _, n_sweeps, lb = solve_dp_both(t, max_sweeps)
+    """Returns (M, ends, n_sweeps, dp_objective).
+
+    With t.W present (the normal case), one exact-credit fixpoint: M is the
+    true local-credit relaxation, so dp_objective is simultaneously a valid
+    lower bound on the reference's distinct-kmer ILP optimum AND the value
+    of the decodable optimal relaxed path (gap comes only from duplicate
+    k-mer credit, which Lagrangian reweighting tightens). Without W,
+    bracket mode (see solve_dp_both) — M/ends are the search fixpoint's and
+    dp_objective the optimistic bound."""
+    if t.W is None:
+        (M, ends), _, n_sweeps, lb = solve_dp_both(t, max_sweeps)
+        return M, ends, n_sweeps, lb
+    (S_dev, B_dev, W_dev), common, (H, P) = _bucketed_args(t, max_sweeps)
+    M, ends, sweeps = _solve_exact_jit(S_dev, B_dev, W_dev, *common)
+    M = np.asarray(M)[:H, :P]
+    ends = np.asarray(ends)[:H]
+    n_sweeps = int(sweeps)
+    _warn_cap(n_sweeps, max_sweeps)
+    lb = float(t.const + ends.min()) if len(ends) else float(t.const)
     return M, ends, n_sweeps, lb
 
 
-def prewarm_solver(graph, R: float, max_sweeps: int = 256) -> None:
+def prewarm_solver(graph, R: float, max_sweeps: int = 256,
+                   k: int | None = None) -> None:
     """Compile (and trivially execute) the solver program for this graph's
     bucket shapes — anchors are not needed, because the bucketed shape
-    depends only on (H, P, n_esrc, n_vtx), all graph properties. Run in a
-    background thread right after graph load so the expensive remote-tunnel
-    XLA compile overlaps host read ingest + sketch/join (VERDICT round 1:
-    cold-process wall was dominated by this compile arriving last)."""
-    from phi_tpu.solve.prep import switch_sources_cached
+    depends only on (H, P, n_esrc, n_vtx) and the k-derived W-layer bucket,
+    all graph properties. Run in a background thread right after graph load
+    so the expensive remote-tunnel XLA compile overlaps host read ingest +
+    sketch/join (VERDICT round 1: cold-process wall was dominated by this
+    compile arriving last)."""
+    from phi_tpu.solve.prep import MAX_LAYERS, solver_layers, switch_sources_cached
     esrc_h, _, _, _ = switch_sources_cached(graph)
     H, P = graph.walk_mat.shape
     Hb, Pb, Eb, Vb = bucket_shapes(H, P, len(esrc_h), graph.n_vtx)
@@ -172,18 +247,25 @@ def prewarm_solver(graph, R: float, max_sweeps: int = 256) -> None:
     eh = jnp.zeros((Eb,), jnp.int32)
     ep = jnp.full((Eb,), Pb - 1, jnp.int32)
     et = jnp.full((Eb,), Vb - 1, jnp.int32)
-    out = _solve_jit(S, S, eh, ep, et, sv, wl, jnp.float32(R), Vb, max_sweeps)
+    args = (eh, ep, et, sv, wl, jnp.float32(R), Vb, max_sweeps)
+    L = solver_layers(graph, k) if k is not None else 1
+    if L <= MAX_LAYERS:
+        W = jnp.zeros((L, Hb, Pb), jnp.float32)
+        out = _solve_exact_jit(S, S, W, *args)
+    else:
+        out = _solve_jit(S, S, *args)
     jax.block_until_ready(out)
 
 
-def start_prewarm_thread(graph, R: float, max_sweeps: int = 256):
+def start_prewarm_thread(graph, R: float, max_sweeps: int = 256,
+                         k: int | None = None):
     """prewarm_solver on a daemon thread; returns the Thread (join before
     timing-sensitive solves if you want deterministic phases)."""
     import threading
 
     def work():
         try:
-            prewarm_solver(graph, R, max_sweeps)
+            prewarm_solver(graph, R, max_sweeps, k)
         except Exception:
             pass  # prewarm is best-effort; the real solve will compile
 

@@ -33,6 +33,15 @@ class SolverTables:
     R: float
     const: float              # sum of occurrence-kmer weights (Σ_i mu_i)
     n_vtx: int
+    # Exact-credit correction layers (None -> bracket-DP fallback mode):
+    # W[j, h, p] = weight of occurrences with start < p-j <= p < end — the
+    # straddlers still open at p for an entry j positions back. With L
+    # layers (L >= max_span - 1), the per-visit credit
+    #   C(q,p) = B[p] - S[q]            for q <= p - L   (S charge is exact)
+    #   C(q,p) = B[p] - S[q] + W[p-q,p] for q >  p - L   (recent entries)
+    # equals the exact covered-occurrence weight, so the DP value IS the
+    # local-credit relaxation optimum (valid bound AND optimal search).
+    W: np.ndarray | None = None  # float32 [L, H, P]; L possibly 0
 
     @property
     def H(self) -> int:
@@ -83,8 +92,90 @@ def switch_sources_cached(graph: PangenomeGraph):
     return cached
 
 
+def _bucket_layers(n: int) -> int:
+    """Layer counts bucketed to {0, 1, 2, 4, 8, ...} so one compiled solver
+    program covers a span family (extra zero layers are mathematically
+    inert: W_j == 0 for j >= max_span - 1)."""
+    if n <= 0:
+        return 0
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+# Above this many correction layers the W stack would dominate memory
+# (L * H * P floats); fall back to the bracket DP (valid bound + heuristic
+# search, DESIGN.md). Spans this long only arise from pathological chains of
+# zero-length nodes.
+MAX_LAYERS = 64
+
+
+def straddle_layers(graph: PangenomeGraph, t: AnchorTables,
+                    n_layers: int) -> np.ndarray:
+    """W[j, h, p] = total weight of occurrences with s < p-j <= p < e,
+    for j in [0, n_layers). Built as per-layer difference arrays: occurrence
+    [s, e] contributes to W_j over p in [s+1+j, e-1]."""
+    H, P = graph.walk_mat.shape
+    W = np.zeros((n_layers, H, P), np.float32)
+    if n_layers == 0 or len(t.occ_hap) == 0:
+        return W
+    span = (t.occ_end - t.occ_start).astype(np.int64)
+    hap = t.occ_hap.astype(np.int64)
+    s64 = t.occ_start.astype(np.int64)
+    e64 = t.occ_end.astype(np.int64)
+    w = t.occ_weight.astype(np.float32)
+    for j in range(n_layers):
+        sel = span >= j + 2  # need s+1+j <= e-1
+        if not sel.any():
+            break
+        lo = hap[sel] * P + (s64[sel] + 1 + j)
+        hi = hap[sel] * P + e64[sel]  # exclusive end of the p-range
+        diff = np.bincount(lo, weights=w[sel], minlength=H * P)
+        diff -= np.bincount(hi, weights=w[sel], minlength=H * P + 1)[:H * P]
+        W[j] = np.cumsum(diff.reshape(H, P).astype(np.float32),
+                         axis=1, dtype=np.float32)
+        # ranges never cross lane boundaries: s+1+j <= e-1 < walk_len <= P
+        # and both endpoints live in lane `hap`, so the row cumsum is exact
+    return W
+
+
+def max_kmer_span(graph: PangenomeGraph, k: int) -> int:
+    """Upper bound on occ_end - occ_start for any k-mer anchor: the worst
+    case starts at the last base of a node. Graph-only (no anchors), so the
+    solver's W-layer count — and hence its compiled program shape — is known
+    right after graph load (compile prewarm) and stable across read sets."""
+    cache = getattr(graph, "_span_cache", None)
+    if cache is None:
+        cache = {}
+        graph._span_cache = cache
+    if k in cache:
+        return cache[k]
+    m = 1
+    for h in range(graph.num_walks):
+        cl = graph.walk_node_cumlen[h]
+        n = len(cl) - 1
+        if n <= 0:
+            continue
+        last_base = cl[1:] - 1  # last base offset of each node
+        e_idx = np.searchsorted(cl, last_base + k - 1, side="right") - 1
+        e_idx = np.minimum(e_idx, n - 1)
+        m = max(m, int((e_idx - np.arange(n)).max()))
+    cache[k] = m
+    return m
+
+
+def solver_layers(graph: PangenomeGraph, k: int) -> int:
+    """Bucketed W-layer count for this (graph, k); values above MAX_LAYERS
+    make build_solver_tables fall back to the bracket DP."""
+    return _bucket_layers(max_kmer_span(graph, k) - 1)
+
+
 def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
-                        R: float) -> SolverTables:
+                        R: float, n_layers: int | None = None) -> SolverTables:
+    """n_layers: W-layer count override (pipeline passes solver_layers() so
+    the program shape is stable across Lagrangian rounds and read sets);
+    default derives it from the anchors actually present."""
     S, B = credit_arrays(graph, anchors)
     esrc_h, esrc_p, esrc_target, esrc_edge = switch_sources_cached(graph)
     # const term: each model k-mer contributes weight mu_i (occ_weight is
@@ -94,9 +185,15 @@ def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
         const = float(anchors.occ_weight[first].sum())
     else:
         const = 0.0
+    if n_layers is None:
+        max_span = int((anchors.occ_end - anchors.occ_start).max()) \
+            if len(anchors.occ_hap) else 1
+        n_layers = _bucket_layers(max_span - 1)
+    W = straddle_layers(graph, anchors, n_layers) \
+        if n_layers <= MAX_LAYERS else None
     return SolverTables(
         S=S, B=B, esrc_h=esrc_h, esrc_p=esrc_p,
         esrc_target=esrc_target, esrc_edge=esrc_edge,
         state_vertex=graph.walk_mat, walk_len=graph.walk_len,
-        R=float(R), const=const, n_vtx=graph.n_vtx,
+        R=float(R), const=const, n_vtx=graph.n_vtx, W=W,
     )

@@ -173,3 +173,26 @@ def test_native_anchor_tables_parity():
     assert np.array_equal(occ_end, py.occ_end)
     assert np.array_equal(occ_kmer, py.occ_kmer)
     assert py.filtered_kmers > 0  # the filter actually fired in this instance
+
+
+def test_native_lane_csr_and_walk_codes_parity():
+    from phi_tpu.graph.pangenome import build_csr
+    from phi_tpu.io.gfa import read_gfa
+    from phi_tpu.native import lane_csr_native, walk_codes_native
+    g = read_gfa("/root/reference/test/test.gfa")
+    from phi_tpu.graph import tensorize
+    G = tensorize(g)
+    # CSR parity vs the numpy stable-argsort construction
+    hh, pp = np.nonzero(G.walk_mat >= 0)
+    flat = (hh * G.P + pp).astype(np.int64)
+    ref = build_csr(G.walk_mat[hh, pp].astype(np.int64), flat, G.n_vtx)
+    off, values = lane_csr_native(G.walk_mat, G.walk_len, G.n_vtx)
+    assert np.array_equal(off, ref.off)
+    assert np.array_equal(values, ref.values)
+    # walk codes parity vs the slice-concat path
+    for h in range(G.num_walks):
+        walk = G.walk_mat[h, :G.walk_len[h]]
+        nat = walk_codes_native(g.seq_code, g.node_off, walk)
+        ref_codes = np.concatenate(
+            [g.seq_code[g.node_off[v]:g.node_off[v + 1]] for v in walk])
+        assert np.array_equal(nat, ref_codes)

@@ -71,3 +71,70 @@ def test_refined_solution_is_optimal(seed):
     # primal feasibility and dual bound always bracket the optimum
     assert res.true_objective >= exact - 1e-3, f"k={k} w={w} R={R}"
     assert res.dp_objective <= exact + 1e-3, f"k={k} w={w} R={R}"
+
+
+def test_duplicate_credit_trap_at_scale():
+    """Engineered 10^3-state instance with heavy duplicate credit: lane B
+    repeats a read motif at ~250 distinct loci, so the raw relaxation bound
+    is wildly loose (measured: -61 vs true optimum 1.0 — every motif
+    occurrence earns credit though the distinct k-mer counts once). The
+    Lagrangian rounds must drive the duplicate multipliers down until the
+    bound certifies the (known-by-construction) lane-A optimum within the
+    0.5 integer tolerance (VERDICT round 1 §6)."""
+    import random
+
+    import numpy as np
+
+    from phi_tpu.anchors.join import build_anchor_tables, sketch_haplotypes
+    from phi_tpu.config import Options
+    from phi_tpu.graph import tensorize
+    from phi_tpu.io.build import build_gfa_data
+    from phi_tpu.io.gfa import encode_seq
+    from phi_tpu.pipeline import _solve_with_refinement
+    from phi_tpu.sketch.minimizer import sketch_read_batch
+
+    rng = random.Random(5)
+    bases = "ACGT"
+    motif = "ACGGTTCAAGGC"  # non-palindromic
+    segments, A, B = {}, [], []
+    sid = 0
+
+    def seg(seq):
+        nonlocal sid
+        out = []
+        for i in range(0, len(seq), 5):  # 5bp chop -> multi-node k-mers
+            name = f"s{sid}"; sid += 1
+            segments[name] = seq[i:i + 5]
+            out.append(name)
+        return out
+
+    shared0 = seg("TTACCGGATCAA")
+    A += shared0; B += shared0
+    for b in range(250):
+        A += seg("".join(rng.choice(bases) for _ in range(12)))
+        # B repeats the motif at distinct loci, padded with unique junk so
+        # each motif occurrence is a distinct anchor locus
+        B += seg(motif + rng.choice(bases))
+    sharedN = seg("GGTTACAGCATT")
+    A += sharedN; B += sharedN
+    graph = tensorize(build_gfa_data(
+        segments, [("A.0", A), ("B.0", B)]))
+    assert graph.walk_len.max() >= 700  # ~10^3 lane states
+
+    read = "".join(segments[s] for s in A) + motif  # motif present once
+    k, w = 8, 3
+    codes = np.full((1, len(read)), 4, np.uint8)
+    codes[0] = encode_seq(read)
+    spectrum = sketch_read_batch(codes, k, w, np.array([len(read)], np.int32))
+    sketches = sketch_haplotypes(graph, k, w)
+    anchors = build_anchor_tables(graph, k, sketches, spectrum, 1.0)
+
+    opt = Options(k=k, w=w, recombination=100.0, lagrangian_rounds=12)
+    res = _solve_with_refinement(graph, anchors, opt)
+    # lane A covers every model k-mer except possibly motif-boundary ones
+    assert res.n_switches == 0
+    assert np.array_equal(res.vertices,
+                          graph.walk_mat[0, :graph.walk_len[0]]), \
+        "refinement must recover lane A despite B's duplicate credit"
+    assert res.true_objective - res.dp_objective <= 0.5 + 1e-6, \
+        f"gap not closed: {res.true_objective} vs {res.dp_objective}"

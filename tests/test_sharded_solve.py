@@ -22,7 +22,8 @@ def test_sharded_solve_matches_single_chip(n_devices):
         jnp.asarray(state_vertex), jnp.asarray(walk_len),
         jnp.asarray(t.esrc_h), jnp.asarray(t.esrc_p),
         jnp.asarray(t.esrc_target))
-    _, ends, _, _ = solve_dp(t)
+    import dataclasses as dc
+    _, ends, _, _ = solve_dp(dc.replace(t, W=None))  # like-for-like: bracket
     assert float(end_min) == pytest.approx(float(ends.min()), abs=1e-4)
     assert int(sweeps) < 256
 
@@ -58,7 +59,8 @@ def test_sharded_solve_synthetic():
         jnp.asarray(S), jnp.asarray(B), jnp.asarray(sv), jnp.asarray(wl),
         jnp.asarray(t.esrc_h), jnp.asarray(t.esrc_p),
         jnp.asarray(t.esrc_target))
-    M_single, ends, _, _ = solve_dp(t)
+    import dataclasses as dc
+    M_single, ends, _, _ = solve_dp(dc.replace(t, W=None))  # bracket pair
     assert float(end_min) == pytest.approx(float(ends.min()), abs=1e-3)
     # the sharded fixpoint matches the single-chip fixpoint on the
     # unpadded (finite) region
@@ -83,3 +85,23 @@ def test_solve_dp_sharded_drop_in():
     res_1 = decode_path(graph, t, anchors, M_1, ends_1, sweeps_1, obj_1)
     assert res_s.segments == res_1.segments
     assert np.array_equal(res_s.vertices, res_1.vertices)
+
+
+def test_solve_dp_sharded_exact_mode():
+    """Exact-credit sharded solver (W layers sharded) == single-chip exact
+    solver, values and decode both."""
+    from phi_tpu.parallel.sharded import solve_dp_sharded
+    from phi_tpu.solve.decode import decode_path
+
+    k, w, R = 4, 2, 1.0
+    graph, codes, lengths, spectrum, anchors, t = tiny_instance(k, w, R)
+    assert t.W is not None
+    mesh = make_mesh(8)
+    M_s, ends_s, sweeps_s, obj_s = solve_dp_sharded(t, mesh)
+    M_1, ends_1, sweeps_1, obj_1 = solve_dp(t)
+    assert obj_s == pytest.approx(obj_1, abs=1e-4)
+    assert np.allclose(np.where(np.isfinite(M_1), M_s, 0),
+                       np.where(np.isfinite(M_1), M_1, 0), atol=1e-3)
+    res_s = decode_path(graph, t, anchors, M_s, ends_s, sweeps_s, obj_s)
+    res_1 = decode_path(graph, t, anchors, M_1, ends_1, sweeps_1, obj_1)
+    assert res_s.segments == res_1.segments

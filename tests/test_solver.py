@@ -184,21 +184,37 @@ def test_lower_bound_valid_under_spanning_occurrence():
     assert res.true_objective >= exact - 1e-3
 
 
-def test_both_decodes_bracket_spanning_optimum():
-    """On the engineered instance neither separable accounting decodes the
-    exact mid-anchor path (non-separable credit); _solve_and_decode must
-    still return the better of the two heuristic paths, and the reported
-    bound/objective must bracket the true optimum (no false certification,
-    which the old single-accounting gap produced here: gap would have been
-    1.0 - 1.0 = 0 while the optimum is 0.6)."""
+def test_exact_mode_certifies_spanning_optimum():
+    """The W-corrected exact DP decodes the engineered mid-anchor path
+    (A[0,2] -> B[3,4] -> A[5,6]) and certifies it: value == brute force.
+    The old single-accounting DP falsely certified the 1.0 stay-A path."""
     from phi_tpu.config import Options
     from phi_tpu.pipeline import _solve_and_decode
     graph, anchors, tables = _ladder_instance(R=0.3)
+    assert tables.W is not None and tables.W.shape[0] >= 3
     res = _solve_and_decode(graph, tables, anchors, Options(recombination=0.3))
+    exact, _ = brute_force_optimum(graph, tables, anchors)
+    assert exact == pytest.approx(0.6, abs=1e-3)
+    assert res.true_objective == pytest.approx(exact, abs=1e-3)
+    assert res.dp_objective == pytest.approx(exact, abs=1e-3)
+    assert res.n_switches == 2
+
+
+def test_bracket_fallback_brackets_spanning_optimum():
+    """With W disabled (the pathological-span fallback), the two separable
+    accountings must bracket the optimum: valid bound below, decoded path
+    above, and NO false certification (the round-1 advisor finding)."""
+    import dataclasses as dc
+
+    from phi_tpu.config import Options
+    from phi_tpu.pipeline import _solve_and_decode
+    graph, anchors, tables = _ladder_instance(R=0.3)
+    tables_b = dc.replace(tables, W=None)
+    res = _solve_and_decode(graph, tables_b, anchors, Options(recombination=0.3))
     exact, _ = brute_force_optimum(graph, tables, anchors)
     assert res.dp_objective <= exact + 1e-3
     assert res.true_objective >= exact - 1e-3
-    # the gap is honestly nonzero here — the path is NOT certified optimal
+    # bracket mode cannot decode the mid-anchor path; the gap stays open
     assert res.true_objective - res.dp_objective > 0.5
 
 
