@@ -133,6 +133,9 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
                        meta={"k": opt.k, "w": opt.w})
             plog.log("ILP_function", f"Index saved to {opt.save_index}")
 
+    if opt.debug:
+        _debug_sharing_histogram(graph, opt)
+
     from phi_tpu.anchors.join import anchor_tables_from_hits
 
     # --- anchor tables: interval conversion + threshold filter ---
@@ -196,6 +199,24 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         recombination_count=recomb, report_segments=segs,
         graph=graph, timings=timings,
     )
+
+
+def _debug_sharing_histogram(graph: PangenomeGraph, opt: Options) -> None:
+    """The reference's debug k-mer sharing histogram
+    (ILP_index.cpp:576-606): for each distinct haplotype minimizer, in how
+    many walks it occurs; printed as shared fractions."""
+    from phi_tpu.anchors.join import sketch_haplotypes
+    from phi_tpu.sketch.encode import combine64
+    sketches = sketch_haplotypes(graph, opt.k, opt.w)
+    parts = [np.unique(combine64(hi, lo)) for hi, lo, _ in sketches]
+    allk = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    uniq, cnt = np.unique(allk, return_counts=True)
+    hist = np.bincount(cnt, minlength=graph.num_walks + 1)
+    total = max(len(uniq), 1)
+    plog.raw("Shared fraction of unique kmers by haplotypes")
+    for i in range(1, graph.num_walks + 1):
+        plog.raw(f"[Haplotypes: {i}, fraction of unique shared kmers: "
+                 f"{hist[i] / total:.5f}]")
 
 
 def _solve_once(tables, opt: Options):

@@ -97,3 +97,20 @@ def test_cli_save_and_load_index(tmp_path):
                                      "--load-index", idx],
                         capture_output=True, text=True, timeout=300, env=env)
     assert p3.returncode == 1 and "was built with" in p3.stderr
+
+
+def test_cli_debug_sharing_histogram(tmp_path):
+    env = {"PATH": "/usr/bin:/bin", "PALLAS_AXON_POOL_IPS": "",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root", "PYTHONPATH": "/root/repo"}
+    p = subprocess.run(
+        [sys.executable, "-m", "phi_tpu.cli", "-g", "/root/reference/test/test.gfa",
+         "-r", "/root/reference/test/read.fa", "-o", str(tmp_path / "o.fa"),
+         "-k", "4", "-w", "2", "-d", "1"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert p.returncode == 0, p.stderr
+    assert "Shared fraction of unique kmers by haplotypes" in p.stderr
+    lines = [l for l in p.stderr.splitlines()
+             if l.startswith("[Haplotypes: ")]
+    assert len(lines) == 5  # one row per walk count (test.gfa has 5 walks)
+    fracs = [float(l.rsplit(" ", 1)[1].rstrip("]")) for l in lines]
+    assert abs(sum(fracs) - 1.0) < 1e-3
