@@ -62,11 +62,17 @@ def read_seq_file(path: str) -> Iterator[tuple[str, bytes]]:
 
 @dataclasses.dataclass
 class ReadBatch:
-    """Padded read codes for device sketching."""
+    """Padded read codes for device sketching.
+
+    When loaded natively, the raw ragged concatenation (concat, off) is kept
+    so the sketch layer can consume it directly — no 2D pad round-trip
+    (the concat is the exact layout the chunked masked sketch wants)."""
 
     codes: np.ndarray    # uint8 [n_reads, max_len], pad value 4 (invalid)
     lengths: np.ndarray  # int32 [n_reads]
     names: list[str]
+    concat: np.ndarray | None = None  # uint8 [total_bases]
+    off: np.ndarray | None = None     # int64 [n_reads + 1]
 
     @property
     def n_reads(self) -> int:
@@ -120,4 +126,6 @@ def _batch_from_concat(codes_concat: np.ndarray, off: np.ndarray,
     rows = np.repeat(np.arange(n), lengths)
     cols = np.arange(len(codes_concat)) - np.repeat(off[:-1], lengths)
     codes[rows, cols] = codes_concat
-    return ReadBatch(codes, lengths, names)
+    return ReadBatch(codes, lengths, names,
+                     concat=np.ascontiguousarray(codes_concat, np.uint8),
+                     off=off.astype(np.int64))

@@ -106,7 +106,11 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         # --- read spectrum (hot loop #2 in the reference; first here so the
         # haplotype sketch can join on device and ship only hits) ---
         t1 = time.time()
-        spectrum = sketch_read_batch(reads.codes, opt.k, opt.w, reads.lengths)
+        if reads.concat is not None:
+            from phi_tpu.sketch.minimizer import sketch_read_concat
+            spectrum = sketch_read_concat(reads.concat, reads.off, opt.k, opt.w)
+        else:
+            spectrum = sketch_read_batch(reads.codes, opt.k, opt.w, reads.lengths)
         timings["sketch_reads"] = time.time() - t1
 
         # --- haplotype sketching + anchor join (hot loops #1 and #3) ---

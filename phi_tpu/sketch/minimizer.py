@@ -492,29 +492,46 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
     return (uniq >> np.uint64(32)).astype(np.uint32), (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
 
+def sketch_read_concat(concat: np.ndarray, off: np.ndarray, k: int,
+                       w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct minimizer spectrum straight from the ragged concatenation
+    the native loader produces — no 2D pad round-trip, no per-read loops."""
+    if len(concat) < w + k - 1:
+        z = np.zeros(0, np.uint32)
+        return z, z.copy()
+    combined = _concat_emissions(concat, np.asarray(off, np.int64), k, w)
+    uniq = np.unique(combined)
+    return ((uniq >> np.uint64(32)).astype(np.uint32),
+            (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+
 def _sketch_concat_emissions(codes: np.ndarray, lengths: np.ndarray,
                              k: int, w: int) -> np.ndarray:
-    """Emitted minimizer keys (uint64, duplicates included) of a read set,
-    via masked concatenated sketching."""
-    n = codes.shape[0]
-    total = int(lengths.sum())
-    concat = np.empty(total, np.uint8)
-    read_end = np.zeros(n, np.int64)
-    off = 0
-    for i in range(n):
-        ln = int(lengths[i])
-        concat[off:off + ln] = codes[i, :ln]
-        off += ln
-        read_end[i] = off
-    # window at global index a is per-read-valid iff [a, a + k + w - 2] lies
-    # within one read: a >= read_start and a + k + w - 2 <= read_end - 1
+    """Emitted minimizer keys (uint64, duplicates included) of a padded 2D
+    read set, via masked concatenated sketching (vectorized)."""
+    W = codes.shape[1]
+    mask = np.arange(W)[None, :] < lengths[:, None]
+    concat = codes[mask]  # row-major: reads concatenated in order
+    off = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=off[1:])
+    return _concat_emissions(concat, off, k, w)
+
+
+def _concat_emissions(concat: np.ndarray, off: np.ndarray,
+                      k: int, w: int) -> np.ndarray:
+    """Emitted minimizer keys of concatenated reads with boundaries `off`.
+    Window at global index a is per-read-valid iff [a, a + k + w - 2] lies
+    within one read; the mask is built with difference arrays (no loops)."""
+    total = len(concat)
     span = k + w - 1
-    read_start = np.concatenate([[0], read_end[:-1]])
-    window_ok_global = np.zeros(total, bool)
-    ok_end = np.maximum(read_start, read_end - span + 1)
-    for i in range(n):
-        if read_end[i] - read_start[i] >= span:
-            window_ok_global[read_start[i]:ok_end[i]] = True
+    read_start = off[:-1]
+    read_end = off[1:]
+    fits = (read_end - read_start) >= span
+    starts = read_start[fits]
+    stops = np.maximum(read_start, read_end - span + 1)[fits]
+    diff = np.bincount(starts, minlength=total + 1).astype(np.int32)
+    diff -= np.bincount(stops, minlength=total + 1).astype(np.int32)
+    window_ok_global = np.cumsum(diff[:total]) > 0
     return _masked_emissions(concat, window_ok_global, k, w)
 
 
