@@ -14,6 +14,7 @@ measured numbers cover the same surface the reference times.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import gzip
 import json
 import os
@@ -111,6 +112,81 @@ def run_one(n_haps: int, length: int = 5_000_000, coverage: float = 2.0,
             "timings": {k: round(v, 2) for k, v in res.timings.items()}}
 
 
+def build_heldout_instance(n_haps: int, length: int, coverages: list[float],
+                           seed: int = 0, var_rate: float = 0.01,
+                           error_rate: float = 0.003, n_rate: float = 0.002,
+                           indel_fraction: float = 0.05,
+                           private_rate: float = 5e-4,
+                           n_breaks: int = 3) -> dict:
+    """Leave-target-out panel (BASELINE config 3, the reference's headline
+    low-coverage accuracy experiment, data/run_batch_1.py): the target is a
+    recombinant mosaic of panel haplotypes (n_breaks switchpoints, like a
+    real sample sharing segments with panel lineages) carrying private SNPs
+    at private_rate — it is NOT a panel walk, so the inferred haplotype must
+    recombine panel walks and its edit-distance floor is the private
+    variation. Reads are sampled with sequencing errors and N positions at
+    each coverage."""
+    d = os.path.join(CACHE_DIR,
+                     f"heldout_h{n_haps}_L{length}_s{seed}_v{var_rate:g}"
+                     f"_e{error_rate:g}_n{n_rate:g}_p{private_rate:g}"
+                     f"_b{n_breaks}")
+    os.makedirs(d, exist_ok=True)
+    gfa_path = os.path.join(d, "panel.gfa")
+    truth_path = os.path.join(d, "truth.fa")
+    read_paths = {c: os.path.join(d, f"reads_{c:g}x.fq.gz") for c in coverages}
+    if not (os.path.exists(gfa_path) and os.path.exists(truth_path)
+            and all(os.path.exists(p) for p in read_paths.values())):
+        rng = np.random.default_rng(seed)
+        graph, hap_seqs = synth_pangenome(rng, length=length, n_haps=n_haps,
+                                          var_rate=var_rate,
+                                          indel_fraction=indel_fraction)
+        # mosaic target with private SNPs
+        bpos = np.sort(rng.integers(length // 10,
+                                    min(len(s) for s in hap_seqs) - length // 10,
+                                    n_breaks))
+        hs = rng.permutation(n_haps)
+        parts, cur, cursor = [], int(hs[0]), 0
+        for i, p in enumerate(bpos.tolist()):
+            parts.append(hap_seqs[cur][cursor:p])
+            cur, cursor = int(hs[(i + 1) % n_haps]), p
+        parts.append(hap_seqs[cur][cursor:])
+        tgt = np.frombuffer("".join(parts).encode(), np.uint8).copy()
+        priv = rng.random(len(tgt)) < private_rate
+        tgt[priv] = np.frombuffer(b"ACGT", np.uint8)[
+            (np.searchsorted(np.frombuffer(b"ACGT", np.uint8), tgt[priv])
+             + rng.integers(1, 4, int(priv.sum()))) % 4]
+        target = tgt.tobytes().decode()
+        write_gfa(graph, path=gfa_path)
+        with open(truth_path, "w") as f:
+            f.write(">target\n")
+            for i in range(0, len(target), 80):
+                f.write(target[i:i + 80] + "\n")
+        for c in coverages:
+            reads, _ = sample_reads(rng, [target], coverage=c,
+                                    error_rate=error_rate)
+            with gzip.open(read_paths[c], "wt") as f:
+                for i, r in enumerate(reads):
+                    arr = np.frombuffer(r.encode(), np.uint8).copy()
+                    ns = rng.random(len(arr)) < n_rate
+                    arr[ns] = ord("N")
+                    rr = arr.tobytes().decode()
+                    f.write(f"@r{i}\n{rr}\n+\n{'I' * len(rr)}\n")
+    return {"gfa": gfa_path, "truth": truth_path, "reads": read_paths}
+
+
+def heldout_sweep(n_haps: int = 8, length: int = 500_000,
+                  coverages: list[float] | None = None, seed: int = 0,
+                  out_csv: str | None = None, opt: Options | None = None):
+    """Coverage sweep over the held-out-target panel; emits the
+    data/plots-shaped CSV (cells '(time, rss, edit)')."""
+    from phi_tpu.eval.batch import run_matrix
+    coverages = coverages or [0.1, 0.5, 1.0, 2.0, 5.0, 10.0]
+    inst = build_heldout_instance(n_haps, length, coverages, seed)
+    cells = [("heldout", f"{c:g}x", inst["reads"][c], inst["truth"])
+             for c in coverages]
+    return run_matrix(inst["gfa"], cells, opt or Options(), out_csv)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="phi-scale")
     ap.add_argument("--haps", default="49", help="comma list, e.g. 3,7,13,25,49")
@@ -118,8 +194,19 @@ def main(argv=None) -> int:
     ap.add_argument("--coverage", type=float, default=2.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out-csv", default=None)
-    ap.add_argument("--lagrangian", type=int, default=4)
+    ap.add_argument("--lagrangian", type=int, default=8)
+    ap.add_argument("--heldout", action="store_true",
+                    help="leave-target-out coverage sweep instead of the "
+                         "hap-count scaling run")
     args = ap.parse_args(argv)
+    if args.heldout:
+        n = int(args.haps.split(",")[0])
+        res = heldout_sweep(n, args.length, seed=args.seed,
+                            out_csv=args.out_csv,
+                            opt=Options(lagrangian_rounds=args.lagrangian))
+        for c in res:
+            print(json.dumps(dataclasses.asdict(c)), flush=True)
+        return 0
     rows = []
     for n in [int(x) for x in args.haps.split(",")]:
         r = run_one(n, args.length, args.coverage, args.seed,

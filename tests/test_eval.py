@@ -55,3 +55,20 @@ def test_truth_vs_panel(tmp_path):
                         [str(tmp_path / "p1.fa"), str(tmp_path / "p2.fa")])
     assert st["distances"] == [0, 1]
     assert st["min"] == 0 and st["max"] == 1
+
+
+def test_heldout_sweep_low_coverage_accuracy(tmp_path, monkeypatch):
+    """Leave-target-out coverage sweep (BASELINE config 3): accuracy improves
+    with coverage toward the private-variant floor, and the true mosaic's
+    switchpoints are recovered at moderate coverage."""
+    monkeypatch.setattr("phi_tpu.eval.scale.CACHE_DIR", str(tmp_path))
+    from phi_tpu.config import Options
+    from phi_tpu.eval.scale import heldout_sweep
+    res = heldout_sweep(n_haps=4, length=60_000, coverages=[0.2, 2.0],
+                        seed=1, out_csv=str(tmp_path / "sweep.csv"),
+                        opt=Options(lagrangian_rounds=2))
+    by_cov = {r.coverage: r for r in res}
+    lo, hi = by_cov["0.2x"], by_cov["2x"]
+    assert hi.edit_distance < lo.edit_distance
+    assert hi.recombinations > 0  # target is a mosaic; panel walks alone lose
+    assert (tmp_path / "sweep.csv").read_text().startswith("Reads,")
