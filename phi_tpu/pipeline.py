@@ -105,10 +105,17 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
 
         # --- read spectrum (hot loop #2 in the reference; first here so the
         # haplotype sketch can join on device and ship only hits) ---
+        # Mesh runs shard reads over the dp devices (SURVEY §2.4) and
+        # round-robin haplotypes across devices for the join below.
+        mesh_devices = None
+        if opt.mesh_devices and opt.mesh_devices > 1:
+            from phi_tpu.parallel.sharded import make_mesh
+            mesh_devices = list(make_mesh(opt.mesh_devices).devices.reshape(-1))
         t1 = time.time()
         if reads.concat is not None:
             from phi_tpu.sketch.minimizer import sketch_read_concat
-            spectrum = sketch_read_concat(reads.concat, reads.off, opt.k, opt.w)
+            spectrum = sketch_read_concat(reads.concat, reads.off, opt.k,
+                                          opt.w, devices=mesh_devices)
         else:
             spectrum = sketch_read_batch(reads.codes, opt.k, opt.w, reads.lengths)
         timings["sketch_reads"] = time.time() - t1
@@ -124,7 +131,8 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         sp_lo_d = jnp.asarray(spectrum[1])
         plog.raw("Number of Minimizers")
         hap_codes = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
-        hits = sketch_join_many(hap_codes, opt.k, opt.w, sp_hi_d, sp_lo_d)
+        hits = sketch_join_many(hap_codes, opt.k, opt.w, sp_hi_d, sp_lo_d,
+                                devices=mesh_devices)
         for h in range(graph.num_walks):
             plog.raw(f"{graph.walk_names[h]} : {hits[h][0]}")
         plog.log("ILP_function", "Haplotypes sketched")

@@ -345,7 +345,8 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
 
 
 def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
-                          sp_off, rounds: int, emitcap: int, hitcap: int):
+                          sp_off, rounds: int, emitcap: int, hitcap: int,
+                          device=None):
     """Dispatch every chunk of one sequence asynchronously (the dedup carry
     is a device scalar, so no host sync is needed between chunks)."""
     import jax.numpy as jnp
@@ -355,12 +356,17 @@ def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
     pending = []
     prev_hi = jnp.uint32(0xFFFFFFFF)
     prev_lo = jnp.uint32(0xFFFFFFFF)
+    if device is not None:
+        prev_hi = jax.device_put(prev_hi, device)
+        prev_lo = jax.device_put(prev_lo, device)
     for start in range(0, max(1, L - halo), CHUNK):
         chunk = codes[start:start + pad_len]
         if len(chunk) < pad_len:
             chunk = np.concatenate([chunk, np.full(pad_len - len(chunk), 4, np.uint8)])
         n_valid = min(CHUNK, L - halo - start)
-        out = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
+        chunk_dev = jax.device_put(chunk, device) if device is not None \
+            else jnp.asarray(chunk)
+        out = _sketch_join_jit(chunk_dev, jnp.int32(n_valid),
                                prev_hi, prev_lo, sp_hi, sp_lo, sp_off, k, w,
                                emitcap, hitcap, rounds)
         prev_hi, prev_lo = out[4], out[5]
@@ -369,23 +375,28 @@ def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
 
 
 def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
-                     hitcap: int = 1 << 15
+                     hitcap: int = 1 << 15, devices=None
                      ) -> list[tuple[int, np.ndarray, np.ndarray]]:
     """Device-joined minimizers for MANY sequences with exactly two sync
     round trips total (counts, hits) — per-call tunnel latency would
     otherwise multiply across haplotypes. Sequences with non-ACGT codes (or
-    the CPU backend) take the exact host path per sequence."""
+    the CPU backend) take the exact host path per sequence.
+
+    With `devices`, sequences are round-robined across them (the haplotype
+    parallel axis of the mesh) with the spectrum replicated per device."""
     import jax.numpy as jnp
 
     from phi_tpu.ops.search import make_search_buckets
 
     results: list = [None] * len(seqs)
     device_idx = []
+    multi_dev = devices is not None and len(devices) > 1
     for i, codes in enumerate(seqs):
         L = len(codes)
         if L < w + k - 1:
             results[i] = (0, np.zeros(0, np.int32), np.zeros(0, np.int32))
-        elif jax.default_backend() == "cpu" or (codes >= 4).any():
+        elif (jax.default_backend() == "cpu" and not multi_dev) \
+                or (codes >= 4).any():
             results[i] = _host_join_one(codes, k, w, sp_hi, sp_lo)
         else:
             device_idx.append(i)
@@ -393,40 +404,87 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
         return results
 
     sp_off_np, rounds = make_search_buckets(np.asarray(sp_hi))
-    sp_off = jnp.asarray(sp_off_np)
     halo = k + w - 2
     emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
 
-    pendings = {i: _dispatch_join_chunks(seqs[i], k, w, sp_hi, sp_lo, sp_off,
-                                         rounds, emitcap, hitcap)
-                for i in device_idx}
+    if multi_dev:
+        sp_dev = [(jax.device_put(np.asarray(sp_hi), d),
+                   jax.device_put(np.asarray(sp_lo), d),
+                   jax.device_put(sp_off_np, d)) for d in devices]
+        pendings = {}
+        for j, i in enumerate(device_idx):
+            d = devices[j % len(devices)]
+            dh, dl, doff = sp_dev[j % len(devices)]
+            pendings[i] = _dispatch_join_chunks(
+                seqs[i], k, w, dh, dl, doff, rounds, emitcap, hitcap,
+                device=d)
+    else:
+        sp_off = jnp.asarray(sp_off_np)
+        pendings = {i: _dispatch_join_chunks(seqs[i], k, w, sp_hi, sp_lo,
+                                             sp_off, rounds, emitcap, hitcap)
+                    for i in device_idx}
 
-    # one round trip for ALL counts across all sequences
+    # one round trip for ALL counts across all sequences (per device when
+    # round-robined: stacking across devices is illegal)
     flat = [(i, j) for i in device_idx for j in range(len(pendings[i]))]
-    counts = np.array(jnp.stack(
-        [jnp.stack((pendings[i][j][3][0].astype(jnp.int32),
-                    pendings[i][j][3][1].astype(jnp.int32)))
-         for (i, j) in flat])).astype(np.int64)
+    if multi_dev:
+        by_dev: dict[int, list[int]] = {}
+        for fidx, (i, j) in enumerate(flat):
+            by_dev.setdefault(device_idx.index(i) % len(devices), []).append(fidx)
+        counts = np.zeros((len(flat), 2), np.int64)
+        for _, fidxs in by_dev.items():
+            stacked = np.array(jnp.stack(
+                [jnp.stack((pendings[flat[f][0]][flat[f][1]][3][0].astype(jnp.int32),
+                            pendings[flat[f][0]][flat[f][1]][3][1].astype(jnp.int32)))
+                 for f in fidxs]))
+            counts[fidxs] = stacked.astype(np.int64)
+    else:
+        counts = np.array(jnp.stack(
+            [jnp.stack((pendings[i][j][3][0].astype(jnp.int32),
+                        pendings[i][j][3][1].astype(jnp.int32)))
+             for (i, j) in flat])).astype(np.int64)
     overflow = (counts[:, 1] > hitcap) | (counts[:, 0] > emitcap)
     for fidx in np.flatnonzero(overflow).tolist():  # rare
         i, j = flat[fidx]
         start, n_valid, chunk, out = pendings[i][j]
         prev = (pendings[i][j - 1][3][4], pendings[i][j - 1][3][5]) if j else \
             (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF))
+        if multi_dev:
+            di = device_idx.index(i) % len(devices)
+            r_hi, r_lo, r_off = sp_dev[di]
+        else:
+            r_hi, r_lo, r_off = sp_hi, sp_lo, sp_off
         # n_min is exact even under truncation, and hits <= emissions,
         # so one retry with caps >= n_min is always sufficient
         ec = _next_pow2(max(emitcap, int(counts[fidx, 0])))
         out2 = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
-                                prev[0], prev[1], sp_hi, sp_lo, sp_off,
+                                prev[0], prev[1], r_hi, r_lo, r_off,
                                 k, w, ec, ec, rounds)
         pendings[i][j] = (start, n_valid, chunk, out2)
         counts[fidx, 1] = int(out2[1])
 
-    # one round trip for ALL hit arrays
-    all_pos = np.asarray(jnp.concatenate(
-        [pendings[i][j][3][2] for (i, j) in flat]))
-    all_id = np.asarray(jnp.concatenate(
-        [pendings[i][j][3][3] for (i, j) in flat]))
+    # one round trip for ALL hit arrays (per device when round-robined)
+    if multi_dev:
+        pos_np: dict[int, np.ndarray] = {}
+        id_np: dict[int, np.ndarray] = {}
+        for _, fidxs in by_dev.items():
+            cat_pos = np.asarray(jnp.concatenate(
+                [pendings[flat[f][0]][flat[f][1]][3][2] for f in fidxs]))
+            cat_id = np.asarray(jnp.concatenate(
+                [pendings[flat[f][0]][flat[f][1]][3][3] for f in fidxs]))
+            o = 0
+            for f in fidxs:
+                cap_f = pendings[flat[f][0]][flat[f][1]][3][2].shape[0]
+                pos_np[f] = cat_pos[o:o + cap_f]
+                id_np[f] = cat_id[o:o + cap_f]
+                o += cap_f
+        all_pos = np.concatenate([pos_np[f] for f in range(len(flat))])
+        all_id = np.concatenate([id_np[f] for f in range(len(flat))])
+    else:
+        all_pos = np.asarray(jnp.concatenate(
+            [pendings[i][j][3][2] for (i, j) in flat]))
+        all_id = np.asarray(jnp.concatenate(
+            [pendings[i][j][3][3] for (i, j) in flat]))
 
     off = 0
     acc: dict[int, tuple[int, list, list]] = {i: (0, [], []) for i in device_idx}
@@ -493,13 +551,32 @@ def sketch_read_batch(codes: np.ndarray, k: int, w: int,
 
 
 def sketch_read_concat(concat: np.ndarray, off: np.ndarray, k: int,
-                       w: int) -> tuple[np.ndarray, np.ndarray]:
+                       w: int, devices=None) -> tuple[np.ndarray, np.ndarray]:
     """Distinct minimizer spectrum straight from the ragged concatenation
-    the native loader produces — no 2D pad round-trip, no per-read loops."""
+    the native loader produces — no 2D pad round-trip, no per-read loops.
+
+    With `devices`, reads are split into len(devices) contiguous shards and
+    each shard's chunked sketch is pinned to its own device (the dp
+    data-parallel axis of the mesh, SURVEY §2.4); all dispatches are async,
+    the spectrum union is a host-side sorted dedup."""
     if len(concat) < w + k - 1:
         z = np.zeros(0, np.uint32)
         return z, z.copy()
-    combined = _concat_emissions(concat, np.asarray(off, np.int64), k, w)
+    off = np.asarray(off, np.int64)
+    if devices is not None and len(devices) > 1:
+        from phi_tpu.parallel.dist import read_shard_bounds
+        n_reads = len(off) - 1
+        parts = []
+        for i, d in enumerate(devices):
+            lo, hi = read_shard_bounds(n_reads, i, len(devices))
+            if lo >= hi:
+                continue
+            sub_off = off[lo:hi + 1] - off[lo]
+            sub = concat[off[lo]:off[hi]]
+            parts.append(_concat_emissions(sub, sub_off, k, w, device=d))
+        combined = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    else:
+        combined = _concat_emissions(concat, off, k, w)
     uniq = np.unique(combined)
     return ((uniq >> np.uint64(32)).astype(np.uint32),
             (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32))
@@ -518,7 +595,7 @@ def _sketch_concat_emissions(codes: np.ndarray, lengths: np.ndarray,
 
 
 def _concat_emissions(concat: np.ndarray, off: np.ndarray,
-                      k: int, w: int) -> np.ndarray:
+                      k: int, w: int, device=None) -> np.ndarray:
     """Emitted minimizer keys of concatenated reads with boundaries `off`.
     Window at global index a is per-read-valid iff [a, a + k + w - 2] lies
     within one read; the mask is built with difference arrays (no loops)."""
@@ -532,16 +609,20 @@ def _concat_emissions(concat: np.ndarray, off: np.ndarray,
     diff = np.bincount(starts, minlength=total + 1).astype(np.int32)
     diff -= np.bincount(stops, minlength=total + 1).astype(np.int32)
     window_ok_global = np.cumsum(diff[:total]) > 0
-    return _masked_emissions(concat, window_ok_global, k, w)
+    return _masked_emissions(concat, window_ok_global, k, w, device=device)
 
 
 def _masked_emissions(concat: np.ndarray, window_ok_global: np.ndarray,
-                      k: int, w: int) -> np.ndarray:
+                      k: int, w: int, device=None) -> np.ndarray:
     """Chunked masked sketch over a concatenated sequence; returns emitted
-    uint64 keys (duplicates included)."""
+    uint64 keys (duplicates included). `device` pins execution (data-parallel
+    read shards each run on their own mesh device)."""
     L = len(concat)
     if L < w + k - 1:
         return np.zeros(0, np.uint64)
+
+    def dev(x):
+        return jax.device_put(x, device) if device is not None else jnp.asarray(x)
     halo = k + w - 2
     pad_len = CHUNK + halo
     cap = max(1024, min(pad_len, 4 * pad_len // (w + 1) + 64))
@@ -556,13 +637,12 @@ def _masked_emissions(concat: np.ndarray, window_ok_global: np.ndarray,
         mask = mask.copy()
         mask[min(CHUNK, len(mask)):] = False  # windows owned by the next chunk
         pending.append((chunk, mask,
-                        _sketch_masked_jit(jnp.asarray(chunk),
-                                           jnp.asarray(mask), k, w, cap)))
+                        _sketch_masked_jit(dev(chunk), dev(mask), k, w, cap)))
     for chunk, mask, (count, shi, slo) in pending:
         c = int(count)
         if c > cap:  # adversarial density: redo with a pow2 cap
             count, shi, slo = _sketch_masked_jit(
-                jnp.asarray(chunk), jnp.asarray(mask), k, w, _next_pow2(c))
+                dev(chunk), dev(mask), k, w, _next_pow2(c))
             c = int(count)
         hi = fetch_prefix(shi, c)
         lo = fetch_prefix(slo, c)

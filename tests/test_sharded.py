@@ -61,3 +61,44 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_mesh_pipeline_end_to_end_matches_single():
+    """--mesh N drives the FULL pipeline over the virtual mesh: dp-sharded
+    read sketch, per-device haplotype joins, exact sharded solve — output
+    byte-identical to the single-device run (VERDICT round 1 §5)."""
+    from phi_tpu.config import Options
+    from phi_tpu.pipeline import run_pipeline
+    toy = "/root/reference/test/test.gfa"
+    rd = "/root/reference/test/read.fa"
+    r1 = run_pipeline(toy, rd, None, Options(k=4, w=2, recombination=1.0))
+    r8 = run_pipeline(toy, rd, None,
+                      Options(k=4, w=2, recombination=1.0, mesh_devices=8))
+    assert r8.sequence == r1.sequence
+    assert r8.recombination_count == r1.recombination_count
+    assert r8.decode.dp_objective == pytest.approx(r1.decode.dp_objective, abs=1e-3)
+
+
+def test_mesh_pipeline_synthetic_matches_single(tmp_path):
+    """Same on a denser synthetic instance with recombination."""
+    import gzip as _gzip
+
+    from phi_tpu.config import Options
+    from phi_tpu.eval.synth import sample_reads, synth_pangenome
+    from phi_tpu.io.gfa import write_gfa
+    from phi_tpu.pipeline import run_pipeline
+    rng = np.random.default_rng(9)
+    gfa, hap_seqs = synth_pangenome(rng, length=30000, n_haps=4, var_rate=0.01)
+    reads, _ = sample_reads(rng, hap_seqs, coverage=2.0,
+                            recomb_breaks=[(15000, 2)])
+    g = tmp_path / "g.gfa"
+    write_gfa(gfa, path=str(g))
+    rp = tmp_path / "r.fq.gz"
+    with _gzip.open(rp, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    o1 = run_pipeline(str(g), str(rp), None, Options(recombination=10.0))
+    o8 = run_pipeline(str(g), str(rp), None,
+                      Options(recombination=10.0, mesh_devices=8))
+    assert o8.sequence == o1.sequence
+    assert o8.recombination_count == o1.recombination_count
