@@ -45,8 +45,72 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persist spectrum + join hits for parameter re-solves")
     p.add_argument("--load-index", default=None, metavar="NPZ",
                    help="reuse a saved index (skips read loading + sketching)")
+    p.add_argument("--race", choices=["auto", "on", "off"], default="auto",
+                   help="race a host-CPU run against the TPU run and emit "
+                        "whichever finishes first (first-process XLA "
+                        "compiles on remote TPUs cost minutes) [auto]")
     p.add_argument("--version", action="store_true", help="print version")
     return p
+
+
+def _race_backends(args, argv: list[str]) -> int:
+    """Run the TPU pipeline and a CPU pipeline as subprocesses; the first
+    success wins (its stderr is replayed to preserve the [M::] contract),
+    the loser is killed by exact PID. Fresh TPU processes pay minutes of
+    remote-tunnel XLA compiles; the CPU path delivers in seconds, and a
+    warmed TPU process wins outright."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+    import time
+
+    child_argv = [a for a in argv]
+    for flag in ("--race",):
+        while flag in child_argv:
+            i = child_argv.index(flag)
+            del child_argv[i:i + 2]
+    out_idx = child_argv.index("-o") + 1
+
+    procs = {}
+    tmpdir = tempfile.mkdtemp(prefix="phi_race_")
+    for name in ("tpu", "cpu"):
+        av = list(child_argv)
+        av[out_idx] = os.path.join(tmpdir, f"{name}.fa")
+        env = dict(os.environ)
+        if name == "cpu":
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            env["JAX_PLATFORMS"] = "cpu"
+        procs[name] = subprocess.Popen(
+            [sys.executable, "-m", "phi_tpu.cli"] + av + ["--race", "off"],
+            env=env, stderr=subprocess.PIPE, text=True)
+    winner = None
+    try:
+        while winner is None:
+            for name, p in procs.items():
+                rc = p.poll()
+                if rc == 0:
+                    winner = name
+                    break
+                if rc is not None and all(
+                        q.poll() is not None for q in procs.values()):
+                    # both finished, neither with 0
+                    sys.stderr.write(p.communicate()[1])
+                    return rc
+            time.sleep(0.2)
+        for name, p in procs.items():
+            if name != winner and p.poll() is None:
+                p.kill()
+        err = procs[winner].communicate()[1]
+        sys.stderr.write(err)
+        sys.stderr.write(f"[M::main] Backend race won by: {winner}\n")
+        shutil.move(os.path.join(tmpdir, f"{winner}.fa"), args.out)
+        return 0
+    finally:
+        for p in procs.values():
+            if p.poll() is None:
+                p.kill()
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -58,6 +122,18 @@ def main(argv: list[str] | None = None) -> int:
     if not (args.gfa and args.out and (args.reads or args.load_index)):
         build_parser().print_usage(sys.stderr)
         return 1
+
+    if args.race != "off" and not args.mesh and "-o" in argv:
+        # Backend detection from env ONLY: importing jax here would claim
+        # the (exclusive) TPU in this parent and starve the TPU child.
+        import os
+        tpu_env = os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") \
+            and os.environ.get("PALLAS_AXON_POOL_IPS", "") != ""
+        race_wanted = args.race == "on" or (
+            args.race == "auto" and tpu_env
+            and os.environ.get("PHI_TPU_NO_RACE") != "1")
+        if race_wanted:
+            return _race_backends(args, argv)
 
     plog.reset_timer()
     try:

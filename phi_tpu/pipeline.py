@@ -102,6 +102,13 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         plog.log("ILP_function",
                  f"Graph has {graph.n_vtx} vertices, {graph.num_walks} walks "
                  f"and read has {reads.n_reads} reads")
+        if _jax.default_backend() != "cpu":
+            # overlap the join-program compile with the read-spectrum phase
+            from phi_tpu.sketch.minimizer import (estimate_spectrum_bucket,
+                                                  start_join_prewarm_thread)
+            start_join_prewarm_thread(
+                opt.k, opt.w,
+                estimate_spectrum_bucket(reads.total_bases, opt.k, opt.w))
 
         # --- read spectrum (hot loop #2 in the reference; first here so the
         # haplotype sketch can join on device and ship only hits) ---

@@ -154,6 +154,19 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _join_rounds(spectrum_bucket: int, actual: int) -> int:
+    """Binary-search rounds for the bucketed join, derived from the spectrum
+    BUCKET (not the data) whenever it safely covers the actual max bucket
+    occupancy — extra rounds are inert, and a bucket-derived static argument
+    keeps the compiled join program identical across datasets (and
+    guessable for compile prewarm)."""
+    import math
+    f = math.ceil(math.log2(spectrum_bucket / 4096 + 2)) + 4
+    if actual <= f:
+        return f
+    return 2 * math.ceil(actual / 2)  # rare heavy skew: even-bucketed
+
+
 def fetch_prefix(arr, n: int) -> np.ndarray:
     """np.asarray(arr[:n]) without minting a new XLA program per distinct n:
     device-slices to a pow2 bucket, trims on host."""
@@ -403,7 +416,25 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     if not device_idx:
         return results
 
-    sp_off_np, rounds = make_search_buckets(np.asarray(sp_hi))
+    # pow2-bucket the spectrum shape: the join program then depends only on
+    # (k, w, bucket), so one compiled executable covers every dataset in the
+    # bucket and the shape is guessable for compile prewarm. Padding keys
+    # are all-ones, strictly above any real packed k-mer (k <= 31 uses 62
+    # bits), appended after the sorted keys — searchsorted indices for real
+    # hits are unchanged and sentinels can never compare equal.
+    sp_hi_np = np.asarray(sp_hi)
+    sp_lo_np = np.asarray(sp_lo)
+    S = len(sp_hi_np)
+    Sb = _next_pow2(max(S, 1))
+    if Sb != S:
+        pad = np.full(Sb - S, 0xFFFFFFFF, np.uint32)
+        sp_hi_np = np.concatenate([sp_hi_np, pad])
+        sp_lo_np = np.concatenate([sp_lo_np, pad])
+    sp_hi = jnp.asarray(sp_hi_np)
+    sp_lo = jnp.asarray(sp_lo_np)
+
+    sp_off_np, actual_rounds = make_search_buckets(sp_hi_np)
+    rounds = _join_rounds(Sb, actual_rounds)
     halo = k + w - 2
     emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
 
@@ -507,6 +538,48 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
         else:
             results[i] = (n_min, np.zeros(0, np.int32), np.zeros(0, np.int32))
     return results
+
+
+def estimate_spectrum_bucket(total_bases: int, k: int, w: int) -> int:
+    """pow2 bucket the read spectrum will land in: distinct minimizers are
+    bounded by emitted minimizers ~ 2/(w+1) per window (tight at <=1x
+    coverage; an overestimate above — the bucket is a guess for prewarm,
+    never a correctness input)."""
+    est = min(4 ** min(k, 30), int(total_bases * 2 / (w + 1)) + 1)
+    return _next_pow2(max(est, 1))
+
+
+def prewarm_join(k: int, w: int, spectrum_bucket: int,
+                 hitcap: int = 1 << 15) -> None:
+    """Compile the chunked sketch+join program for a spectrum-size bucket
+    (dummy sorted keys). On remote-attached TPUs this compile costs minutes;
+    run it on a thread overlapped with the read-spectrum phase."""
+    from phi_tpu.ops.search import make_search_buckets
+    Sb = spectrum_bucket
+    hi_np = np.arange(Sb, dtype=np.uint32)
+    off_np, actual = make_search_buckets(hi_np)
+    rounds = _join_rounds(Sb, actual)
+    halo = k + w - 2
+    emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
+    out = _sketch_join_jit(
+        jnp.zeros(CHUNK + halo, jnp.uint8), jnp.int32(1),
+        UMAX, UMAX, jnp.asarray(hi_np), jnp.zeros(Sb, jnp.uint32),
+        jnp.asarray(off_np), k, w, emitcap, hitcap, rounds)
+    jax.block_until_ready(out)
+
+
+def start_join_prewarm_thread(k: int, w: int, spectrum_bucket: int):
+    import threading
+
+    def work():
+        try:
+            prewarm_join(k, w, spectrum_bucket)
+        except Exception:
+            pass  # best-effort
+
+    th = threading.Thread(target=work, daemon=True, name="phi-join-prewarm")
+    th.start()
+    return th
 
 
 def _host_join_one(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo):
