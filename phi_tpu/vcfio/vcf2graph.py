@@ -8,8 +8,9 @@ vcf2gfa.py:55). Output is the same GfaData the GFA parser produces, so the
 whole pipeline runs identically on VCF input (BASELINE.json config 2).
 
 Scope: explicit sequence alleles (SNPs, indels, MNVs; multi-allelic records
-supported). Symbolic alts (<DEL>, breakends) and overlapping records are
-skipped with a warning, like `vg construct` without -S handling flags.
+supported). Overlapping records are merged into per-haplotype realized-allele
+bubbles (the chop-compatible equivalent of vg construct's nested bubbles);
+symbolic alts (<DEL>, breakends) are skipped with a warning.
 """
 
 from __future__ import annotations
@@ -101,20 +102,7 @@ def parse_vcf(path: str, contig: str | None = None
         print(f"[W::vcf2graph] skipped {n_skipped} symbolic/breakend records",
               file=sys.stderr)
     records.sort(key=lambda r: r.pos)
-    # drop overlapping records (keep the earlier one), like a naive construct
-    kept: list[VcfRecord] = []
-    last_end = -1
-    n_overlap = 0
-    for r in records:
-        if r.pos < last_end:
-            n_overlap += 1
-            continue
-        kept.append(r)
-        last_end = r.pos + len(r.ref)
-    if n_overlap:
-        print(f"[W::vcf2graph] dropped {n_overlap} overlapping records",
-              file=sys.stderr)
-    return seen_contig or "", samples, kept
+    return seen_contig or "", samples, records
 
 
 def _chop(seq: str, max_len: int) -> list[str]:
@@ -158,32 +146,82 @@ def vcf_to_graph(vcf_path: str, ref_path: str, contig: str | None = None,
             walk_ids.append((s, h))
     walk_segs: dict[tuple[str, int], list[str]] = {wid: [] for wid in walk_ids}
 
-    cursor = 0
+    def walk_allele(wid: tuple[str, int], rec: VcfRecord, n_alleles: int) -> int:
+        if wid[0] == ref_walk_name:
+            return 0
+        s_i = samples.index(wid[0])
+        gt = rec.genotypes[s_i] if s_i < len(rec.genotypes) else (0,)
+        a = gt[wid[1]] if wid[1] < len(gt) else gt[-1]
+        return a if a < n_alleles else 0
+
+    # group records into overlap clusters; a cluster of >= 2 becomes ONE
+    # merged bubble whose alleles are the per-haplotype realized sequences
+    # (vg construct represents overlaps as nested bubbles, vcf2gfa.py:50 —
+    # merged sites are the chop-compatible equivalent and keep every walk's
+    # sequence faithful instead of dropping records)
+    clusters: list[list[VcfRecord]] = []
+    clu_end = -1
     for rec in records:
         actual = ref[rec.pos:rec.pos + len(rec.ref)]
         if actual != rec.ref:
             raise ValueError(
                 f"VCF REF allele mismatch at pos {rec.pos + 1}: "
                 f"VCF says {rec.ref!r}, reference has {actual!r}")
-        if rec.pos > cursor:
-            shared = add_seg(ref[cursor:rec.pos])
+        if clusters and rec.pos < clu_end:
+            clusters[-1].append(rec)
+            clu_end = max(clu_end, rec.pos + len(rec.ref))
+        else:
+            clusters.append([rec])
+            clu_end = rec.pos + len(rec.ref)
+
+    n_conflict = 0
+    cursor = 0
+    for cluster in clusters:
+        start = cluster[0].pos
+        end = max(r.pos + len(r.ref) for r in cluster)
+        if start > cursor:
+            shared = add_seg(ref[cursor:start])
             for wid in walk_ids:
                 walk_segs[wid].extend(shared)
-        # allele nodes: index 0 = ref allele
-        allele_nodes: list[list[str]] = [add_seg(rec.ref)]
-        for alt in rec.alts:
-            allele_nodes.append(add_seg(alt))
-        for wi, wid in enumerate(walk_ids):
-            if wid[0] == ref_walk_name:
-                a = 0
-            else:
-                s_i = samples.index(wid[0])
-                gt = rec.genotypes[s_i] if s_i < len(rec.genotypes) else (0,)
-                a = gt[wid[1]] if wid[1] < len(gt) else gt[-1]
-                if a >= len(allele_nodes):
-                    a = 0
-            walk_segs[wid].extend(allele_nodes[a])
-        cursor = rec.pos + len(rec.ref)
+        if len(cluster) == 1:
+            rec = cluster[0]
+            # allele nodes: index 0 = ref allele
+            allele_nodes: list[list[str]] = [add_seg(rec.ref)]
+            for alt in rec.alts:
+                allele_nodes.append(add_seg(alt))
+            for wid in walk_ids:
+                a = walk_allele(wid, rec, len(allele_nodes))
+                walk_segs[wid].extend(allele_nodes[a])
+        else:
+            # merged site: realize each walk's sequence across the cluster
+            # (within one haplotype, a record overlapping an already-applied
+            # non-ref allele is a genuine conflict — apply earlier-first)
+            seqs: dict[tuple[str, int], str] = {}
+            for wid in walk_ids:
+                parts: list[str] = []
+                cur = start
+                for rec in cluster:
+                    a = walk_allele(wid, rec, len(rec.alts) + 1)
+                    if a == 0:
+                        continue
+                    if rec.pos < cur:
+                        n_conflict += 1
+                        continue
+                    parts.append(ref[cur:rec.pos])
+                    parts.append(rec.alts[a - 1])
+                    cur = rec.pos + len(rec.ref)
+                parts.append(ref[cur:end])
+                seqs[wid] = "".join(parts)
+            allele_map: dict[str, list[str]] = {}
+            for wid in walk_ids:
+                s = seqs[wid]
+                if s not in allele_map:
+                    allele_map[s] = add_seg(s)
+                walk_segs[wid].extend(allele_map[s])
+        cursor = end
+    if n_conflict:
+        print(f"[W::vcf2graph] {n_conflict} intra-haplotype overlap "
+              "conflicts resolved earlier-record-first", file=sys.stderr)
     if cursor < len(ref):
         tail = add_seg(ref[cursor:])
         for wid in walk_ids:
