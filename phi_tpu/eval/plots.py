@@ -45,3 +45,22 @@ def plot_matrix(csv_path: str, out_png: str, metric: int = 2,
     fig.tight_layout()
     fig.savefig(out_png, dpi=120)
     plt.close(fig)
+
+
+def main(argv=None) -> int:
+    import argparse
+    p = argparse.ArgumentParser(prog="phi-plots")
+    p.add_argument("csv")
+    p.add_argument("out_png")
+    p.add_argument("--metric", type=int, default=2,
+                   help="0=time, 1=rss, 2=edit distance [2]")
+    p.add_argument("--ylabel", default="edit distance")
+    p.add_argument("--linear", action="store_true")
+    a = p.parse_args(argv)
+    plot_matrix(a.csv, a.out_png, a.metric, a.ylabel, logy=not a.linear)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -72,3 +72,17 @@ def test_heldout_sweep_low_coverage_accuracy(tmp_path, monkeypatch):
     assert hi.edit_distance < lo.edit_distance
     assert hi.recombinations > 0  # target is a mosaic; panel walks alone lose
     assert (tmp_path / "sweep.csv").read_text().startswith("Reads,")
+
+
+def test_plot_matrix_renders_png(tmp_path):
+    csv_path = tmp_path / "m.csv"
+    csv_path.write_text(
+        "Reads,0.1x,1x\n"
+        "APD,\"(10.0, 1.5, 7551)\",\"(20.0, 2.0, 2220)\"\n"
+        "DBB,\"(11.0, 1.6, 9000)\",\"(21.0, 2.1, 1500)\"\n")
+    out = tmp_path / "fig.png"
+    from phi_tpu.eval.plots import main, read_matrix_csv
+    reads, covs, cells = read_matrix_csv(str(csv_path))
+    assert cells[("APD", "0.1x")] == (10.0, 1.5, 7551)
+    assert main([str(csv_path), str(out)]) == 0
+    assert out.stat().st_size > 1000  # a real PNG, not an empty file
