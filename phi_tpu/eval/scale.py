@@ -176,15 +176,31 @@ def build_heldout_instance(n_haps: int, length: int, coverages: list[float],
 
 def heldout_sweep(n_haps: int = 8, length: int = 500_000,
                   coverages: list[float] | None = None, seed: int = 0,
-                  out_csv: str | None = None, opt: Options | None = None):
+                  out_csv: str | None = None, opt: Options | None = None,
+                  with_baseline: bool = False):
     """Coverage sweep over the held-out-target panel; emits the
-    data/plots-shaped CSV (cells '(time, rss, edit)')."""
-    from phi_tpu.eval.batch import run_matrix
+    data/plots-shaped CSV (cells '(time, rss, edit)'). with_baseline adds a
+    best-single-panel-haplotype comparison row (the VG/PanGenie stand-in —
+    eval/baselines.py)."""
+    from phi_tpu.eval.batch import MatrixCell, run_matrix, write_matrix_csv
     coverages = coverages or [0.1, 0.5, 1.0, 2.0, 5.0, 10.0]
     inst = build_heldout_instance(n_haps, length, coverages, seed)
     cells = [("heldout", f"{c:g}x", inst["reads"][c], inst["truth"])
              for c in coverages]
-    return run_matrix(inst["gfa"], cells, opt or Options(), out_csv)
+    res = run_matrix(inst["gfa"], cells, opt or Options(), None)
+    if with_baseline:
+        from phi_tpu.eval.baselines import run_best_hap_baseline
+        o = opt or Options()
+        for c in coverages:
+            b = run_best_hap_baseline(inst["gfa"], inst["reads"][c],
+                                      inst["truth"], o.k, o.w)
+            res.append(MatrixCell(
+                read_name="besthap", coverage=f"{c:g}x",
+                real_time_s=b["time_s"], peak_rss_gb=0.0,
+                edit_distance=b["edit_distance"], recombinations=0))
+    if out_csv:
+        write_matrix_csv(res, out_csv)
+    return res
 
 
 def main(argv=None) -> int:

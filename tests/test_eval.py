@@ -86,3 +86,15 @@ def test_plot_matrix_renders_png(tmp_path):
     assert cells[("APD", "0.1x")] == (10.0, 1.5, 7551)
     assert main([str(csv_path), str(out)]) == 0
     assert out.stat().st_size > 1000  # a real PNG, not an empty file
+
+
+def test_best_hap_baseline_loses_to_recombination(tmp_path, monkeypatch):
+    """The best-single-panel-hap baseline (VG/PanGenie stand-in) must be
+    strictly worse than PHI's recombined haplotype on a mosaic target."""
+    monkeypatch.setattr("phi_tpu.eval.scale.CACHE_DIR", str(tmp_path))
+    from phi_tpu.config import Options
+    from phi_tpu.eval.scale import heldout_sweep
+    res = heldout_sweep(n_haps=4, length=60_000, coverages=[2.0], seed=1,
+                        opt=Options(lagrangian_rounds=2), with_baseline=True)
+    by = {r.read_name: r for r in res}
+    assert by["besthap"].edit_distance > by["heldout"].edit_distance
