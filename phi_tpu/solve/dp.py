@@ -78,9 +78,23 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
     W_dev = None
     if t.W is not None:
         L = t.W.shape[0]
-        W = np.zeros((L, Hb, Pb), np.float32)
-        W[:, :H, :P] = t.W
-        W_dev = jnp.asarray(W)
+        if L == 0:
+            W_dev = jnp.zeros((0, Hb, Pb), jnp.float32)
+        elif t.occ_hap is not None:
+            # device-side build from pow2-bucketed occurrence arrays (pad
+            # rows have span 0 -> masked by span >= j+2)
+            Nb = bucket_size(max(len(t.occ_hap), 1), 1024)
+            oh = _pad1(t.occ_hap.astype(np.int32), Nb, 0)
+            os_ = _pad1(t.occ_start.astype(np.int32), Nb, 0)
+            oe = _pad1(t.occ_end.astype(np.int32), Nb, 0)
+            ow = _pad1(t.occ_weight.astype(np.float32), Nb, 0.0)
+            W_dev = _build_w_jit(jnp.asarray(oh), jnp.asarray(os_),
+                                 jnp.asarray(oe), jnp.asarray(ow),
+                                 Hb, Pb, L)
+        else:
+            W = np.zeros((L, Hb, Pb), np.float32)
+            W[:, :H, :P] = t.W
+            W_dev = jnp.asarray(W)
     return (jnp.asarray(S), jnp.asarray(B), W_dev), common, (H, P)
 
 
@@ -120,12 +134,36 @@ def _solve_jit(S, B, esrc_h, esrc_p, esrc_target, state_vertex, walk_len,
     return M, ends, sweeps
 
 
+@functools.partial(jax.jit, static_argnames=("H", "P", "L"))
+def _build_w_jit(occ_hap, occ_start, occ_end, occ_w, H: int, P: int, L: int):
+    """Device-side straddle-layer build (prep.straddle_layers semantics):
+    uploading the ~50 MB occurrence arrays instead of the L*H*P W stack
+    matters on tunnel-attached TPUs. Pad rows (weight contributions masked
+    by span >= j+2) and any out-of-range diff indices land in the slack
+    tail and are sliced off."""
+    span = occ_end - occ_start
+    flat_end = occ_hap * P + occ_end
+    lo_base = occ_hap * P + occ_start + 1
+    size = H * P + L + 2
+
+    def layer(j):
+        wsel = jnp.where(span >= j + 2, occ_w, jnp.float32(0))
+        diff = jnp.zeros(size, jnp.float32)
+        diff = diff.at[jnp.minimum(lo_base + j, size - 1)].add(wsel)
+        diff = diff.at[flat_end].add(-wsel)
+        return jnp.cumsum(diff[:H * P].reshape(H, P), axis=1)
+
+    return jax.lax.map(layer, jnp.arange(L))
+
+
 @functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps"))
 def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
                      walk_len, R, n_vtx: int, max_sweeps: int):
     """Exact-credit fixpoint: per-visit credit corrected by the straddle
-    layers W (SolverTables.W), so M is the true local-credit relaxation.
-    L = W.shape[0] is static; all shifts are shape-preserving rolls."""
+    layers W (SolverTables.W semantics), so M is the true local-credit
+    relaxation. L = W.shape[0] is static but the correction branch is a
+    fori_loop with dynamic rolls — program size stays O(1) in L (remote
+    compile cost scales with program size, DESIGN.md)."""
     H, P = S.shape
     L = W.shape[0]
     cols = jnp.arange(P)[None, :]
@@ -144,11 +182,17 @@ def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
         scan = jax.lax.associative_scan(jnp.minimum, A, axis=1)
         # entries at q <= p - L: S charge exact (all straddlers closed)
         Mn = jnp.where(cols >= L, jnp.roll(scan, L, axis=1), _INF)
+
+        if L == 0:
+            return Mn
+
         # recent entries q = p - j, j < L: subtract still-open straddlers
-        for j in range(L):
+        def body(j, Mn):
             aj = jnp.where(cols >= j, jnp.roll(A, j, axis=1), _INF)
-            Mn = jnp.minimum(Mn, aj - W[j])
-        return Mn
+            Wj = jax.lax.dynamic_index_in_dim(W, j, 0, keepdims=False)
+            return jnp.minimum(Mn, aj - Wj)
+
+        return jax.lax.fori_loop(0, L, body, Mn)
 
     def cond(carry):
         M, M_prev, it = carry

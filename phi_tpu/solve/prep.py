@@ -42,6 +42,13 @@ class SolverTables:
     # equals the exact covered-occurrence weight, so the DP value IS the
     # local-credit relaxation optimum (valid bound AND optimal search).
     W: np.ndarray | None = None  # float32 [L, H, P]; L possibly 0
+    # Slim occurrence copies for the DEVICE-side W build (uploading these
+    # ~n_occ*16 bytes beats uploading the L*H*P W stack through the tunnel;
+    # the host W above serves the decode backtrace and tests):
+    occ_hap: np.ndarray | None = None     # int32 [n_occ]
+    occ_start: np.ndarray | None = None   # int32 [n_occ]
+    occ_end: np.ndarray | None = None     # int32 [n_occ]
+    occ_weight: np.ndarray | None = None  # float32 [n_occ]
 
     @property
     def H(self) -> int:
@@ -196,4 +203,6 @@ def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
         esrc_target=esrc_target, esrc_edge=esrc_edge,
         state_vertex=graph.walk_mat, walk_len=graph.walk_len,
         R=float(R), const=const, n_vtx=graph.n_vtx, W=W,
+        occ_hap=anchors.occ_hap, occ_start=anchors.occ_start,
+        occ_end=anchors.occ_end, occ_weight=anchors.occ_weight,
     )

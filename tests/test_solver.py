@@ -246,3 +246,24 @@ def test_bucketing_and_prewarm():
     anchors, tables, res = _full_solve(graph, [read], 4, 2, 1.0)
     exact, _ = brute_force_optimum(graph, tables, anchors)
     assert res.true_objective == pytest.approx(exact, abs=1e-3)
+
+
+def test_device_w_build_matches_host():
+    """_build_w_jit (device straddle layers) == prep.straddle_layers."""
+    import jax.numpy as jnp
+
+    from phi_tpu.solve.dp import _build_w_jit, bucket_size
+    from phi_tpu.solve.prep import straddle_layers
+    graph, anchors, tables = _ladder_instance(R=0.3)
+    L = tables.W.shape[0]
+    H, P = tables.S.shape
+    host = straddle_layers(graph, anchors, L)
+    Nb = bucket_size(len(anchors.occ_hap), 8)
+    pad = lambda x, v: np.pad(x, (0, Nb - len(x)), constant_values=v)
+    dev = np.asarray(_build_w_jit(
+        jnp.asarray(pad(anchors.occ_hap, 0)),
+        jnp.asarray(pad(anchors.occ_start, 0)),
+        jnp.asarray(pad(anchors.occ_end, 0)),
+        jnp.asarray(pad(anchors.occ_weight, 0.0)), H, P, L))
+    assert np.allclose(dev, host)
+    assert host.sum() > 0  # the ladder instance has real straddlers
