@@ -302,11 +302,16 @@ def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
               jnp.asarray(tables.esrc_h), jnp.asarray(tables.esrc_p),
               jnp.asarray(tables.esrc_target))
     B_dev = jnp.asarray(B)
-    if tables.W is not None:
+    if tables.n_layers is not None:
         # exact-credit mode: one fixpoint is both the bound and the path
-        L = tables.W.shape[0]
+        from phi_tpu.solve.prep import straddle_layers_from_occ
+        L = tables.n_layers
+        H0, P0 = tables.S.shape
+        W_host = straddle_layers_from_occ(
+            tables.occ_hap, tables.occ_start, tables.occ_end,
+            tables.occ_weight, H0, P0, L)
         Wp = np.zeros((L,) + S.shape, np.float32)
-        Wp[:, :tables.W.shape[1], :tables.W.shape[2]] = tables.W
+        Wp[:, :H0, :P0] = W_host
         solver = sharded_solve_exact(mesh, R=tables.R, n_vtx=tables.n_vtx,
                                      n_layers=L, max_sweeps=max_sweeps)
         M, end_min, sweeps = solver(jnp.asarray(S), B_dev, jnp.asarray(Wp),

@@ -248,7 +248,7 @@ def _solve_once(tables, opt: Options):
 
 
 def _solve_and_decode(graph, tables, anchors, opt: Options) -> DecodeResult:
-    """Solve and decode. Normal case (tables.W present): one exact-credit
+    """Solve and decode. Normal case (tables.n_layers set): one exact-credit
     fixpoint — the decoded path is the optimal relaxed path and the value a
     valid bound. Bracket fallback (pathological spans, W=None): both the
     search and the optimistic fixpoints are decoded and the better-scoring
@@ -256,14 +256,14 @@ def _solve_and_decode(graph, tables, anchors, opt: Options) -> DecodeResult:
     if opt.mesh_devices and opt.mesh_devices > 1:
         M, ends, sweeps, lb = _solve_once(tables, opt)
         return decode_path(graph, tables, anchors, M, ends, sweeps, lb)
-    if tables.W is not None:
+    if tables.n_layers is not None:
         M, ends, sweeps, lb = solve_dp(tables, opt.max_sweeps)
         return decode_path(graph, tables, anchors, M, ends, sweeps, lb)
     from phi_tpu.solve.dp import solve_dp_both
     (M, ends), (M_opt, ends_opt), sweeps, lb = solve_dp_both(tables, opt.max_sweeps)
     best = decode_path(graph, tables, anchors, M, ends, sweeps, lb)
     try:
-        t_opt = dataclasses.replace(tables, S=tables.B, W=None)
+        t_opt = dataclasses.replace(tables, S=tables.B, n_layers=None)
         cand = decode_path(graph, t_opt, anchors, M_opt, ends_opt, sweeps, lb)
         if cand.true_objective < best.true_objective:
             best = cand

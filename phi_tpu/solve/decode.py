@@ -63,7 +63,34 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     run_min = np.minimum.accumulate(A, axis=1)
     cols = np.arange(P)[None, :]
     qlatest = np.maximum.accumulate(np.where(A <= run_min + 0, cols, -1), axis=1)
-    L = t.W.shape[0] if t.W is not None else 0
+    L = t.n_layers if t.n_layers is not None else 0
+
+    if L > 0:
+        # lazy straddle queries: the W stack is L*H*P floats and only a few
+        # backtrace states ever read it — index occurrences per lane by
+        # start position instead
+        o_order = np.argsort(t.occ_hap.astype(np.int64) * (P + 1)
+                             + t.occ_start, kind="stable")
+        o_hap = t.occ_hap[o_order]
+        o_start = t.occ_start[o_order].astype(np.int64)
+        o_end = t.occ_end[o_order].astype(np.int64)
+        o_w = t.occ_weight[o_order].astype(np.float64)
+        hap_off = np.searchsorted(o_hap, np.arange(H + 1))
+
+    def straddle_at(h: int, p: int) -> np.ndarray:
+        """[L] vector: W[j, h, p] = weight of occurrences with
+        s <= p-j-1, e >= p+1 in lane h (spans <= L+1 bound the s range)."""
+        lo, hi = hap_off[h], hap_off[h + 1]
+        s = o_start[lo:hi]
+        a = np.searchsorted(s, p - L - 1)
+        b = np.searchsorted(s, p, side="left")
+        sel_e = o_end[lo + a:lo + b]
+        keep = sel_e >= p + 1
+        ss = s[a:b][keep]
+        ww = o_w[lo + a:lo + b][keep]
+        cw = np.concatenate([[0.0], np.cumsum(ww)])
+        idx = np.searchsorted(ss, p - np.arange(L) - 1, side="right")
+        return cw[idx]
 
     def entry_for(h: int, p: int) -> int:
         """Entry position achieving M[h,p]. Bracket mode: rightmost running
@@ -71,9 +98,10 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         (A[q] - W[p-q, p]) and the q <= p-L prefix branch."""
         if L == 0:
             return int(qlatest[h, p])
+        Wv = straddle_at(h, p)
         best_v, best_q = np.inf, -1
         for j in range(min(L, p + 1)):
-            cv = A[h, p - j] - t.W[j, h, p]
+            cv = A[h, p - j] - Wv[j]
             if cv < best_v - 1e-9:
                 best_v, best_q = cv, p - j
         if p - L >= 0 and run_min[h, p - L] < best_v - 1e-9:

@@ -76,11 +76,11 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
               jnp.asarray(sv), jnp.asarray(wl),
               jnp.float32(t.R), Vb, max_sweeps)
     W_dev = None
-    if t.W is not None:
-        L = t.W.shape[0]
+    if t.n_layers is not None:
+        L = t.n_layers
         if L == 0:
             W_dev = jnp.zeros((0, Hb, Pb), jnp.float32)
-        elif t.occ_hap is not None:
+        else:
             # device-side build from pow2-bucketed occurrence arrays (pad
             # rows have span 0 -> masked by span >= j+2)
             Nb = bucket_size(max(len(t.occ_hap), 1), 1024)
@@ -91,10 +91,6 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
             W_dev = _build_w_jit(jnp.asarray(oh), jnp.asarray(os_),
                                  jnp.asarray(oe), jnp.asarray(ow),
                                  Hb, Pb, L)
-        else:
-            W = np.zeros((L, Hb, Pb), np.float32)
-            W[:, :H, :P] = t.W
-            W_dev = jnp.asarray(W)
     return (jnp.asarray(S), jnp.asarray(B), W_dev), common, (H, P)
 
 
@@ -160,7 +156,7 @@ def _build_w_jit(occ_hap, occ_start, occ_end, occ_w, H: int, P: int, L: int):
 def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
                      walk_len, R, n_vtx: int, max_sweeps: int):
     """Exact-credit fixpoint: per-visit credit corrected by the straddle
-    layers W (SolverTables.W semantics), so M is the true local-credit
+    layers W (straddle_layers semantics), so M is the true local-credit
     relaxation. L = W.shape[0] is static but the correction branch is a
     fori_loop with dynamic rolls — program size stays O(1) in L (remote
     compile cost scales with program size, DESIGN.md)."""
@@ -220,7 +216,7 @@ def _warn_cap(n_sweeps: int, max_sweeps: int) -> None:
 
 
 def solve_dp_both(t: SolverTables, max_sweeps: int = 256):
-    """Bracket-mode solve (fallback when t.W is None, i.e. pathological
+    """Bracket-mode solve (fallback when t.n_layers is None, i.e. pathological
     anchor spans): returns ((M, ends), (M_opt, ends_opt), n_sweeps, lb).
 
     The search DP charges entry at S[q] = sum(start < q), whose per-visit
@@ -252,14 +248,14 @@ def solve_dp_both(t: SolverTables, max_sweeps: int = 256):
 def solve_dp(t: SolverTables, max_sweeps: int = 256):
     """Returns (M, ends, n_sweeps, dp_objective).
 
-    With t.W present (the normal case), one exact-credit fixpoint: M is the
+    With t.n_layers set (the normal case), one exact-credit fixpoint: M is the
     true local-credit relaxation, so dp_objective is simultaneously a valid
     lower bound on the reference's distinct-kmer ILP optimum AND the value
     of the decodable optimal relaxed path (gap comes only from duplicate
     k-mer credit, which Lagrangian reweighting tightens). Without W,
     bracket mode (see solve_dp_both) — M/ends are the search fixpoint's and
     dp_objective the optimistic bound."""
-    if t.W is None:
+    if t.n_layers is None:
         (M, ends), _, n_sweeps, lb = solve_dp_both(t, max_sweeps)
         return M, ends, n_sweeps, lb
     (S_dev, B_dev, W_dev), common, (H, P) = _bucketed_args(t, max_sweeps)

@@ -33,18 +33,20 @@ class SolverTables:
     R: float
     const: float              # sum of occurrence-kmer weights (Σ_i mu_i)
     n_vtx: int
-    # Exact-credit correction layers (None -> bracket-DP fallback mode):
-    # W[j, h, p] = weight of occurrences with start < p-j <= p < end — the
-    # straddlers still open at p for an entry j positions back. With L
-    # layers (L >= max_span - 1), the per-visit credit
+    # Exact-credit correction layer count (None -> bracket-DP fallback):
+    # the straddle stack W[j, h, p] = weight of occurrences with
+    # start < p-j <= p < end (still open at p for an entry j back). With
+    # n_layers >= max_span - 1, the per-visit credit
     #   C(q,p) = B[p] - S[q]            for q <= p - L   (S charge is exact)
     #   C(q,p) = B[p] - S[q] + W[p-q,p] for q >  p - L   (recent entries)
     # equals the exact covered-occurrence weight, so the DP value IS the
     # local-credit relaxation optimum (valid bound AND optimal search).
-    W: np.ndarray | None = None  # float32 [L, H, P]; L possibly 0
-    # Slim occurrence copies for the DEVICE-side W build (uploading these
-    # ~n_occ*16 bytes beats uploading the L*H*P W stack through the tunnel;
-    # the host W above serves the decode backtrace and tests):
+    # W itself is never materialized on host (it is L*H*P floats): the
+    # solver builds it on device from the occurrence arrays below, and the
+    # decode backtrace queries straddle values lazily.
+    n_layers: int | None = None
+    # Slim occurrence copies (weighted) for the device W build and the
+    # decode's lazy straddle queries:
     occ_hap: np.ndarray | None = None     # int32 [n_occ]
     occ_start: np.ndarray | None = None   # int32 [n_occ]
     occ_end: np.ndarray | None = None     # int32 [n_occ]
@@ -118,20 +120,21 @@ def _bucket_layers(n: int) -> int:
 MAX_LAYERS = 64
 
 
-def straddle_layers(graph: PangenomeGraph, t: AnchorTables,
-                    n_layers: int) -> np.ndarray:
+def straddle_layers_from_occ(occ_hap, occ_start, occ_end, occ_weight,
+                             H: int, P: int, n_layers: int) -> np.ndarray:
     """W[j, h, p] = total weight of occurrences with s < p-j <= p < e,
     for j in [0, n_layers). Built as per-layer difference arrays: occurrence
-    [s, e] contributes to W_j over p in [s+1+j, e-1]."""
-    H, P = graph.walk_mat.shape
+    [s, e] contributes to W_j over p in [s+1+j, e-1]. Host-side builder for
+    the sharded path and parity tests; the single-chip solver builds W on
+    device (solve.dp._build_w_jit)."""
     W = np.zeros((n_layers, H, P), np.float32)
-    if n_layers == 0 or len(t.occ_hap) == 0:
+    if n_layers == 0 or len(occ_hap) == 0:
         return W
-    span = (t.occ_end - t.occ_start).astype(np.int64)
-    hap = t.occ_hap.astype(np.int64)
-    s64 = t.occ_start.astype(np.int64)
-    e64 = t.occ_end.astype(np.int64)
-    w = t.occ_weight.astype(np.float32)
+    span = (occ_end - occ_start).astype(np.int64)
+    hap = occ_hap.astype(np.int64)
+    s64 = occ_start.astype(np.int64)
+    e64 = occ_end.astype(np.int64)
+    w = occ_weight.astype(np.float32)
     for j in range(n_layers):
         sel = span >= j + 2  # need s+1+j <= e-1
         if not sel.any():
@@ -145,6 +148,13 @@ def straddle_layers(graph: PangenomeGraph, t: AnchorTables,
         # ranges never cross lane boundaries: s+1+j <= e-1 < walk_len <= P
         # and both endpoints live in lane `hap`, so the row cumsum is exact
     return W
+
+
+def straddle_layers(graph: PangenomeGraph, t: AnchorTables,
+                    n_layers: int) -> np.ndarray:
+    H, P = graph.walk_mat.shape
+    return straddle_layers_from_occ(t.occ_hap, t.occ_start, t.occ_end,
+                                    t.occ_weight, H, P, n_layers)
 
 
 def max_kmer_span(graph: PangenomeGraph, k: int) -> int:
@@ -196,13 +206,13 @@ def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
         max_span = int((anchors.occ_end - anchors.occ_start).max()) \
             if len(anchors.occ_hap) else 1
         n_layers = _bucket_layers(max_span - 1)
-    W = straddle_layers(graph, anchors, n_layers) \
-        if n_layers <= MAX_LAYERS else None
+    if n_layers > MAX_LAYERS:
+        n_layers = None
     return SolverTables(
         S=S, B=B, esrc_h=esrc_h, esrc_p=esrc_p,
         esrc_target=esrc_target, esrc_edge=esrc_edge,
         state_vertex=graph.walk_mat, walk_len=graph.walk_len,
-        R=float(R), const=const, n_vtx=graph.n_vtx, W=W,
+        R=float(R), const=const, n_vtx=graph.n_vtx, n_layers=n_layers,
         occ_hap=anchors.occ_hap, occ_start=anchors.occ_start,
         occ_end=anchors.occ_end, occ_weight=anchors.occ_weight,
     )

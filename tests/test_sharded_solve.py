@@ -23,7 +23,7 @@ def test_sharded_solve_matches_single_chip(n_devices):
         jnp.asarray(t.esrc_h), jnp.asarray(t.esrc_p),
         jnp.asarray(t.esrc_target))
     import dataclasses as dc
-    _, ends, _, _ = solve_dp(dc.replace(t, W=None))  # like-for-like: bracket
+    _, ends, _, _ = solve_dp(dc.replace(t, n_layers=None))  # like-for-like: bracket
     assert float(end_min) == pytest.approx(float(ends.min()), abs=1e-4)
     assert int(sweeps) < 256
 
@@ -60,7 +60,7 @@ def test_sharded_solve_synthetic():
         jnp.asarray(t.esrc_h), jnp.asarray(t.esrc_p),
         jnp.asarray(t.esrc_target))
     import dataclasses as dc
-    M_single, ends, _, _ = solve_dp(dc.replace(t, W=None))  # bracket pair
+    M_single, ends, _, _ = solve_dp(dc.replace(t, n_layers=None))  # bracket pair
     assert float(end_min) == pytest.approx(float(ends.min()), abs=1e-3)
     # the sharded fixpoint matches the single-chip fixpoint on the
     # unpadded (finite) region
@@ -95,7 +95,7 @@ def test_solve_dp_sharded_exact_mode():
 
     k, w, R = 4, 2, 1.0
     graph, codes, lengths, spectrum, anchors, t = tiny_instance(k, w, R)
-    assert t.W is not None
+    assert t.n_layers is not None
     mesh = make_mesh(8)
     M_s, ends_s, sweeps_s, obj_s = solve_dp_sharded(t, mesh)
     M_1, ends_1, sweeps_1, obj_1 = solve_dp(t)

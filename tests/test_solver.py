@@ -191,7 +191,7 @@ def test_exact_mode_certifies_spanning_optimum():
     from phi_tpu.config import Options
     from phi_tpu.pipeline import _solve_and_decode
     graph, anchors, tables = _ladder_instance(R=0.3)
-    assert tables.W is not None and tables.W.shape[0] >= 3
+    assert tables.n_layers is not None and tables.n_layers >= 3
     res = _solve_and_decode(graph, tables, anchors, Options(recombination=0.3))
     exact, _ = brute_force_optimum(graph, tables, anchors)
     assert exact == pytest.approx(0.6, abs=1e-3)
@@ -209,7 +209,7 @@ def test_bracket_fallback_brackets_spanning_optimum():
     from phi_tpu.config import Options
     from phi_tpu.pipeline import _solve_and_decode
     graph, anchors, tables = _ladder_instance(R=0.3)
-    tables_b = dc.replace(tables, W=None)
+    tables_b = dc.replace(tables, n_layers=None)
     res = _solve_and_decode(graph, tables_b, anchors, Options(recombination=0.3))
     exact, _ = brute_force_optimum(graph, tables, anchors)
     assert res.dp_objective <= exact + 1e-3
@@ -255,7 +255,7 @@ def test_device_w_build_matches_host():
     from phi_tpu.solve.dp import _build_w_jit, bucket_size
     from phi_tpu.solve.prep import straddle_layers
     graph, anchors, tables = _ladder_instance(R=0.3)
-    L = tables.W.shape[0]
+    L = tables.n_layers
     H, P = tables.S.shape
     host = straddle_layers(graph, anchors, L)
     Nb = bucket_size(len(anchors.occ_hap), 8)
