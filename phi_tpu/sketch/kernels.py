@@ -26,6 +26,13 @@ BLK = 8192      # block lanes; (1, BLK+HALO) i32 arrays tile-pad 8x in VMEM,
 HALO_PAD = 128  # >= k + w - 2 for k<=31, w<=98
 UMAX32 = np.uint32(0xFFFFFFFF)
 
+# The batched row path: every dispatch processes ROWS fixed-size
+# "superchunk" rows of SUPER_BLOCKS*BLK windows each, so ONE compiled
+# program covers every haplotype of every dataset (remote-TPU compiles cost
+# minutes; per-chunk dispatch latency dominated the unbatched path).
+SUPER_BLOCKS = 256           # blocks per row: 2,097,152 windows
+ROWS = 8                     # rows per dispatch
+
 
 def _roll_l(x, s):
     """Shift left by s along the lane axis (wrap values are masked later).
@@ -225,6 +232,342 @@ def pallas_join_sequence(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
         hitcap = emitcap
     from phi_tpu.sketch.minimizer import fetch_prefix
     return nm, fetch_prefix(hpos, nh), fetch_prefix(hid, nh)
+
+
+def _make_kernel_rows(k: int, w: int):
+    """Multi-row variant of _make_kernel: grid (row, block). Each row is one
+    superchunk of one haplotype; a `continues` flag per row threads the
+    dedup carry across consecutive superchunks of the same haplotype (the
+    TPU grid runs row-major sequentially, so SMEM carry flows naturally),
+    and the final carry is exported so the next dispatch batch can resume
+    it without a host round trip."""
+    n_hi = max(0, k - 16)
+
+    def kernel(nvalid_ref, cont_ref, init_ref, codes_ref, next_ref,
+               hi_ref, lo_ref, pos_ref, emit_ref, co_ref, carry_ref):
+        row_id = pl.program_id(0)
+        blk_id = pl.program_id(1)
+
+        @pl.when(blk_id == 0)
+        def _row_start():
+            cont = cont_ref[0, 0] != 0
+            # row 0 of the dispatch resumes from the init input; later rows
+            # resume from the in-kernel carry; cont=0 resets (new haplotype)
+            k0 = jnp.where(row_id == 0, init_ref[0], carry_ref[0])
+            k1 = jnp.where(row_id == 0, init_ref[1], carry_ref[1])
+            k2 = jnp.where(row_id == 0, init_ref[2], carry_ref[2])
+            carry_ref[0] = jnp.where(cont, k0, jnp.uint32(0xFFFFFFFF))
+            carry_ref[1] = jnp.where(cont, k1, jnp.uint32(0xFFFFFFFF))
+            carry_ref[2] = jnp.where(cont, k2, jnp.uint32(0))
+
+        xi = jnp.concatenate(
+            [codes_ref[:, :].astype(jnp.int32),
+             next_ref[:, :HALO_PAD].astype(jnp.int32)], axis=1)
+        rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
+        x = xi.astype(jnp.uint32)
+        fhi = jnp.zeros_like(x)
+        flo = jnp.zeros_like(x)
+        rhi = jnp.zeros_like(x)
+        rlo = jnp.zeros_like(x)
+        invalid = jnp.where(xi >= 4, jnp.int32(1), jnp.int32(0))
+        col = x
+        rcolsrc = rc_i.astype(jnp.uint32)
+        two = jnp.uint32(2)
+        for j in range(k):
+            cj = _roll_l(col, j) if j else col
+            rj = _roll_l(rcolsrc, k - 1 - j) if k - 1 - j else rcolsrc
+            if j < n_hi:
+                fhi = (fhi << two) | cj
+                rhi = (rhi << two) | rj
+            else:
+                flo = (flo << two) | cj
+                rlo = (rlo << two) | rj
+            if j:
+                invalid = jnp.maximum(invalid, jnp.where(cj >= 4, 1, 0))
+        f_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+        hi = jnp.where(f_le, fhi, rhi)
+        lo = jnp.where(f_le, flo, rlo)
+        umax = jnp.uint32(0xFFFFFFFF)
+        hi = jnp.where(invalid > 0, umax, hi)
+        lo = jnp.where(invalid > 0, umax, lo)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        gpos = blk_id * BLK + lane   # row-local window index
+        pos = jnp.where(invalid > 0, jnp.int32(-1), gpos)
+
+        t = (hi, lo, pos)
+        s = 1
+        while s * 2 <= w:
+            t = _tuple_min(t, tuple(_roll_l(v, s) for v in t))
+            s *= 2
+        t = _tuple_min(t, tuple(_roll_l(v, w - s) for v in t))
+        shi, slo, spos = t
+
+        n_valid = nvalid_ref[0, 0]
+        valid = (spos >= 0) & (gpos < n_valid)
+        at0 = lane == 0
+        phi = jnp.where(at0, carry_ref[0], pltpu.roll(shi, 1, 1))
+        plo = jnp.where(at0, carry_ref[1], pltpu.roll(slo, 1, 1))
+        pvd = jnp.where(at0, carry_ref[2].astype(jnp.int32),
+                        pltpu.roll(valid.astype(jnp.int32), 1, 1))
+        differs = (shi != phi) | (slo != plo) | (pvd == 0)
+        emit = valid & differs
+
+        hi_ref[:, :] = shi[:, :BLK]
+        lo_ref[:, :] = slo[:, :BLK]
+        pos_ref[:, :] = spos[:, :BLK]
+        emit_ref[:, :] = emit[:, :BLK].astype(jnp.int32)
+        carry_ref[0] = shi[0, BLK - 1]
+        carry_ref[1] = slo[0, BLK - 1]
+        carry_ref[2] = valid.astype(jnp.uint32)[0, BLK - 1]
+        co_ref[0] = carry_ref[0]
+        co_ref[1] = carry_ref[1]
+        co_ref[2] = carry_ref[2]
+
+    return kernel
+
+
+def _pallas_sketch_rows(codes2d, nvalid, cont, init_carry, k: int, w: int,
+                        n_rows: int, n_blocks: int, interpret: bool = False):
+    """Run the multi-row kernel: codes2d [R, (n_blocks+1)*BLK] uint8,
+    nvalid/cont [R, 1] int32, init_carry (3,) uint32. Returns per-row
+    (hi, lo, pos, emit) arrays [R, n_blocks*BLK] and the final carry (3,)."""
+    kernel = _make_kernel_rows(k, w)
+    n_out = n_blocks * BLK
+    smem_scalar = pl.BlockSpec((1, 1), lambda r, i: (r, 0),
+                               memory_space=pltpu.SMEM)
+    out_bs = pl.BlockSpec((1, BLK), lambda r, i: (r, i),
+                          memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows, n_out), jnp.uint32),
+        jax.ShapeDtypeStruct((n_rows, n_out), jnp.uint32),
+        jax.ShapeDtypeStruct((n_rows, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((3,), jnp.uint32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_rows, n_blocks),
+        in_specs=[
+            smem_scalar,
+            smem_scalar,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BLK), lambda r, i: (r, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK), lambda r, i: (r, i + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_bs, out_bs, out_bs, out_bs,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((3,), jnp.uint32)],
+        interpret=interpret,
+    )(nvalid, cont, init_carry, codes2d, codes2d)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "w", "n_rows", "n_blocks", "emitcap", "cap_total", "rounds",
+    "interpret"))
+def _pallas_join_rows(words, nvalid, cont, init_carry, sp_hi, sp_lo, sp_off,
+                      k: int, w: int, n_rows: int, n_blocks: int,
+                      emitcap: int, cap_total: int, rounds: int,
+                      interpret: bool = False):
+    """Batched fused sketch+join: 2-bit packed rows in, per-row minimizer and
+    hit counts plus ONE flattened hit array out (row-major by hit order).
+    All gathers/scatters run on fixed [R, emitcap] / [cap_total] shapes, so
+    the program is unique per (k, w, spectrum-bucket) family."""
+    from phi_tpu.ops.search import pair_isin_bucketed
+
+    R = n_rows
+    row_lanes = (n_blocks + 1) * BLK
+    n_out = n_blocks * BLK
+    # unpack 2-bit words -> uint8 codes on device (4x less tunnel upload)
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)
+    codes2d = ((words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
+               ).astype(jnp.uint8).reshape(R, row_lanes)
+    hi, lo, pos, emit, carry_out = _pallas_sketch_rows(
+        codes2d, nvalid, cont, init_carry, k, w, R, n_blocks, interpret)
+    emit = emit != 0
+    n_min = emit.sum(axis=1)
+
+    # vectorized per-row compaction (scatter of lane indices by emit order)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, emit.shape, 0)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, emit.shape, 1)
+    order = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+    dst = jnp.where(emit, jnp.minimum(order, emitcap), emitcap)
+    eidx = jnp.full((R, emitcap + 1), n_out, jnp.int32) \
+        .at[rowi, dst].set(lanei, mode="drop")[:, :emitcap]
+    sent_u = jnp.full((R, 1), 0xFFFFFFFF, jnp.uint32)
+    sent_i = jnp.full((R, 1), -1, jnp.int32)
+    ehi = jnp.take_along_axis(jnp.concatenate([hi, sent_u], 1), eidx, 1)
+    elo = jnp.take_along_axis(jnp.concatenate([lo, sent_u], 1), eidx, 1)
+    epos = jnp.take_along_axis(jnp.concatenate([pos, sent_i], 1), eidx, 1)
+
+    found, idx = pair_isin_bucketed(sp_hi, sp_lo, sp_off, ehi, elo, rounds)
+    hit = found & (epos >= 0)
+    n_hit = hit.sum(axis=1)
+
+    # flatten hits across rows: base offsets by per-row counts, one scatter
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(n_hit).astype(jnp.int32)[:-1]])
+    horder = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1 + base[:, None]
+    hdst = jnp.where(hit, jnp.minimum(horder, cap_total), cap_total).ravel()
+    flat_pos = jnp.full((cap_total + 1,), -1, jnp.int32) \
+        .at[hdst].set(epos.ravel(), mode="drop")[:cap_total]
+    flat_id = jnp.full((cap_total + 1,), -1, jnp.int32) \
+        .at[hdst].set(idx.ravel().astype(jnp.int32), mode="drop")[:cap_total]
+    return n_min, n_hit, flat_pos, flat_id, carry_out
+
+
+def _pack_rows_2bit(seqs, rows, row_lanes: int) -> np.ndarray:
+    """Host-side 2-bit packing of superchunk rows (ACGT-only sequences;
+    N-containing haplotypes take the host join path). Pad value 0 is safe:
+    windows past n_valid are masked in-kernel."""
+    R = len(rows)
+    W = row_lanes // 16
+    words = np.zeros((R, W), np.uint32)
+    shifts = np.arange(16, dtype=np.uint32) * 2
+    for j, (si, start, nv, cont) in enumerate(rows):
+        if si < 0:
+            continue  # dummy pad row
+        seg = seqs[si][start:start + row_lanes]
+        buf = np.zeros(row_lanes, np.uint8)
+        buf[:len(seg)] = seg
+        c = buf.reshape(-1, 16).astype(np.uint32)
+        acc = np.zeros(W, np.uint32)
+        for b in range(16):
+            acc |= c[:, b] << shifts[b]
+        words[j] = acc
+    return words
+
+
+def join_caps(w: int, super_blocks: int = SUPER_BLOCKS,
+              rows_per_call: int = ROWS) -> tuple[int, int]:
+    """(emitcap, cap_total) for the batched join at a given window size —
+    static per (k, w), so the compiled program is prewarmable."""
+    sup = super_blocks * BLK
+    emitcap = max(1024, 4 * sup // (w + 1) + 64)
+    cap_total = 1 << max(15, (2 * rows_per_call * sup // (w + 1))
+                         .bit_length())
+    return emitcap, cap_total
+
+
+def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
+                     *, rows_per_call: int = ROWS,
+                     super_blocks: int = SUPER_BLOCKS,
+                     interpret: bool = False,
+                     ) -> list[tuple[int, np.ndarray, np.ndarray] | None]:
+    """Batched fused Pallas sketch+join over many sequences.
+
+    Splits every sequence into fixed-size superchunk rows, dispatches
+    ROWS-row batches (one compiled program for everything), threads the
+    dedup carry between consecutive rows/dispatches device-side, and syncs
+    exactly twice (counts, then flattened hit prefixes). Entries for
+    sequences containing non-ACGT codes (or too short) are returned as
+    None — the caller routes those to the exact host join."""
+    if k + w - 2 > HALO_PAD:
+        raise ValueError(f"k + w - 2 must be <= {HALO_PAD} for the fused kernel")
+    halo = k + w - 2
+    sup = super_blocks * BLK
+    row_lanes = (super_blocks + 1) * BLK
+    results: list = [None] * len(seqs)
+    rows: list[tuple[int, int, int, int]] = []
+    for i, codes in enumerate(seqs):
+        L = len(codes)
+        if L < w + k - 1:
+            results[i] = (0, np.zeros(0, np.int32), np.zeros(0, np.int32))
+            continue
+        if (codes >= 4).any():
+            continue  # host fallback (results[i] stays None)
+        for start in range(0, max(1, L - halo), sup):
+            rows.append((i, start, min(sup, L - halo - start),
+                         1 if start else 0))
+    if not rows:
+        return results
+
+    # spectrum: pow2 bucket + first-probe bucket table (same scheme as the
+    # XLA join path — one program per (k, w, bucket) family)
+    from phi_tpu.ops.search import make_search_buckets
+    from phi_tpu.sketch.minimizer import (_join_rounds, _next_pow2,
+                                          fetch_prefix)
+    sp_hi_np = np.asarray(sp_hi)
+    sp_lo_np = np.asarray(sp_lo)
+    S = len(sp_hi_np)
+    Sb = _next_pow2(max(S, 1))
+    if Sb != S:
+        pad = np.full(Sb - S, 0xFFFFFFFF, np.uint32)
+        sp_hi_np = np.concatenate([sp_hi_np, pad])
+        sp_lo_np = np.concatenate([sp_lo_np, pad])
+    sp_off_np, actual_rounds = make_search_buckets(sp_hi_np)
+    rounds = _join_rounds(Sb, actual_rounds)
+    sp_hi_d = jnp.asarray(sp_hi_np)
+    sp_lo_d = jnp.asarray(sp_lo_np)
+    sp_off_d = jnp.asarray(sp_off_np)
+
+    R = rows_per_call
+    emitcap, cap_total = join_caps(w, super_blocks, rows_per_call)
+    n_batches = -(-len(rows) // R)
+    padded = rows + [(-1, 0, 0, 0)] * (n_batches * R - len(rows))
+    carry = jnp.zeros(3, jnp.uint32)
+    pend = []
+    for b in range(n_batches):
+        batch = padded[b * R:(b + 1) * R]
+        words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
+        nv = jnp.asarray(np.array([[r[2]] for r in batch], np.int32))
+        ct = jnp.asarray(np.array([[r[3]] for r in batch], np.int32))
+        out = _pallas_join_rows(words, nv, ct, carry, sp_hi_d, sp_lo_d,
+                                sp_off_d, k, w, R, super_blocks, emitcap,
+                                cap_total, rounds, interpret)
+        pend.append([batch, carry, out])
+        carry = out[4]
+
+    # sync 1: all counts in one transfer
+    counts = np.asarray(jnp.stack(
+        [jnp.stack([o[2][0], o[2][1]]) for o in pend])).astype(np.int64)
+    # rare retries: emission overflow truncates the join input (n_min stays
+    # exact), total-hit overflow truncates the flat arrays (n_hit exact) —
+    # redo those batches with pow2-raised caps
+    for b, (batch, carry_in, out) in enumerate(pend):
+        nm_max = int(counts[b, 0].max())
+        nh_sum = int(counts[b, 1].sum())
+        if nm_max > emitcap or nh_sum > cap_total:
+            ec = _next_pow2(max(emitcap, nm_max))
+            ctot = _next_pow2(max(cap_total, nh_sum))
+            words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
+            nv = jnp.asarray(np.array([[r[2]] for r in batch], np.int32))
+            ct = jnp.asarray(np.array([[r[3]] for r in batch], np.int32))
+            out2 = _pallas_join_rows(words, nv, ct, carry_in, sp_hi_d,
+                                     sp_lo_d, sp_off_d, k, w, R,
+                                     super_blocks, ec, ctot, rounds,
+                                     interpret)
+            pend[b][2] = out2
+            counts[b, 0] = np.asarray(out2[0])
+            counts[b, 1] = np.asarray(out2[1])
+
+    # sync 2: flattened hit prefixes
+    acc: dict[int, tuple[int, list, list]] = {}
+    for b, (batch, _, out) in enumerate(pend):
+        total = int(counts[b, 1].sum())
+        fpos = fetch_prefix(out[2], total)
+        fid = fetch_prefix(out[3], total)
+        off = 0
+        for j, (si, start, nv, cont) in enumerate(batch):
+            if si < 0:
+                continue
+            nm, nh = int(counts[b, 0, j]), int(counts[b, 1, j])
+            n_min_acc, pos_parts, id_parts = acc.get(si, (0, [], []))
+            if nh:
+                pos_parts.append(fpos[off:off + nh] + start)
+                id_parts.append(fid[off:off + nh])
+            acc[si] = (n_min_acc + nm, pos_parts, id_parts)
+            off += nh
+    for si, (n_min, pos_parts, id_parts) in acc.items():
+        if pos_parts:
+            results[si] = (n_min, np.concatenate(pos_parts).astype(np.int32),
+                           np.concatenate(id_parts).astype(np.int32))
+        else:
+            results[si] = (n_min, np.zeros(0, np.int32),
+                           np.zeros(0, np.int32))
+    return results
 
 
 def pallas_sketch_sequence(codes: np.ndarray, k: int, w: int,
