@@ -57,41 +57,76 @@ def bucket_shapes(H: int, P: int, n_esrc: int, n_vtx: int):
             bucket_size(n_esrc + 1, 1024), bucket_size(n_vtx + 1, 1024))
 
 
+# Device-resident cache of the solver's static uploads: Lagrangian rounds
+# rebuild SolverTables but reuse the SAME underlying numpy arrays for
+# everything except occ_weight (switch_sources is graph-cached; occ_hap/
+# start/end come from the original anchors). Keyed by the id of the source
+# array + the padded shape; entries hold a strong reference to the source so
+# the id cannot be recycled while cached. On tunnel-attached TPUs this
+# removes ~200 MB of re-upload per refinement round.
+_DEV_CACHE: dict = {}
+_DEV_CACHE_CAP = 12
+
+
+def _dev_cached(src_arr, shape_key, build):
+    key = (id(src_arr),) + shape_key
+    hit = _DEV_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    val = build()
+    if len(_DEV_CACHE) >= _DEV_CACHE_CAP:
+        _DEV_CACHE.pop(next(iter(_DEV_CACHE)))
+    _DEV_CACHE[key] = (src_arr, val)
+    return val
+
+
 def _bucketed_args(t: SolverTables, max_sweeps: int):
     H, P = t.S.shape
     Hb, Pb, Eb, Vb = bucket_shapes(H, P, len(t.esrc_h), t.n_vtx)
+
+    def build_sv():
+        sv = np.full((Hb, Pb), -1, np.int32)
+        sv[:H, :P] = t.state_vertex
+        return (jnp.asarray(sv),
+                jnp.asarray(_pad1(t.walk_len.astype(np.int32), Hb, 0)))
+
+    def build_esrc():
+        # padded esrc rows: source state (0, Pb-1) is invalid in every lane
+        # (walk_len <= P < Pb), target Vb-1 is a dummy vertex no state maps to
+        eh = _pad1(t.esrc_h.astype(np.int32), Eb, 0)
+        ep = _pad1(t.esrc_p.astype(np.int32), Eb, Pb - 1)
+        et = _pad1(t.esrc_target.astype(np.int32), Eb, Vb - 1)
+        return (jnp.asarray(eh), jnp.asarray(ep), jnp.asarray(et))
+
+    sv_d, wl_d = _dev_cached(t.state_vertex, (Hb, Pb, "sv"), build_sv)
+    eh_d, ep_d, et_d = _dev_cached(t.esrc_h, (Eb, Pb, Vb, "esrc"), build_esrc)
+    common = (eh_d, ep_d, et_d, sv_d, wl_d,
+              jnp.float32(t.R), Vb, max_sweeps)
+
+    if t.n_layers is not None:
+        # exact path: S, B and the W stack are all built on device from the
+        # occurrence arrays — the only per-round upload is occ_weight
+        L = t.n_layers
+        Nb = bucket_size(max(len(t.occ_hap), 1), 1024)
+
+        def build_occ():
+            oh = _pad1(t.occ_hap.astype(np.int32), Nb, 0)
+            os_ = _pad1(t.occ_start.astype(np.int32), Nb, 0)
+            # pad rows get start == end == 0: zero span, and weight 0 below
+            oe = _pad1(t.occ_end.astype(np.int32), Nb, 0)
+            return (jnp.asarray(oh), jnp.asarray(os_), jnp.asarray(oe))
+
+        oh_d, os_d, oe_d = _dev_cached(t.occ_hap, (Nb, "occ"), build_occ)
+        ow = _pad1(t.occ_weight.astype(np.float32), Nb, 0.0)
+        S_dev, B_dev, W_dev = _build_sbw_jit(oh_d, os_d, oe_d,
+                                             jnp.asarray(ow), Hb, Pb, L)
+        return (S_dev, B_dev, W_dev), common, (H, P)
+
     S = np.zeros((Hb, Pb), np.float32)
     S[:H, :P] = t.S
     B = np.zeros((Hb, Pb), np.float32)
     B[:H, :P] = t.B
-    sv = np.full((Hb, Pb), -1, np.int32)
-    sv[:H, :P] = t.state_vertex
-    wl = _pad1(t.walk_len.astype(np.int32), Hb, 0)
-    # padded esrc rows: source state (0, Pb-1) is invalid in every lane
-    # (walk_len <= P < Pb), target Vb-1 is a dummy vertex no state maps to
-    eh = _pad1(t.esrc_h.astype(np.int32), Eb, 0)
-    ep = _pad1(t.esrc_p.astype(np.int32), Eb, Pb - 1)
-    et = _pad1(t.esrc_target.astype(np.int32), Eb, Vb - 1)
-    common = (jnp.asarray(eh), jnp.asarray(ep), jnp.asarray(et),
-              jnp.asarray(sv), jnp.asarray(wl),
-              jnp.float32(t.R), Vb, max_sweeps)
-    W_dev = None
-    if t.n_layers is not None:
-        L = t.n_layers
-        if L == 0:
-            W_dev = jnp.zeros((0, Hb, Pb), jnp.float32)
-        else:
-            # device-side build from pow2-bucketed occurrence arrays (pad
-            # rows have span 0 -> masked by span >= j+2)
-            Nb = bucket_size(max(len(t.occ_hap), 1), 1024)
-            oh = _pad1(t.occ_hap.astype(np.int32), Nb, 0)
-            os_ = _pad1(t.occ_start.astype(np.int32), Nb, 0)
-            oe = _pad1(t.occ_end.astype(np.int32), Nb, 0)
-            ow = _pad1(t.occ_weight.astype(np.float32), Nb, 0.0)
-            W_dev = _build_w_jit(jnp.asarray(oh), jnp.asarray(os_),
-                                 jnp.asarray(oe), jnp.asarray(ow),
-                                 Hb, Pb, L)
-    return (jnp.asarray(S), jnp.asarray(B), W_dev), common, (H, P)
+    return (jnp.asarray(S), jnp.asarray(B), None), common, (H, P)
 
 
 @functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps"))
@@ -150,6 +185,39 @@ def _build_w_jit(occ_hap, occ_start, occ_end, occ_w, H: int, P: int, L: int):
         return jnp.cumsum(diff[:H * P].reshape(H, P), axis=1)
 
     return jax.lax.map(layer, jnp.arange(L))
+
+
+@functools.partial(jax.jit, static_argnames=("H", "P", "L"))
+def _build_sbw_jit(occ_hap, occ_start, occ_end, occ_w, H: int, P: int,
+                   L: int):
+    """Device-side build of ALL weight-dependent solver inputs — S, B
+    (anchors.credit_arrays semantics) and the W straddle stack — from the
+    occurrence arrays. The static occ index arrays are device-cached, so a
+    Lagrangian refinement round uploads only the new occ_weight."""
+    span = occ_end - occ_start
+    flat_end = occ_hap * P + occ_end
+    lo_base = occ_hap * P + occ_start + 1
+    size = H * P + L + 2
+
+    diffB = jnp.zeros(size, jnp.float32).at[flat_end].add(occ_w)
+    B = jnp.cumsum(diffB[:H * P].reshape(H, P), axis=1)
+    # S charge at start+1, dropped when start+1 >= P in its lane (the host
+    # builder's in_range mask) — clamp to the slack tail instead
+    start_next = occ_start + 1
+    s_idx = jnp.where(start_next < P, occ_hap * P + start_next, size - 1)
+    diffS = jnp.zeros(size, jnp.float32).at[s_idx].add(occ_w)
+    S = jnp.cumsum(diffS[:H * P].reshape(H, P), axis=1)
+
+    def layer(j):
+        wsel = jnp.where(span >= j + 2, occ_w, jnp.float32(0))
+        diff = jnp.zeros(size, jnp.float32)
+        diff = diff.at[jnp.minimum(lo_base + j, size - 1)].add(wsel)
+        diff = diff.at[flat_end].add(-wsel)
+        return jnp.cumsum(diff[:H * P].reshape(H, P), axis=1)
+
+    W = jax.lax.map(layer, jnp.arange(L)) if L else \
+        jnp.zeros((0, H, P), jnp.float32)
+    return S, B, W
 
 
 @functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps"))

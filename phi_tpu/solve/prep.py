@@ -85,6 +85,7 @@ def switch_sources(graph: PangenomeGraph) -> tuple[np.ndarray, np.ndarray, np.nd
 
 
 _esrc_lock = threading.Lock()
+_first_occ_cache: tuple | None = None
 
 
 def switch_sources_cached(graph: PangenomeGraph):
@@ -196,10 +197,15 @@ def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
     S, B = credit_arrays(graph, anchors)
     esrc_h, esrc_p, esrc_target, esrc_edge = switch_sources_cached(graph)
     # const term: each model k-mer contributes weight mu_i (occ_weight is
-    # per-occurrence but equal across occurrences of a k-mer)
+    # per-occurrence but equal across occurrences of a k-mer). The first-
+    # occurrence index depends only on occ_kmer, which refinement rounds
+    # share by identity — cache it
     if len(anchors.occ_kmer):
-        _, first = np.unique(anchors.occ_kmer, return_index=True)
-        const = float(anchors.occ_weight[first].sum())
+        global _first_occ_cache
+        if _first_occ_cache is None or _first_occ_cache[0] is not anchors.occ_kmer:
+            _, first = np.unique(anchors.occ_kmer, return_index=True)
+            _first_occ_cache = (anchors.occ_kmer, first)
+        const = float(anchors.occ_weight[_first_occ_cache[1]].sum())
     else:
         const = 0.0
     if n_layers is None:
