@@ -250,7 +250,7 @@ def _make_kernel_rows(k: int, w: int):
 
         @pl.when(blk_id == 0)
         def _row_start():
-            cont = cont_ref[0, 0] != 0
+            cont = cont_ref[row_id] != 0
             # row 0 of the dispatch resumes from the init input; later rows
             # resume from the in-kernel carry; cont=0 resets (new haplotype)
             k0 = jnp.where(row_id == 0, init_ref[0], carry_ref[0])
@@ -302,7 +302,7 @@ def _make_kernel_rows(k: int, w: int):
         t = _tuple_min(t, tuple(_roll_l(v, w - s) for v in t))
         shi, slo, spos = t
 
-        n_valid = nvalid_ref[0, 0]
+        n_valid = nvalid_ref[row_id]
         valid = (spos >= 0) & (gpos < n_valid)
         at0 = lane == 0
         phi = jnp.where(at0, carry_ref[0], pltpu.roll(shi, 1, 1))
@@ -329,12 +329,13 @@ def _make_kernel_rows(k: int, w: int):
 def _pallas_sketch_rows(codes2d, nvalid, cont, init_carry, k: int, w: int,
                         n_rows: int, n_blocks: int, interpret: bool = False):
     """Run the multi-row kernel: codes2d [R, (n_blocks+1)*BLK] uint8,
-    nvalid/cont [R, 1] int32, init_carry (3,) uint32. Returns per-row
-    (hi, lo, pos, emit) arrays [R, n_blocks*BLK] and the final carry (3,)."""
+    nvalid/cont (R,) int32, init_carry (3,) uint32. Returns per-row
+    (hi, lo, pos, emit) arrays [R, n_blocks*BLK] and the final carry (3,).
+    Per-row scalars ride as whole 1-D SMEM arrays indexed by program_id —
+    Mosaic rejects (1,1) blocks of 2-D SMEM operands."""
     kernel = _make_kernel_rows(k, w)
     n_out = n_blocks * BLK
-    smem_scalar = pl.BlockSpec((1, 1), lambda r, i: (r, 0),
-                               memory_space=pltpu.SMEM)
+    smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_bs = pl.BlockSpec((1, BLK), lambda r, i: (r, i),
                           memory_space=pltpu.VMEM)
     out_shape = [
@@ -512,8 +513,8 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     for b in range(n_batches):
         batch = padded[b * R:(b + 1) * R]
         words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
-        nv = jnp.asarray(np.array([[r[2]] for r in batch], np.int32))
-        ct = jnp.asarray(np.array([[r[3]] for r in batch], np.int32))
+        nv = jnp.asarray(np.array([r[2] for r in batch], np.int32))
+        ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
         out = _pallas_join_rows(words, nv, ct, carry, sp_hi_d, sp_lo_d,
                                 sp_off_d, k, w, R, super_blocks, emitcap,
                                 cap_total, rounds, interpret)
@@ -533,8 +534,8 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
             ec = _next_pow2(max(emitcap, nm_max))
             ctot = _next_pow2(max(cap_total, nh_sum))
             words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
-            nv = jnp.asarray(np.array([[r[2]] for r in batch], np.int32))
-            ct = jnp.asarray(np.array([[r[3]] for r in batch], np.int32))
+            nv = jnp.asarray(np.array([r[2] for r in batch], np.int32))
+            ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
             out2 = _pallas_join_rows(words, nv, ct, carry_in, sp_hi_d,
                                      sp_lo_d, sp_off_d, k, w, R,
                                      super_blocks, ec, ctot, rounds,

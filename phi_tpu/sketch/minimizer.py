@@ -556,15 +556,32 @@ def estimate_spectrum_bucket(total_bases: int, k: int, w: int) -> int:
 
 def prewarm_join(k: int, w: int, spectrum_bucket: int,
                  hitcap: int = 1 << 15) -> None:
-    """Compile the chunked sketch+join program for a spectrum-size bucket
-    (dummy sorted keys). On remote-attached TPUs this compile costs minutes;
-    run it on a thread overlapped with the read-spectrum phase."""
+    """Compile the sketch+join program for a spectrum-size bucket (dummy
+    sorted keys). On remote-attached TPUs this compile costs minutes; run it
+    on a thread overlapped with the read-spectrum phase. Warms the batched
+    Pallas program (the default TPU path) or the chunked XLA program when
+    PHI_TPU_PALLAS_JOIN=0."""
+    import os
+
     from phi_tpu.ops.search import make_search_buckets
     Sb = spectrum_bucket
     hi_np = np.arange(Sb, dtype=np.uint32)
     off_np, actual = make_search_buckets(hi_np)
     rounds = _join_rounds(Sb, actual)
     halo = k + w - 2
+    if os.environ.get("PHI_TPU_PALLAS_JOIN") != "0" and halo <= 128:
+        from phi_tpu.sketch.kernels import (BLK, ROWS, SUPER_BLOCKS,
+                                            _pallas_join_rows, join_caps)
+        emitcap, cap_total = join_caps(w)
+        row_words = (SUPER_BLOCKS + 1) * BLK // 16
+        out = _pallas_join_rows(
+            jnp.zeros((ROWS, row_words), jnp.uint32),
+            jnp.ones((ROWS,), jnp.int32), jnp.zeros((ROWS,), jnp.int32),
+            jnp.zeros(3, jnp.uint32), jnp.asarray(hi_np),
+            jnp.zeros(Sb, jnp.uint32), jnp.asarray(off_np),
+            k, w, ROWS, SUPER_BLOCKS, emitcap, cap_total, rounds)
+        jax.block_until_ready(out)
+        return
     emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
     out = _sketch_join_jit(
         jnp.zeros(CHUNK + halo, jnp.uint8), jnp.int32(1),
