@@ -267,3 +267,42 @@ def test_device_w_build_matches_host():
         jnp.asarray(pad(anchors.occ_weight, 0.0)), H, P, L))
     assert np.allclose(dev, host)
     assert host.sum() > 0  # the ladder instance has real straddlers
+
+
+def test_device_sbw_build_matches_host():
+    """_build_sbw_jit's S/B == anchors.credit_arrays, W == straddle_layers
+    (the solver's per-round device build must be interchangeable with the
+    host arrays the decode backtrace uses)."""
+    import jax.numpy as jnp
+
+    from phi_tpu.anchors.join import credit_arrays
+    from phi_tpu.solve.dp import _build_sbw_jit, bucket_size
+    from phi_tpu.solve.prep import straddle_layers
+    graph, anchors, tables = _ladder_instance(R=0.3)
+    L = tables.n_layers
+    H, P = tables.S.shape
+    S_host, B_host = credit_arrays(graph, anchors)
+    W_host = straddle_layers(graph, anchors, L)
+    Nb = bucket_size(len(anchors.occ_hap), 8)
+    pad = lambda x, v: np.pad(x, (0, Nb - len(x)), constant_values=v)
+    S_dev, B_dev, W_dev = _build_sbw_jit(
+        jnp.asarray(pad(anchors.occ_hap, 0)),
+        jnp.asarray(pad(anchors.occ_start, 0)),
+        jnp.asarray(pad(anchors.occ_end, 0)),
+        jnp.asarray(pad(anchors.occ_weight, 0.0)), H, P, L)
+    assert np.allclose(np.asarray(S_dev), S_host)
+    assert np.allclose(np.asarray(B_dev), B_host)
+    assert np.allclose(np.asarray(W_dev), W_host)
+    # an occurrence whose start+1 == P must be dropped from S (host in_range
+    # rule), not spilled into the next lane
+    if P >= 2:
+        occ_h = np.array([0], np.int32)
+        occ_s = np.array([P - 1], np.int32)
+        occ_e = np.array([P - 1], np.int32)
+        occ_w = np.array([1.0], np.float32)
+        S2, B2, _ = _build_sbw_jit(jnp.asarray(pad(occ_h, 0)),
+                                   jnp.asarray(pad(occ_s, 0)),
+                                   jnp.asarray(pad(occ_e, 0)),
+                                   jnp.asarray(pad(occ_w, 0.0)), H, P, L)
+        assert float(np.asarray(S2)[1:].sum()) == 0.0
+        assert float(np.asarray(S2)[0].sum()) == 0.0
