@@ -487,6 +487,7 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
 
     # spectrum: pow2 bucket + first-probe bucket table (same scheme as the
     # XLA join path — one program per (k, w, bucket) family)
+    from phi_tpu.execache import cached_call
     from phi_tpu.ops.search import make_search_buckets
     from phi_tpu.sketch.minimizer import (_join_rounds, _next_pow2,
                                           fetch_prefix)
@@ -515,9 +516,12 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
         words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
         nv = jnp.asarray(np.array([r[2] for r in batch], np.int32))
         ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
-        out = _pallas_join_rows(words, nv, ct, carry, sp_hi_d, sp_lo_d,
-                                sp_off_d, k, w, R, super_blocks, emitcap,
-                                cap_total, rounds, interpret)
+        out = cached_call(
+            _pallas_join_rows, "pallas_join_rows",
+            (words, nv, ct, carry, sp_hi_d, sp_lo_d, sp_off_d),
+            {"k": k, "w": w, "n_rows": R, "n_blocks": super_blocks,
+             "emitcap": emitcap, "cap_total": cap_total, "rounds": rounds,
+             "interpret": interpret})
         pend.append([batch, carry, out])
         carry = out[4]
 
@@ -539,7 +543,7 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
             out2 = _pallas_join_rows(words, nv, ct, carry_in, sp_hi_d,
                                      sp_lo_d, sp_off_d, k, w, R,
                                      super_blocks, ec, ctot, rounds,
-                                     interpret)
+                                     interpret)  # rare retry: no cache
             pend[b][2] = out2
             counts[b, 0] = np.asarray(out2[0])
             counts[b, 1] = np.asarray(out2[1])

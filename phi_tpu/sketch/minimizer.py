@@ -361,9 +361,13 @@ def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
         n_valid = min(CHUNK, L - halo - start)
         chunk_dev = jax.device_put(chunk, device) if device is not None \
             else jnp.asarray(chunk)
-        out = _sketch_join_jit(chunk_dev, jnp.int32(n_valid),
-                               prev_hi, prev_lo, sp_hi, sp_lo, sp_off, k, w,
-                               emitcap, hitcap, rounds)
+        from phi_tpu.execache import cached_call
+        out = cached_call(
+            _sketch_join_jit, "sketch_join",
+            (chunk_dev, jnp.int32(n_valid), prev_hi, prev_lo, sp_hi, sp_lo,
+             sp_off),
+            {"k": k, "w": w, "emitcap": emitcap, "hitcap": hitcap,
+             "rounds": rounds})
         prev_hi, prev_lo = out[4], out[5]
         pending.append((start, n_valid, chunk, out))
     return pending
@@ -570,16 +574,20 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
     rounds = _join_rounds(Sb, actual)
     halo = k + w - 2
     if os.environ.get("PHI_TPU_PALLAS_JOIN") != "0" and halo <= 128:
+        from phi_tpu.execache import cached_call
         from phi_tpu.sketch.kernels import (BLK, ROWS, SUPER_BLOCKS,
                                             _pallas_join_rows, join_caps)
         emitcap, cap_total = join_caps(w)
         row_words = (SUPER_BLOCKS + 1) * BLK // 16
-        out = _pallas_join_rows(
-            jnp.zeros((ROWS, row_words), jnp.uint32),
-            jnp.ones((ROWS,), jnp.int32), jnp.zeros((ROWS,), jnp.int32),
-            jnp.zeros(3, jnp.uint32), jnp.asarray(hi_np),
-            jnp.zeros(Sb, jnp.uint32), jnp.asarray(off_np),
-            k, w, ROWS, SUPER_BLOCKS, emitcap, cap_total, rounds)
+        out = cached_call(
+            _pallas_join_rows, "pallas_join_rows",
+            (jnp.zeros((ROWS, row_words), jnp.uint32),
+             jnp.ones((ROWS,), jnp.int32), jnp.zeros((ROWS,), jnp.int32),
+             jnp.zeros(3, jnp.uint32), jnp.asarray(hi_np),
+             jnp.zeros(Sb, jnp.uint32), jnp.asarray(off_np)),
+            {"k": k, "w": w, "n_rows": ROWS, "n_blocks": SUPER_BLOCKS,
+             "emitcap": emitcap, "cap_total": cap_total, "rounds": rounds,
+             "interpret": False})
         jax.block_until_ready(out)
         return
     emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)

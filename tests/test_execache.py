@@ -1,0 +1,61 @@
+"""Executable cache: serialize/deserialize round trip (forced on CPU)."""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_execache_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("PHI_TPU_EXEC_CACHE", str(tmp_path))
+    monkeypatch.setenv("PHI_TPU_EXEC_CACHE_CPU", "1")
+    import phi_tpu.execache as ec
+    ec._loaded.clear()
+    ec._disabled = False
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def f(x, n):
+        return x * n + 1
+
+    x = jnp.arange(8.0)
+    out1 = ec.cached_call(f, "t", (x,), {"n": 3})
+    assert np.allclose(np.asarray(out1), np.arange(8.0) * 3 + 1)
+    files = [p for p in os.listdir(tmp_path) if p.endswith(".jex")]
+    assert len(files) == 1, "executable must be serialized to disk"
+    # simulate a fresh process: drop the in-memory entry, keep the disk file
+    ec._loaded.clear()
+    out2 = ec.cached_call(f, "t", (x + 1,), {"n": 3})
+    assert np.allclose(np.asarray(out2), (np.arange(8.0) + 1) * 3 + 1)
+    files = [p for p in os.listdir(tmp_path) if p.endswith(".jex")]
+    if files:
+        # deserialized executable ran: the cross-process path works here.
+        # A different static arg must produce a second cache entry.
+        ec.cached_call(f, "t", (x,), {"n": 4})
+        files = [p for p in os.listdir(tmp_path) if p.endswith(".jex")]
+        assert len(files) == 2
+    else:
+        # Some hosts refuse to re-load their own XLA:CPU AOT image
+        # (machine-feature strictness); cached_call must then have dropped
+        # the stale entry and fallen back to plain jit — verified by the
+        # correct out2 above and the empty cache dir here. (The TPU
+        # backend, the cache's actual target, has no such sensitivity.)
+        out3 = ec.cached_call(f, "t", (x,), {"n": 3})
+        assert np.allclose(np.asarray(out3), np.arange(8.0) * 3 + 1)
+
+
+def test_execache_disabled_by_default_on_cpu(tmp_path, monkeypatch):
+    monkeypatch.setenv("PHI_TPU_EXEC_CACHE", str(tmp_path))
+    monkeypatch.delenv("PHI_TPU_EXEC_CACHE_CPU", raising=False)
+    import phi_tpu.execache as ec
+    ec._loaded.clear()
+    ec._disabled = False
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def g(x, n):
+        return x + n
+
+    out = ec.cached_call(g, "u", (jnp.ones(4),), {"n": 2})
+    assert np.allclose(np.asarray(out), 3.0)
+    assert not os.listdir(tmp_path), "CPU backend must bypass the disk cache"
