@@ -261,8 +261,8 @@ def _make_kernel_rows(k: int, w: int):
             carry_ref[2] = jnp.where(cont, k2, jnp.uint32(0))
 
         xi = jnp.concatenate(
-            [codes_ref[:, :].astype(jnp.int32),
-             next_ref[:, :HALO_PAD].astype(jnp.int32)], axis=1)
+            [codes_ref[0].astype(jnp.int32),
+             next_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
         rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
         x = xi.astype(jnp.uint32)
         fhi = jnp.zeros_like(x)
@@ -312,10 +312,10 @@ def _make_kernel_rows(k: int, w: int):
         differs = (shi != phi) | (slo != plo) | (pvd == 0)
         emit = valid & differs
 
-        hi_ref[:, :] = shi[:, :BLK]
-        lo_ref[:, :] = slo[:, :BLK]
-        pos_ref[:, :] = spos[:, :BLK]
-        emit_ref[:, :] = emit[:, :BLK].astype(jnp.int32)
+        hi_ref[0] = shi[:, :BLK]
+        lo_ref[0] = slo[:, :BLK]
+        pos_ref[0] = spos[:, :BLK]
+        emit_ref[0] = emit[:, :BLK].astype(jnp.int32)
         carry_ref[0] = shi[0, BLK - 1]
         carry_ref[1] = slo[0, BLK - 1]
         carry_ref[2] = valid.astype(jnp.uint32)[0, BLK - 1]
@@ -332,29 +332,34 @@ def _pallas_sketch_rows(codes2d, nvalid, cont, init_carry, k: int, w: int,
     nvalid/cont (R,) int32, init_carry (3,) uint32. Returns per-row
     (hi, lo, pos, emit) arrays [R, n_blocks*BLK] and the final carry (3,).
     Per-row scalars ride as whole 1-D SMEM arrays indexed by program_id —
-    Mosaic rejects (1,1) blocks of 2-D SMEM operands."""
+    Mosaic rejects (1,1) blocks of 2-D SMEM operands. The row axis gets its
+    own singleton sublane dim ([R, 1, lanes] with (1, 1, BLK) blocks):
+    Mosaic requires the block's second-to-last dim to be divisible by 8 or
+    equal to the array's, and a (1, BLK) block of an [R, lanes] array is
+    neither for R > 1."""
     kernel = _make_kernel_rows(k, w)
     n_out = n_blocks * BLK
+    codes3d = codes2d.reshape(n_rows, 1, -1)
     smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_bs = pl.BlockSpec((1, BLK), lambda r, i: (r, i),
+    out_bs = pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i),
                           memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((n_rows, n_out), jnp.uint32),
-        jax.ShapeDtypeStruct((n_rows, n_out), jnp.uint32),
-        jax.ShapeDtypeStruct((n_rows, n_out), jnp.int32),
-        jax.ShapeDtypeStruct((n_rows, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.uint32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.uint32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.int32),
         jax.ShapeDtypeStruct((3,), jnp.uint32),
     ]
-    return pl.pallas_call(
+    hi, lo, pos, emit, carry = pl.pallas_call(
         kernel,
         grid=(n_rows, n_blocks),
         in_specs=[
             smem_scalar,
             smem_scalar,
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLK), lambda r, i: (r, i),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLK), lambda r, i: (r, i + 1),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i + 1),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_bs, out_bs, out_bs, out_bs,
@@ -362,7 +367,9 @@ def _pallas_sketch_rows(codes2d, nvalid, cont, init_carry, k: int, w: int,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((3,), jnp.uint32)],
         interpret=interpret,
-    )(nvalid, cont, init_carry, codes2d, codes2d)
+    )(nvalid, cont, init_carry, codes3d, codes3d)
+    return (hi.reshape(n_rows, n_out), lo.reshape(n_rows, n_out),
+            pos.reshape(n_rows, n_out), emit.reshape(n_rows, n_out), carry)
 
 
 @functools.partial(jax.jit, static_argnames=(
