@@ -191,6 +191,7 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     if opt.debug:
         # debug-mode detail, the solver-appropriate analog of the reference's
         # model dumps + chosen-path trace (-d1, ILP_index.cpp:1423-1429,:1554)
+        _debug_model_dump(graph, anchors, opt)
         for (sh, sq, sp) in result.segments:
             plog.raw(f"[D] segment lane={graph.walk_names[sh]} walk_pos=[{sq},{sp}] "
                      f"vertices=[{graph.walk_mat[sh, sq]}..{graph.walk_mat[sh, sp]}]")
@@ -236,6 +237,42 @@ def _debug_sharing_histogram(graph: PangenomeGraph, opt: Options) -> None:
     for i in range(1, graph.num_walks + 1):
         plog.raw(f"[Haplotypes: {i}, fraction of unique shared kmers: "
                  f"{hist[i] / total:.5f}]")
+
+
+def _debug_model_dump(graph: PangenomeGraph, anchors: AnchorTables,
+                      opt: Options) -> None:
+    """Full model dump, the analog of the reference's -d1 printers
+    (printObjectiveFunction/printConstraints/printNonZeroVariables,
+    ILP_index.cpp:157-310 invoked at :1423-1429). Dense tables replace named
+    Gurobi variables, so the dump lists the credit tables per lane, every
+    switch edge with its cost, and every occurrence interval (the k-mer
+    constraint analog). Like the reference's dump it is only practical on
+    toy models; larger models print a summary line instead."""
+    from phi_tpu.solve.prep import build_solver_tables, solver_layers
+    t = build_solver_tables(graph, anchors, opt.recombination,
+                            solver_layers(graph, opt.k))
+    H, P = t.state_vertex.shape
+    n_occ = len(anchors.occ_hap)
+    if H * P > 20_000 or len(t.esrc_h) > 50_000 or n_occ > 50_000:
+        plog.raw(f"[D] model dump skipped (too large): {H}x{P} lane states, "
+                 f"{len(t.esrc_h)} switch edges, {n_occ} occurrences")
+        return
+    plog.raw(f"[D] objective: minimize {t.R:g}*switches - covered_credit "
+             f"+ {t.const:g}")
+    for h in range(H):
+        L = int(t.walk_len[h])
+        s_row = " ".join(f"{t.S[h, p]:g}" for p in range(L))
+        b_row = " ".join(f"{t.B[h, p]:g}" for p in range(L))
+        plog.raw(f"[D] lane {graph.walk_names[h]}: S=[{s_row}] B=[{b_row}]")
+    for i in range(len(t.esrc_h)):
+        h, p = int(t.esrc_h[i]), int(t.esrc_p[i])
+        plog.raw(f"[D] switch ({graph.walk_names[h]},{p}) -> "
+                 f"vertex {int(t.esrc_target[i])} cost {t.R:g}")
+    for i in range(n_occ):
+        plog.raw(f"[D] occ kmer={int(anchors.occ_kmer[i])} "
+                 f"lane={graph.walk_names[int(anchors.occ_hap[i])]} "
+                 f"span=[{int(anchors.occ_start[i])},{int(anchors.occ_end[i])}) "
+                 f"weight={float(anchors.occ_weight[i]):g}")
 
 
 def _solve_once(tables, opt: Options):

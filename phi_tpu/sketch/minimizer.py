@@ -345,6 +345,8 @@ def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
     """Dispatch every chunk of one sequence asynchronously (the dedup carry
     is a device scalar, so no host sync is needed between chunks)."""
     import jax.numpy as jnp
+
+    from phi_tpu.execache import cached_call
     L = len(codes)
     halo = k + w - 2
     pad_len = CHUNK + halo
@@ -361,7 +363,6 @@ def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
         n_valid = min(CHUNK, L - halo - start)
         chunk_dev = jax.device_put(chunk, device) if device is not None \
             else jnp.asarray(chunk)
-        from phi_tpu.execache import cached_call
         out = cached_call(
             _sketch_join_jit, "sketch_join",
             (chunk_dev, jnp.int32(n_valid), prev_hi, prev_lo, sp_hi, sp_lo,

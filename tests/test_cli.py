@@ -114,3 +114,27 @@ def test_cli_debug_sharing_histogram(tmp_path):
     assert len(lines) == 5  # one row per walk count (test.gfa has 5 walks)
     fracs = [float(l.rsplit(" ", 1)[1].rstrip("]")) for l in lines]
     assert abs(sum(fracs) - 1.0) < 1e-3
+
+
+def test_cli_debug_model_dump(tmp_path):
+    """-d1 dumps the full dense model on toy inputs (the analog of the
+    reference's printObjectiveFunction/printConstraints/printNonZeroVariables,
+    ILP_index.cpp:1423-1429)."""
+    env = {"PATH": "/usr/bin:/bin", "PALLAS_AXON_POOL_IPS": "",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root", "PYTHONPATH": "/root/repo"}
+    p = subprocess.run(
+        [sys.executable, "-m", "phi_tpu.cli", "-g", "/root/reference/test/test.gfa",
+         "-r", "/root/reference/test/read.fa", "-o", str(tmp_path / "o.fa"),
+         "-k", "4", "-w", "2", "-d", "1"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert p.returncode == 0, p.stderr
+    err = p.stderr
+    assert "[D] objective: minimize" in err
+    # one credit-table row per walk lane
+    assert sum(1 for l in err.splitlines()
+               if l.startswith("[D] lane ")) == 5
+    # toy graph is a diamond DAG: switch edges must exist
+    assert any(l.startswith("[D] switch (") and "cost" in l
+               for l in err.splitlines())
+    # occurrence intervals (the k-mer constraint analog)
+    assert any(l.startswith("[D] occ kmer=") for l in err.splitlines())
