@@ -23,9 +23,21 @@ import os
 import pickle
 import threading
 
-_lock = threading.Lock()
+_lock = threading.Lock()           # guards the two dicts only
+_key_locks: dict[str, threading.Lock] = {}
 _loaded: dict[str, object] = {}
 _disabled = False
+
+
+def _lock_for(key: str) -> threading.Lock:
+    # Per-key locks: a compile of one program (minutes through the remote
+    # tunnel, e.g. the solver prewarm thread) must not serialize loads or
+    # compiles of OTHER programs on concurrent threads.
+    with _lock:
+        lk = _key_locks.get(key)
+        if lk is None:
+            lk = _key_locks[key] = threading.Lock()
+    return lk
 
 
 def _cache_dir() -> str | None:
@@ -75,13 +87,14 @@ def cached_call(jitted, name: str, dyn_args: tuple, static_kw: dict):
         return jitted(*dyn_args, **static_kw)
     fn = _loaded.get(key)
     if fn is None:
-        with _lock:
+        with _lock_for(key):
             fn = _loaded.get(key)
             if fn is None:
                 fn = _load_or_compile(jitted, key, dyn_args, static_kw)
                 if fn is None:
                     return jitted(*dyn_args, **static_kw)
-                _loaded[key] = fn
+                with _lock:
+                    _loaded[key] = fn
     try:
         return fn(*dyn_args)
     except Exception:
