@@ -23,10 +23,43 @@ import os
 import pickle
 import threading
 
-_lock = threading.Lock()           # guards the two dicts only
+_lock = threading.Lock()           # guards the dicts only
 _key_locks: dict[str, threading.Lock] = {}
 _loaded: dict[str, object] = {}
+_fingerprints: dict[int, str] = {}
 _disabled = False
+
+
+def _log(msg: str) -> None:
+    import sys
+    import time
+    print(f"[M::execache::{time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _code_fingerprint(jitted) -> str:
+    """Hash of the source FILE defining the jitted function (plus the jax
+    version). A compiled executable embeds the traced program, so an edit to
+    the kernel source must invalidate the cache entry — shapes alone would
+    silently serve the stale program. Module-file granularity over-
+    invalidates (any edit to the file recompiles every program it defines)
+    but never under-invalidates for same-file edits; helpers imported from
+    OTHER modules are not covered, so bump the module's source in any way
+    when changing cross-module tracing behavior."""
+    fid = id(jitted)
+    fp = _fingerprints.get(fid)
+    if fp is not None:
+        return fp
+    import inspect
+    fn = inspect.unwrap(getattr(jitted, "__wrapped__", jitted))
+    try:
+        path = inspect.getsourcefile(fn)
+        with open(path, "rb") as f:
+            fp = hashlib.sha1(f.read()).hexdigest()[:12]
+    except Exception:
+        fp = "nosrc"
+    _fingerprints[fid] = fp
+    return fp
 
 
 def _lock_for(key: str) -> threading.Lock:
@@ -54,11 +87,12 @@ def _describe(x) -> str:
     return repr(x)
 
 
-def _key(name: str, dyn_args: tuple, static_kw: dict) -> str:
+def _key(name: str, jitted, dyn_args: tuple, static_kw: dict) -> str:
     import jax
     dev = jax.devices()[0]
     parts = [jax.__version__, jax.default_backend(),
-             getattr(dev, "device_kind", "?"), name]
+             getattr(dev, "device_kind", "?"), name,
+             _code_fingerprint(jitted)]
     parts += [_describe(a) for a in dyn_args]
     parts += [f"{k}={static_kw[k]!r}" for k in sorted(static_kw)]
     return name + "-" + hashlib.sha1("|".join(parts).encode()).hexdigest()[:20]
@@ -82,7 +116,7 @@ def cached_call(jitted, name: str, dyn_args: tuple, static_kw: dict):
         # feature sensitive; the cache only pays on tunnel-attached TPUs
         return jitted(*dyn_args, **static_kw)
     try:
-        key = _key(name, dyn_args, static_kw)
+        key = _key(name, jitted, dyn_args, static_kw)
     except Exception:
         return jitted(*dyn_args, **static_kw)
     fn = _loaded.get(key)
@@ -109,21 +143,30 @@ def cached_call(jitted, name: str, dyn_args: tuple, static_kw: dict):
 
 def _load_or_compile(jitted, key: str, dyn_args: tuple, static_kw: dict):
     global _disabled
+    import time
     from jax.experimental import serialize_executable as se
     cdir = _cache_dir()
     path = os.path.join(cdir, key + ".jex")
+    t0 = time.time()
     try:
         with open(path, "rb") as f:
             payload, in_tree, out_tree = pickle.load(f)
-        return se.deserialize_and_load(payload, in_tree, out_tree)
+        fn = se.deserialize_and_load(payload, in_tree, out_tree)
+        _log(f"loaded {key} ({time.time() - t0:.1f} s)")
+        return fn
     except FileNotFoundError:
         pass
-    except Exception:
-        pass  # corrupt entry: recompile below and overwrite
+    except Exception as e:
+        _log(f"stale/corrupt {key} ({type(e).__name__}); recompiling")
+    _log(f"compiling {key} ...")
+    t0 = time.time()
     try:
         compiled = jitted.lower(*dyn_args, **static_kw).compile()
-    except Exception:
+    except Exception as e:
+        _log(f"compile via cache failed for {key} ({type(e).__name__}); "
+             "normal jit path")
         return None  # let the caller run the normal path
+    _log(f"compiled {key} ({time.time() - t0:.1f} s)")
     try:
         payload, in_tree, out_tree = se.serialize(compiled)
         os.makedirs(cdir, exist_ok=True)

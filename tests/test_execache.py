@@ -45,6 +45,31 @@ def test_execache_roundtrip(tmp_path, monkeypatch):
         assert np.allclose(np.asarray(out3), np.arange(8.0) * 3 + 1)
 
 
+def test_execache_key_tracks_source_file(tmp_path, monkeypatch):
+    """Editing the module that defines a cached program must change the
+    cache key — otherwise a stale compiled executable would silently serve
+    the OLD program after a kernel edit (shapes alone can't tell)."""
+    import importlib
+    import sys
+
+    import phi_tpu.execache as ec
+    mod_path = tmp_path / "ec_probe_mod.py"
+    mod_path.write_text(
+        "import jax\n\n@jax.jit\ndef probe(x):\n    return x * 2\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    mod = importlib.import_module("ec_probe_mod")
+    x = jnp.arange(4.0)
+    key1 = ec._key("probe", mod.probe, (x,), {})
+    # same everything -> same key (and the per-function memo is warm)
+    assert key1 == ec._key("probe", mod.probe, (x,), {})
+    mod_path.write_text(
+        "import jax\n\n@jax.jit\ndef probe(x):\n    return x * 3\n")
+    mod = importlib.reload(mod)
+    key2 = ec._key("probe", mod.probe, (x,), {})
+    assert key1 != key2, "source edit must invalidate the executable cache"
+    sys.modules.pop("ec_probe_mod", None)
+
+
 def test_execache_disabled_by_default_on_cpu(tmp_path, monkeypatch):
     monkeypatch.setenv("PHI_TPU_EXEC_CACHE", str(tmp_path))
     monkeypatch.delenv("PHI_TPU_EXEC_CACHE_CPU", raising=False)
