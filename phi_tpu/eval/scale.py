@@ -112,6 +112,55 @@ def run_one(n_haps: int, length: int = 5_000_000, coverage: float = 2.0,
             "timings": {k: round(v, 2) for k, v in res.timings.items()}}
 
 
+def progressive_subsets(gfa_path: str, reads_path: str, truth_path: str,
+                        counts: list[int], opt: Options | None = None,
+                        out_csv: str | None = None) -> list[dict]:
+    """The reference's increasing.csv axes done the reference's way: ONE
+    graph, progressively larger panel subsets (chop_graph.sh:37-69 derives
+    3/7/13/25/49-hap GBZs from the 49-hap graph via ignore-lists; here
+    io.subset.subset_panel), the SAME read set and truth across all rows."""
+    from phi_tpu.io.gfa import read_gfa
+    from phi_tpu.io.subset import subset_panel
+    from phi_tpu.pipeline import run_pipeline
+    opt = opt or Options()
+    g = read_gfa(gfa_path)
+    with open(truth_path) as f:
+        truth = "".join(l.strip() for l in f if not l.startswith(">"))
+    rows = []
+    for n in counts:
+        if n > len(g.walks):
+            raise ValueError(f"subset {n} > {len(g.walks)} walks in graph")
+        sub_path = os.path.join(os.path.dirname(gfa_path), f"panel_{n}.gfa")
+        if n == len(g.walks):
+            sub_path = gfa_path
+        elif not os.path.exists(sub_path):
+            write_gfa(subset_panel(g, list(range(n))), path=sub_path)
+        out = os.path.join(os.path.dirname(gfa_path), f"inferred_{n}.fa")
+        t0 = time.time()
+        res = run_pipeline(sub_path, reads_path, out, opt)
+        wall = time.time() - t0
+        es = edit_stats(res.sequence, truth)
+        rows.append({"n_haps": n, "wall_s": round(wall, 2),
+                     "peak_rss_gb": round(peak_rss_gb(), 2),
+                     "edit_distance": es.edit_distance,
+                     "recombinations": res.recombination_count,
+                     "gap": round(max(0.0, res.decode.true_objective
+                                      - res.decode.dp_objective), 3),
+                     "timings": {k: round(v, 2)
+                                 for k, v in res.timings.items()}})
+    if out_csv:
+        import csv
+        with open(out_csv, "w", newline="") as f:
+            wtr = csv.writer(f)
+            wtr.writerow(["n_haps", "wall_s", "peak_rss_gb", "edit_distance",
+                          "recombinations", "gap"])
+            for r in rows:
+                wtr.writerow([r["n_haps"], r["wall_s"], r["peak_rss_gb"],
+                              r["edit_distance"], r["recombinations"],
+                              r["gap"]])
+    return rows
+
+
 def build_heldout_instance(n_haps: int, length: int, coverages: list[float],
                            seed: int = 0, var_rate: float = 0.01,
                            error_rate: float = 0.003, n_rate: float = 0.002,
@@ -214,6 +263,10 @@ def main(argv=None) -> int:
     ap.add_argument("--heldout", action="store_true",
                     help="leave-target-out coverage sweep instead of the "
                          "hap-count scaling run")
+    ap.add_argument("--subsets", action="store_true",
+                    help="derive the smaller panels as subsets of the "
+                         "largest graph (chop_graph.sh style: one graph, "
+                         "one read set, progressive panels)")
     args = ap.parse_args(argv)
     if args.heldout:
         n = int(args.haps.split(",")[0])
@@ -223,8 +276,19 @@ def main(argv=None) -> int:
         for c in res:
             print(json.dumps(dataclasses.asdict(c)), flush=True)
         return 0
+    counts = [int(x) for x in args.haps.split(",")]
+    if args.subsets:
+        paths = build_instance(max(counts), args.length, args.coverage,
+                               args.seed)
+        rows = progressive_subsets(
+            paths["gfa"], paths["reads"], paths["truth"], counts,
+            opt=Options(lagrangian_rounds=args.lagrangian),
+            out_csv=args.out_csv)
+        for r in rows:
+            print(json.dumps(r), flush=True)
+        return 0
     rows = []
-    for n in [int(x) for x in args.haps.split(",")]:
+    for n in counts:
         r = run_one(n, args.length, args.coverage, args.seed,
                     opt=Options(lagrangian_rounds=args.lagrangian))
         print(json.dumps(r), flush=True)
