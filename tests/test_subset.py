@@ -58,6 +58,27 @@ def test_subset_roundtrips_and_solves(graph, tmp_path):
     assert res.sequence == target
 
 
+def test_progressive_subsets_sweep(tmp_path, monkeypatch):
+    """increasing.csv-style sweep: one graph, one read set, growing panels;
+    edit distance must not increase when the panel grows."""
+    monkeypatch.setenv("PHI_TPU_SCALE_CACHE", str(tmp_path))
+    import importlib
+
+    import phi_tpu.eval.scale as scale
+    importlib.reload(scale)
+    from phi_tpu.config import Options
+    paths = scale.build_instance(4, length=20_000, coverage=2.0, seed=3,
+                                 n_breaks=1)
+    rows = scale.progressive_subsets(
+        paths["gfa"], paths["reads"], paths["truth"], [2, 4],
+        opt=Options(k=15, w=5, lagrangian_rounds=1),
+        out_csv=str(tmp_path / "inc.csv"))
+    assert [r["n_haps"] for r in rows] == [2, 4]
+    assert rows[1]["edit_distance"] <= rows[0]["edit_distance"]
+    assert (tmp_path / "inc.csv").exists()
+    importlib.reload(scale)
+
+
 def test_subset_bad_index(graph):
     with pytest.raises(ValueError):
         subset_panel(graph, [99])
