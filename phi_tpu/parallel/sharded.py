@@ -94,7 +94,7 @@ def sharded_solve(mesh: Mesh, *, R: float, n_vtx: int, max_sweeps: int = 256):
             E = jnp.where(has_vtx, ent[vtx_clip] + R, _INF)
             E = jnp.where((gcol[None, :] == 0), jnp.minimum(E, 0.0), E)
             A = jnp.where(valid, E + S, _INF)
-            local = jax.lax.associative_scan(jnp.minimum, A, axis=1)
+            local = jax.lax.cummin(A, axis=1)
             tot = local[:, -1]
             all_tot = jax.lax.all_gather(tot, "sp", axis=0)
             pred = jnp.arange(n_sp)[:, None] < sp_idx
@@ -161,7 +161,7 @@ def sharded_solve_exact(mesh: Mesh, *, R: float, n_vtx: int, n_layers: int,
             E = jnp.where((gcol[None, :] == 0), jnp.minimum(E, 0.0), E)
             A = jnp.where(valid, E + S, _INF)
             A_sp = jax.lax.all_gather(A, "sp", axis=1, tiled=True)  # [Hs, P]
-            scan_full = jax.lax.associative_scan(jnp.minimum, A_sp, axis=1)
+            scan_full = jax.lax.cummin(A_sp, axis=1)
             idx = jnp.maximum(gcol - n_layers, 0)
             Mn = jnp.where((gcol >= n_layers)[None, :],
                            scan_full[:, idx], _INF)
@@ -259,7 +259,7 @@ def sharded_full_step(mesh: Mesh, *, k: int, w: int, R: float, n_vtx: int,
             E = jnp.where(has_vtx, ent[vtx_clip] + R, _INF)
             E = jnp.where((gcol[None, :] == 0), jnp.minimum(E, 0.0), E)
             A = jnp.where(valid, E + S, _INF)
-            local = jax.lax.associative_scan(jnp.minimum, A, axis=1)
+            local = jax.lax.cummin(A, axis=1)
             # carry: prefix-min of predecessor blocks' totals along sp
             tot = local[:, -1]                                        # [Hs]
             all_tot = jax.lax.all_gather(tot, "sp", axis=0)           # [n_sp, Hs]
