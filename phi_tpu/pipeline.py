@@ -71,7 +71,9 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     # bucketed shape depends only on the graph, known now.
     import jax as _jax
     if _jax.default_backend() != "cpu":
+        from phi_tpu.sketch.minimizer import start_read_sketch_prewarm_thread
         from phi_tpu.solve.dp import start_prewarm_thread
+        start_read_sketch_prewarm_thread(opt.k, opt.w)
         start_prewarm_thread(graph, opt.recombination, opt.max_sweeps, opt.k)
 
     if opt.load_index:

@@ -249,8 +249,12 @@ def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
     n_valid = L - k - w + 2
     if max_windows is not None:
         n_valid = min(n_valid, max_windows)
+    from phi_tpu.execache import cached_call
     while True:
-        count, hi, lo, pos = _sketch_jit(jnp.asarray(codes), jnp.int32(n_valid), k, w, cap)
+        count, hi, lo, pos = cached_call(
+            _sketch_jit, "sketch",
+            (jnp.asarray(codes), jnp.int32(n_valid)),
+            {"k": k, "w": w, "cap": cap})
         count = int(count)
         if count <= cap:
             hi = fetch_prefix(hi, count)
@@ -599,6 +603,37 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
     jax.block_until_ready(out)
 
 
+def prewarm_read_sketch(k: int, w: int) -> None:
+    """Compile (or cache-load) the masked concat-sketch program. Its shape
+    is fully static given (k, w) — (CHUNK + halo,) chunks with the standard
+    cap — so it can warm from the moment the options are known, overlapped
+    with graph load."""
+    from phi_tpu.execache import cached_call
+    halo = k + w - 2
+    pad_len = CHUNK + halo
+    cap = max(1024, min(pad_len, 4 * pad_len // (w + 1) + 64))
+    out = cached_call(_sketch_masked_jit, "sketch_masked",
+                      (jnp.zeros(pad_len, jnp.uint8),
+                       jnp.zeros(pad_len, bool)),
+                      {"k": k, "w": w, "cap": cap})
+    jax.block_until_ready(out)
+
+
+def start_read_sketch_prewarm_thread(k: int, w: int):
+    import threading
+
+    def work():
+        try:
+            prewarm_read_sketch(k, w)
+        except Exception:
+            pass  # best-effort
+
+    th = threading.Thread(target=work, daemon=True,
+                          name="phi-read-sketch-prewarm")
+    th.start()
+    return th
+
+
 def start_join_prewarm_thread(k: int, w: int, spectrum_bucket: int):
     import threading
 
@@ -727,6 +762,7 @@ def _masked_emissions(concat: np.ndarray, window_ok_global: np.ndarray,
 
     def dev(x):
         return jax.device_put(x, device) if device is not None else jnp.asarray(x)
+    from phi_tpu.execache import cached_call
     halo = k + w - 2
     pad_len = CHUNK + halo
     cap = max(1024, min(pad_len, 4 * pad_len // (w + 1) + 64))
@@ -741,7 +777,9 @@ def _masked_emissions(concat: np.ndarray, window_ok_global: np.ndarray,
         mask = mask.copy()
         mask[min(CHUNK, len(mask)):] = False  # windows owned by the next chunk
         pending.append((chunk, mask,
-                        _sketch_masked_jit(dev(chunk), dev(mask), k, w, cap)))
+                        cached_call(_sketch_masked_jit, "sketch_masked",
+                                    (dev(chunk), dev(mask)),
+                                    {"k": k, "w": w, "cap": cap})))
     for chunk, mask, (count, shi, slo) in pending:
         c = int(count)
         if c > cap:  # adversarial density: redo with a pow2 cap
