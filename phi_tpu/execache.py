@@ -38,26 +38,60 @@ def _log(msg: str) -> None:
 
 
 def _code_fingerprint(jitted) -> str:
-    """Hash of the source FILE defining the jitted function (plus the jax
-    version). A compiled executable embeds the traced program, so an edit to
-    the kernel source must invalidate the cache entry — shapes alone would
-    silently serve the stale program. Module-file granularity over-
-    invalidates (any edit to the file recompiles every program it defines)
-    but never under-invalidates for same-file edits; helpers imported from
-    OTHER modules are not covered, so bump the module's source in any way
-    when changing cross-module tracing behavior."""
+    """Hash of the traced code: the jitted function's source plus,
+    transitively, the source of every `phi_tpu` function it references by
+    global name (and the repr of referenced scalar/tuple module constants).
+    A compiled executable embeds the traced program, so an edit to any of
+    this must invalidate the cache entry — shapes alone would silently
+    serve the stale program. Function-closure granularity (not whole-file):
+    editing host orchestration in the same module must NOT throw away the
+    10-minute remote compiles of untouched kernels. Not covered: dynamically
+    resolved references (getattr/dict dispatch) — don't use those inside
+    traced code."""
     fid = id(jitted)
     fp = _fingerprints.get(fid)
     if fp is not None:
         return fp
     import inspect
-    fn = inspect.unwrap(getattr(jitted, "__wrapped__", jitted))
+    root = inspect.unwrap(getattr(jitted, "__wrapped__", jitted))
+    parts: list[str] = []
+    seen: set[int] = set()
+    stack = [root]
     try:
-        path = inspect.getsourcefile(fn)
-        with open(path, "rb") as f:
-            fp = hashlib.sha1(f.read()).hexdigest()[:12]
+        while stack:
+            fn = stack.pop()
+            if id(fn) in seen:
+                continue
+            seen.add(id(fn))
+            parts.append(inspect.getsource(fn))
+            code = getattr(fn, "__code__", None)
+            g = getattr(fn, "__globals__", None)
+            if code is None or g is None:
+                continue
+            names = set(code.co_names)
+            for const in code.co_consts:  # nested defs (inner functions)
+                if hasattr(const, "co_names"):
+                    names.update(const.co_names)
+            for name in sorted(names):
+                ref = g.get(name)
+                if ref is None:
+                    continue
+                mod = getattr(ref, "__module__", None)
+                if callable(ref) and isinstance(mod, str) \
+                        and mod.split(".")[0] == root.__module__.split(".")[0]:
+                    stack.append(inspect.unwrap(ref))
+                elif isinstance(ref, (int, float, str, bytes, tuple)):
+                    parts.append(f"{name}={ref!r}")
+                elif hasattr(ref, "shape") and getattr(ref, "size", 1 << 30) <= 64:
+                    parts.append(f"{name}={ref!r}")  # scalar jnp/np constants
+        fp = hashlib.sha1("\n".join(sorted(parts)).encode()).hexdigest()[:12]
     except Exception:
-        fp = "nosrc"
+        # fallback: whole defining file
+        try:
+            with open(inspect.getsourcefile(root), "rb") as f:
+                fp = hashlib.sha1(f.read()).hexdigest()[:12]
+        except Exception:
+            fp = "nosrc"
     _fingerprints[fid] = fp
     return fp
 

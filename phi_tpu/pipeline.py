@@ -183,6 +183,9 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
              else "Using Integer Programming")
     t1 = time.time()
     result = _solve_with_refinement(graph, anchors, opt)
+    from phi_tpu.solve.dp import LAST_TIMINGS
+    for key, val in LAST_TIMINGS.items():
+        timings[f"solve_{key}"] = val
     plog.log("ILP_function", "Model optimized")
     plog.log("ILP_function",
              f"DP sweeps: {result.n_sweeps}; lower bound: {result.dp_objective:.3f}; "

@@ -780,15 +780,44 @@ def _masked_emissions(concat: np.ndarray, window_ok_global: np.ndarray,
                         cached_call(_sketch_masked_jit, "sketch_masked",
                                     (dev(chunk), dev(mask)),
                                     {"k": k, "w": w, "cap": cap})))
-    for chunk, mask, (count, shi, slo) in pending:
-        c = int(count)
-        if c > cap:  # adversarial density: redo with a pow2 cap
-            count, shi, slo = _sketch_masked_jit(
-                dev(chunk), dev(mask), k, w, _next_pow2(c))
-            c = int(count)
-        hi = fetch_prefix(shi, c)
-        lo = fetch_prefix(slo, c)
-        outs.append((hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64))
+
+    # sync 1: every chunk count in ONE transfer — per-chunk scalar fetches
+    # cost a tunnel round trip each. The stack is padded to pow2 length so
+    # the tiny stack program is shared across datasets.
+    K = len(pending)
+    Kp = 1 << max(0, K - 1).bit_length()
+    cvec = [out[0] for (_, _, out) in pending]
+    counts = np.asarray(jnp.stack(cvec + [cvec[0]] * (Kp - K)))[:K]
+    for idx, (chunk, mask, out) in enumerate(pending):  # rare cap overflow
+        if int(counts[idx]) > cap:
+            out2 = _sketch_masked_jit(dev(chunk), dev(mask), k, w,
+                                      _next_pow2(int(counts[idx])))
+            pending[idx] = (chunk, mask, out2)
+            counts[idx] = int(out2[0])
+
+    # sync 2: every chunk's emitted keys in one padded-concat transfer per
+    # component (retried odd-cap chunks, rare, fetch individually)
+    std = [i for i in range(K) if pending[i][2][1].shape[0] == cap]
+    fetched: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    if std:
+        Sp = 1 << max(0, len(std) - 1).bit_length()
+        his = [pending[i][2][1] for i in std]
+        los = [pending[i][2][2] for i in std]
+        cat_hi = np.asarray(jnp.concatenate(his + [his[0]] * (Sp - len(std))))
+        cat_lo = np.asarray(jnp.concatenate(los + [los[0]] * (Sp - len(std))))
+        for j, i in enumerate(std):
+            c = int(counts[i])
+            fetched[i] = (cat_hi[j * cap:j * cap + c],
+                          cat_lo[j * cap:j * cap + c])
+    for i in range(K):
+        c = int(counts[i])
+        if i in fetched:
+            hi, lo = fetched[i]
+        else:
+            hi = fetch_prefix(pending[i][2][1], c)
+            lo = fetch_prefix(pending[i][2][2], c)
+        outs.append((hi.astype(np.uint64) << np.uint64(32))
+                    | lo.astype(np.uint64))
     return np.concatenate(outs) if outs else np.zeros(0, np.uint64)
 
 

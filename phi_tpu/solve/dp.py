@@ -25,6 +25,12 @@ from phi_tpu.solve.prep import SolverTables
 
 _INF = jnp.float32(jnp.inf)
 
+# diagnostics written by every solve_dp/solve_dp_both call: seconds spent in
+# table upload/build, fixpoint execution, and the M/ends device->host fetch.
+# The remote tunnel makes these radically different from local-chip costs;
+# run_pipeline copies them into its timings dict.
+LAST_TIMINGS: dict[str, float] = {}
+
 
 def bucket_size(n: int, minimum: int = 8) -> int:
     """Smallest {2^k, 3*2^(k-1)} >= n: waste <= 33%, ~2 shapes per octave.
@@ -335,12 +341,23 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
     if t.n_layers is None:
         (M, ends), _, n_sweeps, lb = solve_dp_both(t, max_sweeps)
         return M, ends, n_sweeps, lb
+    import time
+
     from phi_tpu.execache import cached_call
+    t0 = time.time()
     (S_dev, B_dev, W_dev), common, (H, P), statics = _bucketed_args(t, max_sweeps)
+    jax.block_until_ready(S_dev)
+    t1 = time.time()
     M, ends, sweeps = cached_call(_solve_exact_jit, "solve_exact",
                                   (S_dev, B_dev, W_dev) + common, statics)
+    jax.block_until_ready(ends)
+    t2 = time.time()
+    # full-matrix fetch, sliced on host: a device-side slice would mint one
+    # more per-process remote compile for a ~25% byte saving
     M = np.asarray(M)[:H, :P]
     ends = np.asarray(ends)[:H]
+    LAST_TIMINGS.update(tables=round(t1 - t0, 3), exec=round(t2 - t1, 3),
+                        fetch=round(time.time() - t2, 3))
     n_sweeps = int(sweeps)
     _warn_cap(n_sweeps, max_sweeps)
     lb = float(t.const + ends.min()) if len(ends) else float(t.const)

@@ -70,6 +70,40 @@ def test_execache_key_tracks_source_file(tmp_path, monkeypatch):
     sys.modules.pop("ec_probe_mod", None)
 
 
+def test_execache_fingerprint_scope(tmp_path, monkeypatch):
+    """Function-closure granularity: editing an UNRELATED function in the
+    same module must not invalidate (10-minute kernel recompiles); editing a
+    referenced same-package helper or constant must."""
+    import importlib
+    import sys
+
+    import phi_tpu.execache as ec
+    mod_path = tmp_path / "ec_scope_mod.py"
+    base = ("import jax\nSCALE = 2\n\n"
+            "def helper(x):\n    return x * SCALE\n\n"
+            "@jax.jit\ndef probe(x):\n    return helper(x) + 1\n\n"
+            "def unrelated():\n    return {}\n")
+    mod_path.write_text(base.format(1))
+    monkeypatch.syspath_prepend(str(tmp_path))
+    mod = importlib.import_module("ec_scope_mod")
+    x = jnp.arange(4.0)
+    key1 = ec._key("probe", mod.probe, (x,), {})
+    # unrelated edit -> same key
+    mod_path.write_text(base.format(999))
+    mod = importlib.reload(mod)
+    assert ec._key("probe", mod.probe, (x,), {}) == key1
+    # referenced helper edit -> new key
+    mod_path.write_text(base.format(1).replace("x * SCALE", "x * SCALE * 2"))
+    mod = importlib.reload(mod)
+    key_h = ec._key("probe", mod.probe, (x,), {})
+    assert key_h != key1
+    # referenced module-constant edit -> new key
+    mod_path.write_text(base.format(1).replace("SCALE = 2", "SCALE = 3"))
+    mod = importlib.reload(mod)
+    assert ec._key("probe", mod.probe, (x,), {}) not in (key1, key_h)
+    sys.modules.pop("ec_scope_mod", None)
+
+
 def test_execache_disabled_by_default_on_cpu(tmp_path, monkeypatch):
     monkeypatch.setenv("PHI_TPU_EXEC_CACHE", str(tmp_path))
     monkeypatch.delenv("PHI_TPU_EXEC_CACHE_CPU", raising=False)
