@@ -34,14 +34,14 @@ def build_csr(keys: np.ndarray, values: np.ndarray, n_keys: int) -> Csr:
     return Csr(off, values[order])
 
 
-def ragged_arange(counts: np.ndarray) -> np.ndarray:
+def ragged_arange(counts: np.ndarray, dtype=np.int64) -> np.ndarray:
     """[0..c0), [0..c1), ... concatenated."""
     total = int(counts.sum())
     if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    starts = np.zeros(len(counts), dtype=np.int64)
+        return np.zeros(0, dtype=dtype)
+    starts = np.zeros(len(counts), dtype=dtype)
     np.cumsum(counts[:-1], out=starts[1:])
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    return np.arange(total, dtype=dtype) - np.repeat(starts, counts)
 
 
 @dataclasses.dataclass

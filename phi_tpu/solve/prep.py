@@ -68,20 +68,35 @@ def switch_sources(graph: PangenomeGraph) -> tuple[np.ndarray, np.ndarray, np.nd
     H, P = graph.walk_mat.shape
     lov = graph.lanes_of_vertex
     u_e, v_e = graph.edge_u, graph.edge_v
-    counts = (lov.off[u_e + 1] - lov.off[u_e]).astype(np.int64)
-    rep_edge = np.repeat(np.arange(len(u_e), dtype=np.int64), counts)
-    idx = np.repeat(lov.off[u_e], counts) + ragged_arange(counts)
+    # Edge pre-filter: a lane through u diverges from (u, v) iff its next
+    # vertex != v. Walks are graph paths, so at an out-degree-1 vertex with
+    # no lane ending there every lane continues along the single edge —
+    # zero rows. That's the whole linear backbone: the expansion below then
+    # touches only variant-adjacent edges (~3-6x fewer rows at MHC scale).
+    odeg = np.bincount(u_e, minlength=graph.n_vtx)
+    has_end = np.zeros(graph.n_vtx, bool)
+    ends = graph.walk_mat[np.arange(H), np.maximum(graph.walk_len - 1, 0)]
+    has_end[ends[graph.walk_len > 0]] = True
+    active = np.flatnonzero((odeg[u_e] > 1) | has_end[u_e]).astype(np.int32)
+    u_a, v_a = u_e[active], v_e[active]
+    # int32 throughout: the expansion is millions of rows and these passes
+    # are memory-bandwidth-bound; H*P and row counts are < 2^31
+    counts = (lov.off[u_a + 1] - lov.off[u_a]).astype(np.int32)
+    rep = np.repeat(np.arange(len(u_a), dtype=np.int32), counts)
+    idx = np.repeat(lov.off[u_a].astype(np.int32), counts) \
+        + ragged_arange(counts, np.int32)
     flat = lov.values[idx]
-    sh = (flat // P).astype(np.int32)
-    sp = (flat % P).astype(np.int32)
+    sh, sp = np.divmod(flat, P)
+    sh = sh.astype(np.int32, copy=False)
+    sp = sp.astype(np.int32, copy=False)
     # next vertex in lane (or -1 at lane end — lane ends always diverge,
     # matching `index == paths[h].size()-1` in ILP_index.cpp:1255)
     next_vtx = np.full((H, P), -1, dtype=np.int32)
     next_vtx[:, :-1] = graph.walk_mat[:, 1:]
-    diverge = next_vtx[sh, sp] != v_e[rep_edge]
+    diverge = next_vtx[sh, sp] != v_a[rep]
     return (sh[diverge], sp[diverge],
-            v_e[rep_edge[diverge]].astype(np.int32),
-            rep_edge[diverge].astype(np.int32))
+            v_a[rep[diverge]].astype(np.int32),
+            active[rep[diverge]].astype(np.int32))
 
 
 _esrc_lock = threading.Lock()
