@@ -82,7 +82,9 @@ def _code_fingerprint(jitted) -> str:
                     stack.append(inspect.unwrap(ref))
                 elif isinstance(ref, (int, float, str, bytes, tuple)):
                     parts.append(f"{name}={ref!r}")
-                elif hasattr(ref, "shape") and getattr(ref, "size", 1 << 30) <= 64:
+                elif hasattr(ref, "shape") \
+                        and isinstance(getattr(ref, "size", None), int) \
+                        and ref.size <= 64:
                     parts.append(f"{name}={ref!r}")  # scalar jnp/np constants
         fp = hashlib.sha1("\n".join(sorted(parts)).encode()).hexdigest()[:12]
     except Exception:
