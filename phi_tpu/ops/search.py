@@ -23,7 +23,21 @@ def pair_searchsorted(sp_hi: jnp.ndarray, sp_lo: jnp.ndarray,
     hi = jnp.full(q_hi.shape, n, jnp.int32)
     if n == 0:
         return lo
-    for _ in range(max(1, math.ceil(math.log2(n + 1)))):
+    rounds = max(1, math.ceil(math.log2(n + 1)))
+    lo, hi = _search_rounds(sp_hi, sp_lo, q_hi, q_lo, lo, hi, rounds)
+    return lo
+
+
+def _search_rounds(sp_hi, sp_lo, q_hi, q_lo, lo, hi, rounds: int):
+    """`rounds` vectorized bisection steps as a fori_loop: the gather-heavy
+    body compiles ONCE instead of `rounds` times, keeping the executable
+    small enough to ship through a remote-device tunnel quickly (an unrolled
+    body is ~6 MB of TPU code per round at join shapes)."""
+    import jax
+    n = sp_hi.shape[0]
+
+    def body(_, state):
+        lo, hi = state
         active = lo < hi
         mid = (lo + hi) >> 1
         mid_c = jnp.minimum(mid, n - 1)
@@ -32,8 +46,9 @@ def pair_searchsorted(sp_hi: jnp.ndarray, sp_lo: jnp.ndarray,
         less = (mhi < q_hi) | ((mhi == q_hi) & (mlo < q_lo))
         new_lo = jnp.where(active & less, mid + 1, lo)
         new_hi = jnp.where(active & ~less, mid, hi)
-        lo, hi = new_lo, new_hi
-    return lo
+        return new_lo, new_hi
+
+    return jax.lax.fori_loop(0, rounds, body, (lo, hi))
 
 
 def pair_isin(sp_hi, sp_lo, q_hi, q_lo):
@@ -74,16 +89,7 @@ def pair_isin_bucketed(sp_hi, sp_lo, bucket_off, q_hi, q_lo,
     b = (q_hi >> jnp.uint32(32 - bits)).astype(jnp.int32)
     lo = bucket_off[b]
     hi = bucket_off[b + 1]
-    for _ in range(rounds):
-        active = lo < hi
-        mid = (lo + hi) >> 1
-        mid_c = jnp.minimum(mid, n - 1)
-        mhi = sp_hi[mid_c]
-        mlo = sp_lo[mid_c]
-        less = (mhi < q_hi) | ((mhi == q_hi) & (mlo < q_lo))
-        new_lo = jnp.where(active & less, mid + 1, lo)
-        new_hi = jnp.where(active & ~less, mid, hi)
-        lo, hi = new_lo, new_hi
+    lo, hi = _search_rounds(sp_hi, sp_lo, q_hi, q_lo, lo, hi, rounds)
     idx = lo
     idx_c = jnp.minimum(idx, n - 1)
     found = (idx < n) & (sp_hi[idx_c] == q_hi) & (sp_lo[idx_c] == q_lo)

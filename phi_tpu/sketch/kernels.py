@@ -495,19 +495,10 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     # spectrum: pow2 bucket + first-probe bucket table (same scheme as the
     # XLA join path — one program per (k, w, bucket) family)
     from phi_tpu.execache import cached_call
-    from phi_tpu.ops.search import make_search_buckets
-    from phi_tpu.sketch.minimizer import (_join_rounds, _next_pow2,
-                                          fetch_prefix)
-    sp_hi_np = np.asarray(sp_hi)
-    sp_lo_np = np.asarray(sp_lo)
-    S = len(sp_hi_np)
-    Sb = _next_pow2(max(S, 1))
-    if Sb != S:
-        pad = np.full(Sb - S, 0xFFFFFFFF, np.uint32)
-        sp_hi_np = np.concatenate([sp_hi_np, pad])
-        sp_lo_np = np.concatenate([sp_lo_np, pad])
-    sp_off_np, actual_rounds = make_search_buckets(sp_hi_np)
-    rounds = _join_rounds(Sb, actual_rounds)
+    from phi_tpu.sketch.minimizer import (_next_pow2, fetch_prefix,
+                                          prepare_spectrum_bucket)
+    sp_hi_np, sp_lo_np, sp_off_np, Sb, rounds = \
+        prepare_spectrum_bucket(sp_hi, sp_lo)
     sp_hi_d = jnp.asarray(sp_hi_np)
     sp_lo_d = jnp.asarray(sp_lo_np)
     sp_off_d = jnp.asarray(sp_off_np)

@@ -167,6 +167,45 @@ def _join_rounds(spectrum_bucket: int, actual: int) -> int:
     return 2 * math.ceil(actual / 2)  # rare heavy skew: even-bucketed
 
 
+# Spectrum buckets whose join program a prewarm thread has compiled (or is
+# compiling) this process. Join calls round their bucket UP to one of these
+# (bounded waste) so the prewarmed executable is the one that runs — an
+# estimate-vs-actual pow2 mismatch would otherwise force a second compile
+# mid-pipeline and waste the whole prewarm.
+_PREWARMED_JOIN_BUCKETS: set[int] = set()
+
+
+def prepare_spectrum_bucket(sp_hi, sp_lo):
+    """Pad the sorted spectrum to its pow2 bucket — preferring an already-
+    prewarmed larger bucket (<= 8x) so one compiled join program covers the
+    run — and build the first-probe table.
+
+    Padding keys are all-ones, strictly above any real packed k-mer (k <= 31
+    uses 62 bits), so real-hit searchsorted indices are unchanged and
+    sentinels never compare equal. The skew guard (`actual`) is measured on
+    the REAL keys only: real queries probe buckets below every sentinel's,
+    so the sentinel-stuffed top bucket can never deepen a real search.
+
+    Returns (sp_hi_np, sp_lo_np, off_np, bucket, rounds)."""
+    from phi_tpu.ops.search import make_search_buckets
+    sp_hi_np = np.asarray(sp_hi)
+    sp_lo_np = np.asarray(sp_lo)
+    S = len(sp_hi_np)
+    Sb = _next_pow2(max(S, 1))
+    for b in sorted(_PREWARMED_JOIN_BUCKETS):
+        if Sb <= b <= 8 * Sb:
+            Sb = b
+            break
+    _, actual = make_search_buckets(sp_hi_np)
+    if Sb != S:
+        pad = np.full(Sb - S, 0xFFFFFFFF, np.uint32)
+        sp_hi_np = np.concatenate([sp_hi_np, pad])
+        sp_lo_np = np.concatenate([sp_lo_np, pad])
+    off_np, _ = make_search_buckets(sp_hi_np)
+    rounds = _join_rounds(Sb, actual)
+    return sp_hi_np, sp_lo_np, off_np, Sb, rounds
+
+
 def fetch_prefix(arr, n: int) -> np.ndarray:
     """np.asarray(arr[:n]) without minting a new XLA program per distinct n:
     device-slices to a pow2 bucket, trims on host."""
@@ -432,23 +471,11 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
 
     # pow2-bucket the spectrum shape: the join program then depends only on
     # (k, w, bucket), so one compiled executable covers every dataset in the
-    # bucket and the shape is guessable for compile prewarm. Padding keys
-    # are all-ones, strictly above any real packed k-mer (k <= 31 uses 62
-    # bits), appended after the sorted keys — searchsorted indices for real
-    # hits are unchanged and sentinels can never compare equal.
-    sp_hi_np = np.asarray(sp_hi)
-    sp_lo_np = np.asarray(sp_lo)
-    S = len(sp_hi_np)
-    Sb = _next_pow2(max(S, 1))
-    if Sb != S:
-        pad = np.full(Sb - S, 0xFFFFFFFF, np.uint32)
-        sp_hi_np = np.concatenate([sp_hi_np, pad])
-        sp_lo_np = np.concatenate([sp_lo_np, pad])
+    # bucket and the shape is guessable for compile prewarm.
+    sp_hi_np, sp_lo_np, sp_off_np, Sb, rounds = \
+        prepare_spectrum_bucket(sp_hi, sp_lo)
     sp_hi = jnp.asarray(sp_hi_np)
     sp_lo = jnp.asarray(sp_lo_np)
-
-    sp_off_np, actual_rounds = make_search_buckets(sp_hi_np)
-    rounds = _join_rounds(Sb, actual_rounds)
     halo = k + w - 2
     emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
 
@@ -574,7 +601,15 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
 
     from phi_tpu.ops.search import make_search_buckets
     Sb = spectrum_bucket
-    hi_np = np.arange(Sb, dtype=np.uint32)
+    _PREWARMED_JOIN_BUCKETS.add(Sb)
+    # dummy keys spread uniformly over the REAL hi range (packed k-mers use
+    # 2k bits, hi < 2^(2k-32)): the first-probe table then has the same
+    # bucket-derived `rounds` the real join computes for a uniform spectrum.
+    # arange alone would stuff one bucket and trip the skew path, compiling
+    # a program the real join can never reuse.
+    hi_bits = max(0, 2 * min(k, 31) - 32)
+    hi_np = ((np.arange(Sb, dtype=np.uint64) << np.uint64(hi_bits))
+             // np.uint64(Sb)).astype(np.uint32)
     off_np, actual = make_search_buckets(hi_np)
     rounds = _join_rounds(Sb, actual)
     halo = k + w - 2
