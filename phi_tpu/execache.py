@@ -45,33 +45,63 @@ def _code_fingerprint(jitted) -> str:
     this must invalidate the cache entry — shapes alone would silently
     serve the stale program. Function-closure granularity (not whole-file):
     editing host orchestration in the same module must NOT throw away the
-    10-minute remote compiles of untouched kernels. Not covered: dynamically
-    resolved references (getattr/dict dispatch) — don't use those inside
-    traced code."""
+    10-minute remote compiles of untouched kernels. Function-local
+    `from phi_tpu.x import y` imports are resolved from the source text.
+    Not covered: dynamically resolved references (getattr/dict dispatch) —
+    don't use those inside traced code."""
     fid = id(jitted)
     fp = _fingerprints.get(fid)
     if fp is not None:
         return fp
+    import importlib
     import inspect
+    import re
     root = inspect.unwrap(getattr(jitted, "__wrapped__", jitted))
+    pkg = root.__module__.split(".")[0]
     parts: list[str] = []
     seen: set[int] = set()
     stack = [root]
+
+    def all_names(code) -> set:
+        # every global name referenced by the code object or any code
+        # object nested in it, to any depth (fn inside fn inside fn)
+        names = set(code.co_names)
+        for const in code.co_consts:
+            if hasattr(const, "co_names"):
+                names |= all_names(const)
+        return names
+
     try:
         while stack:
             fn = stack.pop()
             if id(fn) in seen:
                 continue
             seen.add(id(fn))
-            parts.append(inspect.getsource(fn))
+            src = inspect.getsource(fn)
+            parts.append(src)
+            # function-local `from pkg.mod import name` (the codebase's
+            # dominant style for cycle-avoiding imports) binds locals, not
+            # globals — resolve those dependencies from the source text so
+            # edits to them invalidate the cache too
+            for m in re.finditer(
+                    rf"from\s+({pkg}[\w.]*)\s+import\s+"
+                    r"(\([^)]*\)|[^\n]+)", src):
+                try:
+                    mod = importlib.import_module(m.group(1))
+                except Exception:
+                    continue
+                for item in m.group(2).strip("()").split(","):
+                    nm = item.split(" as ")[0].strip()
+                    ref = getattr(mod, nm, None) if nm.isidentifier() else None
+                    if callable(ref) and hasattr(ref, "__code__"):
+                        stack.append(inspect.unwrap(ref))
+                    elif isinstance(ref, (int, float, str, bytes, tuple)):
+                        parts.append(f"{m.group(1)}.{nm}={ref!r}")
             code = getattr(fn, "__code__", None)
             g = getattr(fn, "__globals__", None)
             if code is None or g is None:
                 continue
-            names = set(code.co_names)
-            for const in code.co_consts:  # nested defs (inner functions)
-                if hasattr(const, "co_names"):
-                    names.update(const.co_names)
+            names = all_names(code)
             for name in sorted(names):
                 ref = g.get(name)
                 if ref is None:

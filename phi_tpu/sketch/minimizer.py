@@ -16,6 +16,7 @@ memory-bound vector ops over the sequence.
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -156,23 +157,38 @@ def _next_pow2(n: int) -> int:
 
 def _join_rounds(spectrum_bucket: int, actual: int) -> int:
     """Binary-search rounds for the bucketed join, derived from the spectrum
-    BUCKET (not the data) whenever it safely covers the actual max bucket
-    occupancy — extra rounds are inert, and a bucket-derived static argument
-    keeps the compiled join program identical across datasets (and
-    guessable for compile prewarm)."""
+    BUCKET (not the data) — extra rounds are inert, and a bucket-derived
+    static argument keeps the compiled join program identical across
+    datasets (and guessable for compile prewarm). Skewed spectra (small-k
+    keys that crowd a few first-probe buckets) get full-array depth, still
+    a function of the bucket alone so prewarm and real join agree."""
     import math
     f = math.ceil(math.log2(spectrum_bucket / 4096 + 2)) + 4
     if actual <= f:
         return f
-    return 2 * math.ceil(actual / 2)  # rare heavy skew: even-bucketed
+    # skew: any bucket may be as deep as the whole array; log2(bucket)
+    # rounds always suffice (max occupancy <= spectrum size <= bucket)
+    return math.ceil(math.log2(spectrum_bucket + 1))
 
 
 # Spectrum buckets whose join program a prewarm thread has compiled (or is
 # compiling) this process. Join calls round their bucket UP to one of these
 # (bounded waste) so the prewarmed executable is the one that runs — an
 # estimate-vs-actual pow2 mismatch would otherwise force a second compile
-# mid-pipeline and waste the whole prewarm.
+# mid-pipeline and waste the whole prewarm. Guarded by a lock: the daemon
+# prewarm thread adds while join calls read.
 _PREWARMED_JOIN_BUCKETS: set[int] = set()
+_PREWARM_LOCK = threading.Lock()
+
+
+def _register_prewarm_bucket(bucket: int) -> None:
+    with _PREWARM_LOCK:
+        _PREWARMED_JOIN_BUCKETS.add(bucket)
+
+
+def _unregister_prewarm_bucket(bucket: int) -> None:
+    with _PREWARM_LOCK:
+        _PREWARMED_JOIN_BUCKETS.discard(bucket)
 
 
 def prepare_spectrum_bucket(sp_hi, sp_lo):
@@ -192,16 +208,22 @@ def prepare_spectrum_bucket(sp_hi, sp_lo):
     sp_lo_np = np.asarray(sp_lo)
     S = len(sp_hi_np)
     Sb = _next_pow2(max(S, 1))
-    for b in sorted(_PREWARMED_JOIN_BUCKETS):
+    with _PREWARM_LOCK:
+        prewarmed = sorted(_PREWARMED_JOIN_BUCKETS)
+    for b in prewarmed:
         if Sb <= b <= 8 * Sb:
             Sb = b
             break
-    _, actual = make_search_buckets(sp_hi_np)
+    off_np, actual = make_search_buckets(sp_hi_np)
     if Sb != S:
         pad = np.full(Sb - S, 0xFFFFFFFF, np.uint32)
         sp_hi_np = np.concatenate([sp_hi_np, pad])
         sp_lo_np = np.concatenate([sp_lo_np, pad])
-    off_np, _ = make_search_buckets(sp_hi_np)
+        # the padded table equals the real-keys one everywhere except its
+        # end: sentinels (hi all-ones) sort after every real key, so only
+        # the final offset moves (no second threshold scan needed)
+        off_np = off_np.copy()
+        off_np[-1] = Sb
     rounds = _join_rounds(Sb, actual)
     return sp_hi_np, sp_lo_np, off_np, Sb, rounds
 
@@ -601,7 +623,10 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
 
     from phi_tpu.ops.search import make_search_buckets
     Sb = spectrum_bucket
-    _PREWARMED_JOIN_BUCKETS.add(Sb)
+    # registered up-front so a join racing this compile waits on the
+    # execache per-key lock and reuses it; rolled back on failure (an
+    # unusable registration would inflate spectra for nothing)
+    _register_prewarm_bucket(Sb)
     # dummy keys spread uniformly over the REAL hi range (packed k-mers use
     # 2k bits, hi < 2^(2k-32)): the first-probe table then has the same
     # bucket-derived `rounds` the real join computes for a uniform spectrum.
@@ -676,7 +701,7 @@ def start_join_prewarm_thread(k: int, w: int, spectrum_bucket: int):
         try:
             prewarm_join(k, w, spectrum_bucket)
         except Exception:
-            pass  # best-effort
+            _unregister_prewarm_bucket(spectrum_bucket)  # best-effort
 
     th = threading.Thread(target=work, daemon=True, name="phi-join-prewarm")
     th.start()

@@ -25,10 +25,12 @@ from phi_tpu.solve.prep import SolverTables
 
 _INF = jnp.float32(jnp.inf)
 
-# diagnostics written by every solve_dp/solve_dp_both call: seconds spent in
-# table upload/build, fixpoint execution, and the M/ends device->host fetch.
-# The remote tunnel makes these radically different from local-chip costs;
-# run_pipeline copies them into its timings dict.
+# diagnostics from the most recent solve: seconds spent in table
+# upload/build, fixpoint execution, and the M/ends device->host fetch —
+# written by the exact-credit solve_dp path, cleared by bracket-mode
+# solve_dp_both (no sub-phase breakdown there). The remote tunnel makes
+# these radically different from local-chip costs; run_pipeline copies them
+# into its timings dict.
 LAST_TIMINGS: dict[str, float] = {}
 
 
@@ -303,7 +305,9 @@ def solve_dp_both(t: SolverTables, max_sweeps: int = 256):
     credit B[p] - S[q] equals (covered occurrences) - (occurrences spanning
     the whole visit) — an UNDER-count, so its value is a heuristic score,
     not a bound (exact per-visit credit is not separable into f(p) - g(q)
-    without the W correction layers).
+    without the W correction layers). Bracket mode has no sub-phase
+    breakdown; LAST_TIMINGS is cleared so callers never report a previous
+    solve's numbers.
 
     The second fixpoint uses the optimistic entry charge S := B (credit
     B[p] - B[q] = sum(q < end <= p), an over-count of coverable credit,
@@ -313,6 +317,7 @@ def solve_dp_both(t: SolverTables, max_sweeps: int = 256):
     entry-straddling occurrences at switch points. Both fixpoints are
     decodable paths; callers keep whichever re-scores better."""
     from phi_tpu.execache import cached_call
+    LAST_TIMINGS.clear()
     (S_dev, B_dev, _), common, (H, P), statics = _bucketed_args(t, max_sweeps)
     M, ends, sweeps = cached_call(_solve_jit, "solve",
                                   (S_dev, B_dev) + common, statics)

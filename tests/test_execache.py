@@ -118,3 +118,59 @@ def test_execache_disabled_by_default_on_cpu(tmp_path, monkeypatch):
     out = ec.cached_call(g, "u", (jnp.ones(4),), {"n": 2})
     assert np.allclose(np.asarray(out), 3.0)
     assert not os.listdir(tmp_path), "CPU backend must bypass the disk cache"
+
+
+def test_execache_fingerprint_local_imports(tmp_path, monkeypatch):
+    """Function-LOCAL `from pkg.mod import helper` (the codebase's dominant
+    cycle-avoiding style) must be part of the fingerprint: editing the
+    helper has to invalidate cached executables of every jitted caller."""
+    import importlib
+    import sys
+
+    import phi_tpu.execache as ec
+    pkg = tmp_path / "ec_lpkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    helper_path = pkg / "helper.py"
+    helper_path.write_text("def helper(x):\n    return x * 2\n")
+    (pkg / "main.py").write_text(
+        "import jax\n\n@jax.jit\ndef probe(x):\n"
+        "    from ec_lpkg.helper import helper\n"
+        "    return helper(x) + 1\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    mod = importlib.import_module("ec_lpkg.main")
+    x = jnp.arange(4.0)
+    key1 = ec._key("probe", mod.probe, (x,), {})
+    helper_path.write_text("def helper(x):\n    return x * 3\n")
+    importlib.reload(importlib.import_module("ec_lpkg.helper"))
+    mod = importlib.reload(mod)
+    key2 = ec._key("probe", mod.probe, (x,), {})
+    assert key1 != key2, "local-import helper edit must invalidate the cache"
+    for name in ("ec_lpkg.main", "ec_lpkg.helper", "ec_lpkg"):
+        sys.modules.pop(name, None)
+
+
+def test_execache_fingerprint_deep_nesting(tmp_path, monkeypatch):
+    """Globals referenced only from a doubly-nested function (body inside
+    sweep inside the jitted fn) must be fingerprinted too."""
+    import importlib
+    import sys
+
+    import phi_tpu.execache as ec
+    mod_path = tmp_path / "ec_deep_mod.py"
+    base = ("import jax\nDEEP_CONST = {}\n\n"
+            "@jax.jit\ndef probe(x):\n"
+            "    def outer(y):\n"
+            "        def inner(z):\n"
+            "            return z * DEEP_CONST\n"
+            "        return inner(y)\n"
+            "    return outer(x)\n")
+    mod_path.write_text(base.format(2))
+    monkeypatch.syspath_prepend(str(tmp_path))
+    mod = importlib.import_module("ec_deep_mod")
+    x = jnp.arange(4.0)
+    key1 = ec._key("probe", mod.probe, (x,), {})
+    mod_path.write_text(base.format(3))
+    mod = importlib.reload(mod)
+    assert ec._key("probe", mod.probe, (x,), {}) != key1
+    sys.modules.pop("ec_deep_mod", None)
