@@ -495,8 +495,7 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     # spectrum: pow2 bucket + first-probe bucket table (same scheme as the
     # XLA join path — one program per (k, w, bucket) family)
     from phi_tpu.execache import cached_call
-    from phi_tpu.sketch.minimizer import (_next_pow2, fetch_prefix,
-                                          prepare_spectrum_bucket)
+    from phi_tpu.sketch.minimizer import _next_pow2, prepare_spectrum_bucket
     sp_hi_np, sp_lo_np, sp_off_np, Sb, rounds = \
         prepare_spectrum_bucket(sp_hi, sp_lo)
     sp_hi_d = jnp.asarray(sp_hi_np)
@@ -546,12 +545,21 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
             counts[b, 0] = np.asarray(out2[0])
             counts[b, 1] = np.asarray(out2[1])
 
-    # sync 2: flattened hit prefixes
+    # sync 2: flattened hit prefixes — start every device->host copy first
+    # so the transfers overlap in the tunnel (a sequential np.asarray per
+    # batch pays one round trip each)
+    from phi_tpu.sketch.minimizer import fetch_prefix_start
+    started = [(int(counts[b, 1].sum()),) + ((None, None) if counts[b, 1].sum() <= 0
+               else (fetch_prefix_start(out[2], int(counts[b, 1].sum())),
+                     fetch_prefix_start(out[3], int(counts[b, 1].sum()))))
+               for b, (_, _, out) in enumerate(pend)]
     acc: dict[int, tuple[int, list, list]] = {}
     for b, (batch, _, out) in enumerate(pend):
-        total = int(counts[b, 1].sum())
-        fpos = fetch_prefix(out[2], total)
-        fid = fetch_prefix(out[3], total)
+        total, dpos, did = started[b]
+        fpos = np.asarray(dpos)[:total] if dpos is not None \
+            else np.zeros(0, np.int32)
+        fid = np.asarray(did)[:total] if did is not None \
+            else np.zeros(0, np.int32)
         off = 0
         for j, (si, start, nv, cont) in enumerate(batch):
             if si < 0:

@@ -233,9 +233,22 @@ def fetch_prefix(arr, n: int) -> np.ndarray:
     device-slices to a pow2 bucket, trims on host."""
     if n <= 0:
         return np.zeros((0,) + arr.shape[1:], arr.dtype)
+    return np.asarray(fetch_prefix_start(arr, n))[:n]
+
+
+def fetch_prefix_start(arr, n: int):
+    """Device half of fetch_prefix: pow2-bucket slice with the device->host
+    copy STARTED (copy_to_host_async). Callers with many prefixes to pull
+    start them all, then np.asarray each — transfers overlap in the tunnel
+    instead of paying one round trip per array."""
     cap = arr.shape[0]
-    b = min(cap, _next_pow2(n))
-    return (np.asarray(arr[:b]) if b < cap else np.asarray(arr))[:n]
+    b = min(cap, _next_pow2(max(n, 1)))
+    out = arr[:b] if b < cap else arr
+    try:
+        out.copy_to_host_async()
+    except AttributeError:
+        pass
+    return out
 
 
 # Long sequences are sketched in fixed-size chunks with a (k+w-2)-base halo:
