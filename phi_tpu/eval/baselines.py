@@ -61,3 +61,34 @@ def run_best_hap_baseline(gfa_path: str, reads_path: str, truth_path: str,
     st = edit_stats(seq, truth)
     return {"hap": graph.walk_names[h], "edit_distance": st.edit_distance,
             "time_s": round(time.time() - t0, 2)}
+
+
+def run_greedy_baseline(gfa_path: str, reads_path: str, truth_path: str,
+                        k: int = 31, w: int = 25) -> dict:
+    """Greedy per-site genotyping stand-in (the VG-call/PanGenie model
+    class, data/run_VG.py / run_PG.py): every variant site is decided by
+    local read-k-mer support alone — implemented as the PHI solve with a
+    near-zero recombination penalty and no distinct-credit refinement, so
+    switching between walks is free and duplicate k-mer credit is kept.
+    PHI's headline is that joint inference (R=100 + global credit) beats
+    this at low coverage, where per-site votes chase sequencing errors."""
+    import os
+    import tempfile
+    import time
+
+    from phi_tpu.config import Options
+    from phi_tpu.eval.edits import _read_fasta_first_seq, edit_stats
+    from phi_tpu.pipeline import run_pipeline
+    t0 = time.time()
+    out = tempfile.NamedTemporaryFile(suffix=".fa", delete=False)
+    out.close()
+    try:
+        opt = Options(k=k, w=w, recombination=1e-3, lagrangian_rounds=0)
+        res = run_pipeline(gfa_path, reads_path, out.name, opt)
+        truth = _read_fasta_first_seq(truth_path)
+        st = edit_stats(res.sequence, truth)
+        return {"edit_distance": st.edit_distance,
+                "recombinations": res.recombination_count,
+                "time_s": round(time.time() - t0, 2)}
+    finally:
+        os.unlink(out.name)

@@ -64,6 +64,66 @@ def pair_isin(sp_hi, sp_lo, q_hi, q_lo):
 
 BUCKET_BITS = 12  # echoes the reference's bucket_bits idea (PHI.h:19)
 
+# Mixed-key join scheme. Minimizer VALUES are heavily skewed low (window
+# minima concentrate in the bottom quantiles; measured max first-probe
+# bucket ~8k of a 349k spectrum, defeating the top-bits table). Mixing
+# both words into the primary sort key uniformizes buckets (~130 max on the
+# same spectrum) AND decorrelates keys that share a hi prefix (repeats).
+# m = hi*C1 + lo*C2 (uint32 wraparound); (m, lo) identifies (hi, lo)
+# exactly: m1 == m2 and lo1 == lo2 imply hi1*C1 == hi2*C1, and C1 is odd so
+# hi1 == hi2. The table sorts by (m, lo); hits map back to raw spectrum
+# ids through a permutation gather.
+MIX_C1 = 0x9E3779B1  # odd (golden-ratio) multipliers
+MIX_C2 = 0x85EBCA77
+MIXED_BUCKET_BITS = 16
+
+
+def mix_key_np(hi, lo):
+    import numpy as np
+    return (hi.astype(np.uint32) * np.uint32(MIX_C1)
+            + lo.astype(np.uint32) * np.uint32(MIX_C2))
+
+
+def make_mixed_buckets(sp_hi_np, sp_lo_np, bits: int = MIXED_BUCKET_BITS):
+    """Host-side build of the mixed-key join table: returns
+    (m_sorted, lo_sorted, perm, off, actual) where perm maps a position in
+    the mixed order back to the raw spectrum id and actual bounds the
+    per-bucket search depth."""
+    import numpy as np
+    m = mix_key_np(sp_hi_np, sp_lo_np)
+    order = np.lexsort((sp_lo_np, m)).astype(np.int32)
+    m_sorted = m[order]
+    lo_sorted = sp_lo_np[order]
+    thresholds = (np.arange((1 << bits) + 1, dtype=np.uint64)
+                  << np.uint64(32 - bits))
+    thresholds = np.minimum(thresholds,
+                            np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    off = np.searchsorted(m_sorted, thresholds, side="left").astype(np.int32)
+    off[-1] = len(m_sorted)
+    max_bucket = int(np.diff(off).max()) if len(off) > 1 else len(m_sorted)
+    actual = max(1, math.ceil(math.log2(max_bucket + 1)))
+    return m_sorted, lo_sorted, order, off, actual
+
+
+def pair_isin_mixed(sp_m, sp_lo, perm, bucket_off, q_hi, q_lo,
+                    rounds: int, bits: int = MIXED_BUCKET_BITS):
+    """(hit_mask, raw_spectrum_id) of queries against a mixed-key table from
+    make_mixed_buckets. perm is padded with -1 for sentinel slots; sentinel
+    matches come back with id -1 and a False mask."""
+    n = sp_m.shape[0]
+    if n == 0:
+        return jnp.zeros(q_hi.shape, bool), jnp.zeros(q_hi.shape, jnp.int32)
+    qm = (q_hi.astype(jnp.uint32) * jnp.uint32(MIX_C1)
+          + q_lo.astype(jnp.uint32) * jnp.uint32(MIX_C2))
+    b = (qm >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    lo = bucket_off[b]
+    hi = bucket_off[b + 1]
+    lo, hi = _search_rounds(sp_m, sp_lo, qm, q_lo, lo, hi, rounds)
+    idx = jnp.minimum(lo, n - 1)
+    found = (lo < n) & (sp_m[idx] == qm) & (sp_lo[idx] == q_lo)
+    ids = perm[idx]
+    return found & (ids >= 0), ids
+
 
 def make_search_buckets(sp_hi_np, bits: int = BUCKET_BITS):
     """Host-side bucket table over the top `bits` of hi: offsets[b] = first

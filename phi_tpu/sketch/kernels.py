@@ -375,15 +375,16 @@ def _pallas_sketch_rows(codes2d, nvalid, cont, init_carry, k: int, w: int,
 @functools.partial(jax.jit, static_argnames=(
     "k", "w", "n_rows", "n_blocks", "emitcap", "cap_total", "rounds",
     "interpret"))
-def _pallas_join_rows(words, nvalid, cont, init_carry, sp_hi, sp_lo, sp_off,
-                      k: int, w: int, n_rows: int, n_blocks: int,
+def _pallas_join_rows(words, nvalid, cont, init_carry, sp_m, sp_lo, sp_perm,
+                      sp_off, k: int, w: int, n_rows: int, n_blocks: int,
                       emitcap: int, cap_total: int, rounds: int,
                       interpret: bool = False):
     """Batched fused sketch+join: 2-bit packed rows in, per-row minimizer and
     hit counts plus ONE flattened hit array out (row-major by hit order).
+    The spectrum arrives as the mixed-key table of prepare_spectrum_bucket.
     All gathers/scatters run on fixed [R, emitcap] / [cap_total] shapes, so
     the program is unique per (k, w, spectrum-bucket) family."""
-    from phi_tpu.ops.search import pair_isin_bucketed
+    from phi_tpu.ops.search import pair_isin_mixed
 
     R = n_rows
     row_lanes = (n_blocks + 1) * BLK
@@ -410,7 +411,8 @@ def _pallas_join_rows(words, nvalid, cont, init_carry, sp_hi, sp_lo, sp_off,
     elo = jnp.take_along_axis(jnp.concatenate([lo, sent_u], 1), eidx, 1)
     epos = jnp.take_along_axis(jnp.concatenate([pos, sent_i], 1), eidx, 1)
 
-    found, idx = pair_isin_bucketed(sp_hi, sp_lo, sp_off, ehi, elo, rounds)
+    found, idx = pair_isin_mixed(sp_m, sp_lo, sp_perm, sp_off, ehi, elo,
+                                 rounds)
     hit = found & (epos >= 0)
     n_hit = hit.sum(axis=1)
 
@@ -496,10 +498,11 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     # XLA join path — one program per (k, w, bucket) family)
     from phi_tpu.execache import cached_call
     from phi_tpu.sketch.minimizer import _next_pow2, prepare_spectrum_bucket
-    sp_hi_np, sp_lo_np, sp_off_np, Sb, rounds = \
+    sp_m_np, sp_lo_np, sp_perm_np, sp_off_np, Sb, rounds = \
         prepare_spectrum_bucket(sp_hi, sp_lo)
-    sp_hi_d = jnp.asarray(sp_hi_np)
+    sp_m_d = jnp.asarray(sp_m_np)
     sp_lo_d = jnp.asarray(sp_lo_np)
+    sp_perm_d = jnp.asarray(sp_perm_np)
     sp_off_d = jnp.asarray(sp_off_np)
 
     R = rows_per_call
@@ -515,7 +518,7 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
         ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
         out = cached_call(
             _pallas_join_rows, "pallas_join_rows",
-            (words, nv, ct, carry, sp_hi_d, sp_lo_d, sp_off_d),
+            (words, nv, ct, carry, sp_m_d, sp_lo_d, sp_perm_d, sp_off_d),
             {"k": k, "w": w, "n_rows": R, "n_blocks": super_blocks,
              "emitcap": emitcap, "cap_total": cap_total, "rounds": rounds,
              "interpret": interpret})
@@ -537,8 +540,8 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
             words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
             nv = jnp.asarray(np.array([r[2] for r in batch], np.int32))
             ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
-            out2 = _pallas_join_rows(words, nv, ct, carry_in, sp_hi_d,
-                                     sp_lo_d, sp_off_d, k, w, R,
+            out2 = _pallas_join_rows(words, nv, ct, carry_in, sp_m_d,
+                                     sp_lo_d, sp_perm_d, sp_off_d, k, w, R,
                                      super_blocks, ec, ctot, rounds,
                                      interpret)  # rare retry: no cache
             pend[b][2] = out2

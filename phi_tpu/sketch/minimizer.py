@@ -159,15 +159,19 @@ def _join_rounds(spectrum_bucket: int, actual: int) -> int:
     """Binary-search rounds for the bucketed join, derived from the spectrum
     BUCKET (not the data) — extra rounds are inert, and a bucket-derived
     static argument keeps the compiled join program identical across
-    datasets (and guessable for compile prewarm). Skewed spectra (small-k
-    keys that crowd a few first-probe buckets) get full-array depth, still
-    a function of the bucket alone so prewarm and real join agree."""
+    datasets (and guessable for compile prewarm). The mixed-key table
+    (ops/search.py) keeps buckets near-uniform, so the +3 slop over the
+    average occupancy holds with wide margin; a spectrum that still
+    overflows it gets full-array depth, also a function of the bucket alone
+    so prewarm and real join agree."""
     import math
-    f = math.ceil(math.log2(spectrum_bucket / 4096 + 2)) + 4
+
+    from phi_tpu.ops.search import MIXED_BUCKET_BITS
+    f = math.ceil(math.log2(spectrum_bucket / (1 << MIXED_BUCKET_BITS) + 2)) + 3
     if actual <= f:
         return f
-    # skew: any bucket may be as deep as the whole array; log2(bucket)
-    # rounds always suffice (max occupancy <= spectrum size <= bucket)
+    # pathological skew: any bucket may be as deep as the whole array;
+    # log2(bucket) rounds always suffice (occupancy <= size <= bucket)
     return math.ceil(math.log2(spectrum_bucket + 1))
 
 
@@ -192,18 +196,21 @@ def _unregister_prewarm_bucket(bucket: int) -> None:
 
 
 def prepare_spectrum_bucket(sp_hi, sp_lo):
-    """Pad the sorted spectrum to its pow2 bucket — preferring an already-
-    prewarmed larger bucket (<= 8x) so one compiled join program covers the
-    run — and build the first-probe table.
+    """Build the device join table for a read spectrum: mixed-key sort
+    (ops/search.py — near-uniform first-probe buckets regardless of
+    minimizer value skew or shared prefixes), padded to a pow2 bucket —
+    preferring an already-prewarmed larger bucket (<= 8x) so one compiled
+    join program covers the run.
 
-    Padding keys are all-ones, strictly above any real packed k-mer (k <= 31
-    uses 62 bits), so real-hit searchsorted indices are unchanged and
-    sentinels never compare equal. The skew guard (`actual`) is measured on
-    the REAL keys only: real queries probe buckets below every sentinel's,
-    so the sentinel-stuffed top bucket can never deepen a real search.
+    Sentinel slots carry m = lo = all-ones and perm = -1: a real query whose
+    mixed key collides with the sentinel pattern either finds its own slot
+    (real entries sort before appended pads among equals) or lands on a pad
+    and is masked by perm < 0. The skew guard (`actual`) is measured on the
+    real keys; appended pads only extend the top mixed bucket, which maps
+    through perm = -1.
 
-    Returns (sp_hi_np, sp_lo_np, off_np, bucket, rounds)."""
-    from phi_tpu.ops.search import make_search_buckets
+    Returns (m_np, lo_np, perm_np, off_np, bucket, rounds)."""
+    from phi_tpu.ops.search import make_mixed_buckets
     sp_hi_np = np.asarray(sp_hi)
     sp_lo_np = np.asarray(sp_lo)
     S = len(sp_hi_np)
@@ -214,18 +221,20 @@ def prepare_spectrum_bucket(sp_hi, sp_lo):
         if Sb <= b <= 8 * Sb:
             Sb = b
             break
-    off_np, actual = make_search_buckets(sp_hi_np)
+    m_np, lo_np, perm_np, off_np, actual = make_mixed_buckets(sp_hi_np,
+                                                              sp_lo_np)
     if Sb != S:
         pad = np.full(Sb - S, 0xFFFFFFFF, np.uint32)
-        sp_hi_np = np.concatenate([sp_hi_np, pad])
-        sp_lo_np = np.concatenate([sp_lo_np, pad])
-        # the padded table equals the real-keys one everywhere except its
-        # end: sentinels (hi all-ones) sort after every real key, so only
-        # the final offset moves (no second threshold scan needed)
+        m_np = np.concatenate([m_np, pad])
+        lo_np = np.concatenate([lo_np, pad])
+        perm_np = np.concatenate([perm_np,
+                                  np.full(Sb - S, -1, np.int32)])
+        # pads sort to the very top of the mixed order, so only the final
+        # bucket offset moves
         off_np = off_np.copy()
         off_np[-1] = Sb
     rounds = _join_rounds(Sb, actual)
-    return sp_hi_np, sp_lo_np, off_np, Sb, rounds
+    return m_np, lo_np, perm_np, off_np, Sb, rounds
 
 
 def fetch_prefix(arr, n: int) -> np.ndarray:
@@ -349,17 +358,17 @@ def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
                                              "rounds"))
 def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
                      prev_hi: jnp.ndarray, prev_lo: jnp.ndarray,
-                     sp_hi: jnp.ndarray, sp_lo: jnp.ndarray,
-                     sp_off: jnp.ndarray,
+                     sp_m: jnp.ndarray, sp_lo: jnp.ndarray,
+                     sp_perm: jnp.ndarray, sp_off: jnp.ndarray,
                      k: int, w: int, emitcap: int, hitcap: int, rounds: int):
-    """Sketch one chunk AND join against the (sorted) read spectrum on
-    device; only the joined hits leave the device. Exact for sequences
-    without non-ACGT bases (the pipeline falls back to the host join
-    otherwise): with every window valid, dedup against the previous window's
-    selection is the reference's prev_hash rule, and the previous chunk's
-    last selection is threaded through (prev_hi/prev_lo) so chunk boundaries
-    dedup exactly too."""
-    from phi_tpu.ops.search import pair_isin_bucketed
+    """Sketch one chunk AND join against the mixed-key spectrum table
+    (prepare_spectrum_bucket) on device; only the joined hits leave the
+    device. Exact for sequences without non-ACGT bases (the pipeline falls
+    back to the host join otherwise): with every window valid, dedup against
+    the previous window's selection is the reference's prev_hash rule, and
+    the previous chunk's last selection is threaded through (prev_hi/
+    prev_lo) so chunk boundaries dedup exactly too."""
+    from phi_tpu.ops.search import pair_isin_mixed
 
     hi, lo, invalid = _pack_canonical(codes, k)
     pos = jnp.arange(hi.shape[0], dtype=jnp.int32)
@@ -383,7 +392,8 @@ def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
     epos = spos_g[eidx]
     evalid = epos >= 0
 
-    found, idx = pair_isin_bucketed(sp_hi, sp_lo, sp_off, ehi, elo, rounds)
+    found, idx = pair_isin_mixed(sp_m, sp_lo, sp_perm, sp_off, ehi, elo,
+                                 rounds)
     hit = found & evalid
     n_hit = hit.sum()
     hidx = jnp.nonzero(hit, size=hitcap, fill_value=ehi.shape[0])[0]
@@ -417,9 +427,9 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
     return outs[0]
 
 
-def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
-                          sp_off, rounds: int, emitcap: int, hitcap: int,
-                          device=None):
+def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_m, sp_lo,
+                          sp_perm, sp_off, rounds: int, emitcap: int,
+                          hitcap: int, device=None):
     """Dispatch every chunk of one sequence asynchronously (the dedup carry
     is a device scalar, so no host sync is needed between chunks)."""
     import jax.numpy as jnp
@@ -443,8 +453,8 @@ def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
             else jnp.asarray(chunk)
         out = cached_call(
             _sketch_join_jit, "sketch_join",
-            (chunk_dev, jnp.int32(n_valid), prev_hi, prev_lo, sp_hi, sp_lo,
-             sp_off),
+            (chunk_dev, jnp.int32(n_valid), prev_hi, prev_lo, sp_m, sp_lo,
+             sp_perm, sp_off),
             {"k": k, "w": w, "emitcap": emitcap, "hitcap": hitcap,
              "rounds": rounds})
         prev_hi, prev_lo = out[4], out[5]
@@ -507,28 +517,31 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     # pow2-bucket the spectrum shape: the join program then depends only on
     # (k, w, bucket), so one compiled executable covers every dataset in the
     # bucket and the shape is guessable for compile prewarm.
-    sp_hi_np, sp_lo_np, sp_off_np, Sb, rounds = \
+    sp_m_np, sp_lo_np, sp_perm_np, sp_off_np, Sb, rounds = \
         prepare_spectrum_bucket(sp_hi, sp_lo)
-    sp_hi = jnp.asarray(sp_hi_np)
+    sp_m = jnp.asarray(sp_m_np)
     sp_lo = jnp.asarray(sp_lo_np)
+    sp_perm = jnp.asarray(sp_perm_np)
     halo = k + w - 2
     emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
 
     if multi_dev:
-        sp_dev = [(jax.device_put(np.asarray(sp_hi), d),
-                   jax.device_put(np.asarray(sp_lo), d),
+        sp_dev = [(jax.device_put(sp_m_np, d),
+                   jax.device_put(sp_lo_np, d),
+                   jax.device_put(sp_perm_np, d),
                    jax.device_put(sp_off_np, d)) for d in devices]
         pendings = {}
         for j, i in enumerate(device_idx):
             d = devices[j % len(devices)]
-            dh, dl, doff = sp_dev[j % len(devices)]
+            dm, dl, dperm, doff = sp_dev[j % len(devices)]
             pendings[i] = _dispatch_join_chunks(
-                seqs[i], k, w, dh, dl, doff, rounds, emitcap, hitcap,
+                seqs[i], k, w, dm, dl, dperm, doff, rounds, emitcap, hitcap,
                 device=d)
     else:
         sp_off = jnp.asarray(sp_off_np)
-        pendings = {i: _dispatch_join_chunks(seqs[i], k, w, sp_hi, sp_lo,
-                                             sp_off, rounds, emitcap, hitcap)
+        pendings = {i: _dispatch_join_chunks(seqs[i], k, w, sp_m, sp_lo,
+                                             sp_perm, sp_off, rounds,
+                                             emitcap, hitcap)
                     for i in device_idx}
 
     # one round trip for ALL counts across all sequences (per device when
@@ -558,14 +571,14 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
             (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF))
         if multi_dev:
             di = device_idx.index(i) % len(devices)
-            r_hi, r_lo, r_off = sp_dev[di]
+            r_m, r_lo, r_perm, r_off = sp_dev[di]
         else:
-            r_hi, r_lo, r_off = sp_hi, sp_lo, sp_off
+            r_m, r_lo, r_perm, r_off = sp_m, sp_lo, sp_perm, sp_off
         # n_min is exact even under truncation, and hits <= emissions,
         # so one retry with caps >= n_min is always sufficient
         ec = _next_pow2(max(emitcap, int(counts[fidx, 0])))
         out2 = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
-                                prev[0], prev[1], r_hi, r_lo, r_off,
+                                prev[0], prev[1], r_m, r_lo, r_perm, r_off,
                                 k, w, ec, ec, rounds)
         pendings[i][j] = (start, n_valid, chunk, out2)
         counts[fidx, 1] = int(out2[1])
@@ -634,21 +647,20 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
     PHI_TPU_PALLAS_JOIN=0."""
     import os
 
-    from phi_tpu.ops.search import make_search_buckets
+    from phi_tpu.ops.search import make_mixed_buckets
     Sb = spectrum_bucket
     # registered up-front so a join racing this compile waits on the
     # execache per-key lock and reuses it; rolled back on failure (an
     # unusable registration would inflate spectra for nothing)
     _register_prewarm_bucket(Sb)
-    # dummy keys spread uniformly over the REAL hi range (packed k-mers use
-    # 2k bits, hi < 2^(2k-32)): the first-probe table then has the same
-    # bucket-derived `rounds` the real join computes for a uniform spectrum.
-    # arange alone would stuff one bucket and trip the skew path, compiling
-    # a program the real join can never reuse.
+    # dummy spectrum: Sb distinct keys (lo = arange). Their mixed images are
+    # equidistributed, so the first-probe table compiles with the same
+    # bucket-derived `rounds` a real (mix-uniformized) spectrum produces.
     hi_bits = max(0, 2 * min(k, 31) - 32)
     hi_np = ((np.arange(Sb, dtype=np.uint64) << np.uint64(hi_bits))
              // np.uint64(Sb)).astype(np.uint32)
-    off_np, actual = make_search_buckets(hi_np)
+    lo_np = np.arange(Sb, dtype=np.uint32)
+    m_np, lo_s, perm_np, off_np, actual = make_mixed_buckets(hi_np, lo_np)
     rounds = _join_rounds(Sb, actual)
     halo = k + w - 2
     if os.environ.get("PHI_TPU_PALLAS_JOIN") != "0" and halo <= 128:
@@ -661,8 +673,8 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
             _pallas_join_rows, "pallas_join_rows",
             (jnp.zeros((ROWS, row_words), jnp.uint32),
              jnp.ones((ROWS,), jnp.int32), jnp.zeros((ROWS,), jnp.int32),
-             jnp.zeros(3, jnp.uint32), jnp.asarray(hi_np),
-             jnp.zeros(Sb, jnp.uint32), jnp.asarray(off_np)),
+             jnp.zeros(3, jnp.uint32), jnp.asarray(m_np),
+             jnp.asarray(lo_s), jnp.asarray(perm_np), jnp.asarray(off_np)),
             {"k": k, "w": w, "n_rows": ROWS, "n_blocks": SUPER_BLOCKS,
              "emitcap": emitcap, "cap_total": cap_total, "rounds": rounds,
              "interpret": False})
@@ -671,8 +683,9 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
     emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
     out = _sketch_join_jit(
         jnp.zeros(CHUNK + halo, jnp.uint8), jnp.int32(1),
-        UMAX, UMAX, jnp.asarray(hi_np), jnp.zeros(Sb, jnp.uint32),
-        jnp.asarray(off_np), k, w, emitcap, hitcap, rounds)
+        UMAX, UMAX, jnp.asarray(m_np), jnp.asarray(lo_s),
+        jnp.asarray(perm_np), jnp.asarray(off_np), k, w, emitcap, hitcap,
+        rounds)
     jax.block_until_ready(out)
 
 

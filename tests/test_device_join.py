@@ -72,8 +72,10 @@ def test_inflated_prewarm_bucket_identical_results(monkeypatch):
     monkeypatch.setattr(m, "_PREWARMED_JOIN_BUCKETS", set())
     want = run()
     monkeypatch.setattr(m, "_PREWARMED_JOIN_BUCKETS", {base_bucket * 8})
-    hi_np, _, _, Sb, _ = m.prepare_spectrum_bucket(spectrum[0], spectrum[1])
-    assert Sb == base_bucket * 8 and len(hi_np) == Sb
+    m_np, lo_np, perm_np, _, Sb, _ = m.prepare_spectrum_bucket(
+        spectrum[0], spectrum[1])
+    assert Sb == base_bucket * 8 and len(m_np) == Sb
+    assert (perm_np[S:] == -1).all() and len(np.unique(perm_np[:S])) == S
     got = run()
     assert got[0] == want[0]
     assert np.array_equal(got[1], want[1])

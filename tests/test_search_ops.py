@@ -57,3 +57,62 @@ def test_bucketed_skewed_distribution():
                               jnp.asarray(qlo), rounds)
     assert np.asarray(f).all()
     assert np.array_equal(lo[np.asarray(i)], qlo)
+
+
+def test_pair_isin_mixed_matches_plain():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from phi_tpu.ops.search import (make_mixed_buckets, pair_isin,
+                                    pair_isin_mixed)
+    rng = np.random.default_rng(11)
+    # adversarial mix: skewed-low values AND a crowd sharing one hi prefix
+    a = (rng.random(4000, dtype=np.float64).reshape(-1, 25).min(axis=1)
+         * (1 << 62)).astype(np.uint64)
+    shared = (np.uint64(123) << np.uint64(32)) | rng.integers(
+        0, 1 << 32, 500, dtype=np.uint64)
+    keys = np.unique(np.concatenate([a, shared]))
+    sp_hi = (keys >> np.uint64(32)).astype(np.uint32)
+    sp_lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    # queries: half present, half absent
+    qpick = keys[rng.integers(0, len(keys), 300)]
+    qmiss = rng.integers(0, 1 << 62, 300, dtype=np.uint64)
+    q = np.concatenate([qpick, qmiss])
+    q_hi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+    q_lo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    m_np, lo_np, perm_np, off_np, actual = make_mixed_buckets(sp_hi, sp_lo)
+    want_found, want_idx = pair_isin(jnp.asarray(sp_hi), jnp.asarray(sp_lo),
+                                     q_hi, q_lo)
+    got_found, got_id = pair_isin_mixed(
+        jnp.asarray(m_np), jnp.asarray(lo_np), jnp.asarray(perm_np),
+        jnp.asarray(off_np), q_hi, q_lo, rounds=actual)
+    assert np.array_equal(np.asarray(got_found), np.asarray(want_found))
+    f = np.asarray(want_found)
+    assert np.array_equal(np.asarray(got_id)[f], np.asarray(want_idx)[f])
+
+
+def test_pair_isin_mixed_sentinel_padding():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from phi_tpu.ops.search import make_mixed_buckets, pair_isin_mixed
+    keys = np.array([5, 99, 1 << 40, (1 << 61) + 7], np.uint64)
+    sp_hi = (keys >> np.uint64(32)).astype(np.uint32)
+    sp_lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    m_np, lo_np, perm_np, off_np, actual = make_mixed_buckets(sp_hi, sp_lo)
+    pad = 4
+    m_p = np.concatenate([m_np, np.full(pad, 0xFFFFFFFF, np.uint32)])
+    lo_p = np.concatenate([lo_np, np.full(pad, 0xFFFFFFFF, np.uint32)])
+    perm_p = np.concatenate([perm_np, np.full(pad, -1, np.int32)])
+    off_p = off_np.copy()
+    off_p[-1] = len(m_p)
+    # a query equal to the sentinel pattern's raw preimage must NOT match
+    q_hi = jnp.asarray(np.concatenate([sp_hi, np.array([7], np.uint32)]))
+    q_lo = jnp.asarray(np.concatenate([sp_lo, np.array([13], np.uint32)]))
+    found, ids = pair_isin_mixed(jnp.asarray(m_p), jnp.asarray(lo_p),
+                                 jnp.asarray(perm_p), jnp.asarray(off_p),
+                                 q_hi, q_lo, rounds=max(actual, 3))
+    f = np.asarray(found)
+    assert f[:4].all() and not f[4]
+    assert sorted(np.asarray(ids)[:4].tolist()) == [0, 1, 2, 3]
