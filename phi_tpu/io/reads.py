@@ -66,13 +66,23 @@ class ReadBatch:
 
     When loaded natively, the raw ragged concatenation (concat, off) is kept
     so the sketch layer can consume it directly — no 2D pad round-trip
-    (the concat is the exact layout the chunked masked sketch wants)."""
+    (the concat is the exact layout the chunked masked sketch wants). The
+    padded 2D view is then materialized lazily: the main pipeline never
+    touches it on the native path, so load time stays parse-bound."""
 
-    codes: np.ndarray    # uint8 [n_reads, max_len], pad value 4 (invalid)
     lengths: np.ndarray  # int32 [n_reads]
     names: list[str]
     concat: np.ndarray | None = None  # uint8 [total_bases]
     off: np.ndarray | None = None     # int64 [n_reads + 1]
+    pad_to_multiple: int = 128
+    _codes: np.ndarray | None = None  # uint8 [n_reads, max_len], pad 4
+
+    @property
+    def codes(self) -> np.ndarray:
+        if self._codes is None:
+            self._codes = _pad_2d(self.concat, self.off, self.lengths,
+                                  self.pad_to_multiple)
+        return self._codes
 
     @property
     def n_reads(self) -> int:
@@ -81,6 +91,12 @@ class ReadBatch:
     @property
     def total_bases(self) -> int:
         return int(self.lengths.sum())
+
+
+def _empty_batch(pad_to_multiple: int) -> ReadBatch:
+    return ReadBatch(np.zeros(0, np.int32), [],
+                     pad_to_multiple=pad_to_multiple,
+                     _codes=np.zeros((0, pad_to_multiple), np.uint8))
 
 
 def load_read_batch(path: str, pad_to_multiple: int = 128,
@@ -102,30 +118,37 @@ def load_read_batch(path: str, pad_to_multiple: int = 128,
         names.append(name)
         seqs.append(seq)
     if not seqs:
-        return ReadBatch(np.zeros((0, pad_to_multiple), np.uint8),
-                         np.zeros(0, np.int32), [])
+        return _empty_batch(pad_to_multiple)
     lengths = np.array([len(s) for s in seqs], dtype=np.int32)
     max_len = int(lengths.max())
     max_len = -(-max_len // pad_to_multiple) * pad_to_multiple
     codes = np.full((len(seqs), max_len), 4, dtype=np.uint8)
     for i, s in enumerate(seqs):
         codes[i, :len(s)] = encode_seq(s)
-    return ReadBatch(codes, lengths, names)
+    return ReadBatch(lengths, names, _codes=codes,
+                     pad_to_multiple=pad_to_multiple)
+
+
+def _pad_2d(codes_concat: np.ndarray, off: np.ndarray, lengths: np.ndarray,
+            pad_to_multiple: int) -> np.ndarray:
+    """Materialize the padded [n_reads, max_len] view from the ragged concat
+    (single vectorized scatter)."""
+    n = len(lengths)
+    max_len = -(-int(lengths.max()) // pad_to_multiple) * pad_to_multiple
+    codes = np.full((n, max_len), 4, dtype=np.uint8)
+    rows = np.repeat(np.arange(n), lengths)
+    cols = np.arange(len(codes_concat)) - np.repeat(off[:-1], lengths)
+    codes[rows, cols] = codes_concat
+    return codes
 
 
 def _batch_from_concat(codes_concat: np.ndarray, off: np.ndarray,
                        names: list[str], pad_to_multiple: int) -> ReadBatch:
     n = len(names)
     if n == 0:
-        return ReadBatch(np.zeros((0, pad_to_multiple), np.uint8),
-                         np.zeros(0, np.int32), [])
+        return _empty_batch(pad_to_multiple)
     lengths = np.diff(off).astype(np.int32)
-    max_len = -(-int(lengths.max()) // pad_to_multiple) * pad_to_multiple
-    codes = np.full((n, max_len), 4, dtype=np.uint8)
-    # single vectorized ragged scatter
-    rows = np.repeat(np.arange(n), lengths)
-    cols = np.arange(len(codes_concat)) - np.repeat(off[:-1], lengths)
-    codes[rows, cols] = codes_concat
-    return ReadBatch(codes, lengths, names,
+    return ReadBatch(lengths, names,
                      concat=np.ascontiguousarray(codes_concat, np.uint8),
-                     off=off.astype(np.int64))
+                     off=off.astype(np.int64),
+                     pad_to_multiple=pad_to_multiple)
