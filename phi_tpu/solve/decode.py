@@ -39,30 +39,50 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
                 dp_objective: float) -> DecodeResult:
     H, P = t.S.shape
     walk_len = t.walk_len
-    valid = np.arange(P)[None, :] < walk_len[:, None]
     INF = np.float32(np.inf)
+    M = np.asarray(M)
 
-    D = np.where(valid, M - t.B, INF)
-    # entry values (replay one numpy sweep from the fixpoint);
-    # sort + reduceat instead of np.minimum.at (which is unbuffered and
-    # orders of magnitude slower at tens of millions of source states)
+    # entry values (replay one numpy sweep from the fixpoint). Switch-source
+    # exit values D[h,p] = M[h,p] - B[h,p] are gathered at the esrc states
+    # only — the dense [H,P] D array is never built. sort + reduceat instead
+    # of np.minimum.at (which is unbuffered and orders of magnitude slower
+    # at tens of millions of source states).
     ent = np.full(t.n_vtx, INF, np.float32)
     if len(t.esrc_h):
-        sv = D[t.esrc_h, t.esrc_p]
+        eh = t.esrc_h.astype(np.int64)
+        ep = t.esrc_p.astype(np.int64)
+        sv = np.where(ep < walk_len[t.esrc_h],
+                      M[eh, ep] - t.B[eh, ep], INF)
         order = np.argsort(t.esrc_target, kind="stable")
         tgt_s = t.esrc_target[order]
         sv_s = sv[order]
         starts = np.flatnonzero(np.concatenate([[True], tgt_s[1:] != tgt_s[:-1]]))
         ent[tgt_s[starts]] = np.minimum.reduceat(sv_s, starts)
-    e_state = np.where(t.state_vertex >= 0,
-                       ent[np.maximum(t.state_vertex, 0)] + t.R, INF)
-    start_entry = e_state[:, 0].copy()
-    e_state[:, 0] = np.minimum(e_state[:, 0], 0.0)
-    A = np.where(valid, e_state + t.S, INF)
 
-    run_min = np.minimum.accumulate(A, axis=1)
-    cols = np.arange(P)[None, :]
-    qlatest = np.maximum.accumulate(np.where(A <= run_min + 0, cols, -1), axis=1)
+    # lane arrays (A, running minimum, rightmost-argmin, start entry) are
+    # built lazily per visited lane: the backtrace touches n_switches+1
+    # lanes, a handful out of H — building the dense [H,P] stack is several
+    # seconds of pure wasted bandwidth at the 49-hap x 254k-position scale
+    cols1d = np.arange(P)
+    lane_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, float]] = {}
+
+    def lane_arrays(h: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+        got = lane_cache.get(h)
+        if got is None:
+            row_valid = cols1d < walk_len[h]
+            sv_row = t.state_vertex[h]
+            e_row = np.where(sv_row >= 0,
+                             ent[np.maximum(sv_row, 0)] + t.R, INF)
+            start_entry_h = float(e_row[0])
+            e_row[0] = min(e_row[0], np.float32(0.0))
+            A_row = np.where(row_valid, e_row + t.S[h], INF)
+            run_min_row = np.minimum.accumulate(A_row)
+            qlatest_row = np.maximum.accumulate(
+                np.where(A_row <= run_min_row, cols1d, -1))
+            got = (A_row, run_min_row, qlatest_row, start_entry_h)
+            lane_cache[h] = got
+        return got
+
     L = t.n_layers if t.n_layers is not None else 0
 
     if L > 0:
@@ -96,16 +116,17 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         """Entry position achieving M[h,p]. Bracket mode: rightmost running
         minimum. Exact mode: the best of the L recent-entry candidates
         (A[q] - W[p-q, p]) and the q <= p-L prefix branch."""
+        A_row, run_min_row, qlatest_row, _ = lane_arrays(h)
         if L == 0:
-            return int(qlatest[h, p])
+            return int(qlatest_row[p])
         Wv = straddle_at(h, p)
         best_v, best_q = np.inf, -1
         for j in range(min(L, p + 1)):
-            cv = A[h, p - j] - Wv[j]
+            cv = A_row[p - j] - Wv[j]
             if cv < best_v - 1e-9:
                 best_v, best_q = cv, p - j
-        if p - L >= 0 and run_min[h, p - L] < best_v - 1e-9:
-            return int(qlatest[h, p - L])
+        if p - L >= 0 and run_min_row[p - L] < best_v - 1e-9:
+            return int(qlatest_row[p - L])
         return best_q
 
     # CSR over esrc_target for switch-source lookup (reuses the sort above)
@@ -114,6 +135,7 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     else:
         order = np.zeros(0, np.int64)
         tgt_sorted = np.zeros(0, np.int32)
+        sv = np.zeros(0, np.float32)
 
     h = int(np.argmin(ends))
     p = int(walk_len[h]) - 1
@@ -126,14 +148,15 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
                 f"backtrace: no entry point found for lane {h} position {p}")
         segments.append((h, q, p))
         v = int(t.state_vertex[h, q])
-        entry_val = A[h, q] - t.S[h, q]
-        if q == 0 and entry_val >= -_EPS and start_entry[h] >= -_EPS:
+        A_row, _, _, start_entry_h = lane_arrays(h)
+        entry_val = A_row[q] - t.S[h, q]
+        if q == 0 and entry_val >= -_EPS and start_entry_h >= -_EPS:
             break  # lane start
         # switch: find an achieving diverging source state for vertex v
         lo = np.searchsorted(tgt_sorted, v, side="left")
         hi_i = np.searchsorted(tgt_sorted, v, side="right")
         cand = order[lo:hi_i]
-        vals = D[t.esrc_h[cand], t.esrc_p[cand]]
+        vals = sv[cand]
         j = int(np.argmin(vals))
         if not vals[j] <= ent[v] + _EPS:
             raise RuntimeError(
