@@ -12,9 +12,11 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -681,10 +683,11 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
   int64_t total = hit_off[n_haps];
   h->per_hap_anchors.assign(n_haps, 0);
 
-  // pass 1: intervals + run hashes
+  // pass 1: intervals + run hashes; haps are independent, so split them
+  // across a small thread pool (each hap's hit range is contiguous)
   std::vector<int32_t> o_hap(total), o_start(total), o_end(total);
   std::vector<uint64_t> group_key(total);
-  for (int64_t hp = 0; hp < n_haps; hp++) {
+  auto pass1 = [&](int64_t hp) {
     const int32_t* wm = walk_mat + hp * P;
     int64_t L = walk_len[hp];
     int64_t s_idx = 0, e_idx = 0;       // walk positions of interval ends
@@ -706,25 +709,36 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
         rh = anchors::mix64(rh ^ static_cast<uint64_t>(wm[p]));
       group_key[i] = anchors::mix64(static_cast<uint64_t>(hit_sid[i]) ^ rh);
     }
+  };
+  unsigned n_thr = std::max(1u, std::min<unsigned>(
+      std::thread::hardware_concurrency(), 8));
+  if (n_haps <= 1 || n_thr <= 1) {
+    for (int64_t hp = 0; hp < n_haps; hp++) pass1(hp);
+  } else {
+    std::vector<std::thread> pool;
+    std::atomic<int64_t> next_hp{0};
+    for (unsigned t = 0; t < n_thr; t++)
+      pool.emplace_back([&] {
+        for (int64_t hp; (hp = next_hp.fetch_add(1)) < n_haps;) pass1(hp);
+      });
+    for (auto& th : pool) th.join();
   }
 
-  // pass 2: group counting (sorted copy) -> bad groups -> bad k-mers
+  // pass 2: group counting (sorted (key, sid) pairs — direct sort is
+  // cache-friendlier than an indirect comparator) -> bad groups -> bad k-mers
   std::vector<char> bad_sid(static_cast<size_t>(spectrum_size), 0);
   {
-    std::vector<int64_t> order(total);
-    for (int64_t i = 0; i < total; i++) order[i] = i;
-    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-      return group_key[a] < group_key[b];
-    });
+    std::vector<std::pair<uint64_t, int32_t>> ks(total);
+    for (int64_t i = 0; i < total; i++) ks[i] = {group_key[i], hit_sid[i]};
+    std::sort(ks.begin(), ks.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
     double cutoff = threshold * static_cast<double>(n_haps);
     int64_t run = 0;
     while (run < total) {
       int64_t end = run;
-      while (end < total && group_key[order[end]] == group_key[order[run]])
-        end++;
+      while (end < total && ks[end].first == ks[run].first) end++;
       if (static_cast<double>(end - run) >= cutoff) {
-        for (int64_t j = run; j < end; j++)
-          bad_sid[hit_sid[order[j]]] = 1;
+        for (int64_t j = run; j < end; j++) bad_sid[ks[j].second] = 1;
       }
       run = end;
     }
