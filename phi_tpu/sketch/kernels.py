@@ -509,13 +509,22 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     emitcap, cap_total = join_caps(w, super_blocks, rows_per_call)
     n_batches = -(-len(rows) // R)
     padded = rows + [(-1, 0, 0, 0)] * (n_batches * R - len(rows))
-    carry = jnp.zeros(3, jnp.uint32)
-    pend = []
+    # phase 1: pack + upload every batch first — uploads carry no
+    # dependency (only the kernel dispatches chain through the dedup
+    # carry), so starting them all lets the host->device copies overlap
+    # each other and the first kernels instead of serializing
+    # pack -> upload -> execute per batch
+    uploads = []
     for b in range(n_batches):
         batch = padded[b * R:(b + 1) * R]
-        words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
-        nv = jnp.asarray(np.array([r[2] for r in batch], np.int32))
-        ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
+        words = jax.device_put(_pack_rows_2bit(seqs, batch, row_lanes))
+        nv = jax.device_put(np.array([r[2] for r in batch], np.int32))
+        ct = jax.device_put(np.array([r[3] for r in batch], np.int32))
+        uploads.append((batch, words, nv, ct))
+    # phase 2: carry-chained dispatches
+    carry = jnp.zeros(3, jnp.uint32)
+    pend = []
+    for batch, words, nv, ct in uploads:
         out = cached_call(
             _pallas_join_rows, "pallas_join_rows",
             (words, nv, ct, carry, sp_m_d, sp_lo_d, sp_perm_d, sp_off_d),
