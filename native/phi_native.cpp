@@ -452,10 +452,12 @@ int phi_toposort(int64_t n, int64_t m, const int32_t* eu, const int32_t* ev,
 // Returns the emission count; writes up to cap triples. If the count
 // exceeds cap, output beyond cap is dropped (caller retries with a larger
 // cap using the returned count).
-int64_t phi_minimizers(const uint8_t* codes, int64_t n, int k, int w,
-                       uint32_t* out_hi, uint32_t* out_lo, int32_t* out_pos,
-                       int64_t cap) {
-  if (k < 1 || k > 31 || w < 1 || n < (int64_t)(k + w - 1)) return 0;
+}  // extern "C" (template below; linkage resumes after)
+
+template <class Emit>
+static inline void minimizer_scan(const uint8_t* codes, int64_t n, int k,
+                                  int w, Emit emit) {
+  if (k < 1 || k > 31 || w < 1 || n < (int64_t)(k + w - 1)) return;
   const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   const int rc_shift = 2 * (k - 1);
   uint64_t fwd = 0, rc = 0;
@@ -469,7 +471,6 @@ int64_t phi_minimizers(const uint8_t* codes, int64_t n, int k, int w,
   size_t head = 0, tail = 0;  // [head, tail)
   uint64_t prev_val = ~0ULL;
   bool have_prev = false;
-  int64_t count = 0;
   for (int64_t j = 0; j < n; j++) {
     uint8_t c = codes[j];
     if (c < 4) {
@@ -494,16 +495,97 @@ int64_t phi_minimizers(const uint8_t* codes, int64_t n, int k, int w,
       if (!have_prev || best != prev_val) {
         prev_val = best;
         have_prev = true;
-        if (count < cap) {
-          out_hi[count] = (uint32_t)(best >> 32);
-          out_lo[count] = (uint32_t)best;
-          out_pos[count] = (int32_t)dqp[head & rmask];
-        }
-        count++;
+        emit(best, dqp[head & rmask]);
       }
     }
   }
+}
+
+extern "C" {
+
+int64_t phi_minimizers(const uint8_t* codes, int64_t n, int k, int w,
+                       uint32_t* out_hi, uint32_t* out_lo, int32_t* out_pos,
+                       int64_t cap) {
+  int64_t count = 0;
+  minimizer_scan(codes, n, k, w, [&](uint64_t best, int64_t pos) {
+    if (count < cap) {
+      out_hi[count] = (uint32_t)(best >> 32);
+      out_lo[count] = (uint32_t)best;
+      out_pos[count] = (int32_t)pos;
+    }
+    count++;
+  });
   return count;
+}
+
+// ------------------------------------------------- per-read spectrum scan
+// Each read of the ragged concatenation is scanned independently (the
+// reference's per-read compute_hashes semantics, ILP_index.cpp:447-493);
+// emitted canonical keys (hi<<32|lo, duplicates included) are collected.
+// The spectrum is a set, so buffer order across threads is irrelevant.
+// Returns the total emission count; writes keys only when total <= cap
+// (caller retries with the returned count as the new cap).
+int64_t phi_spectrum(const uint8_t* concat, const int64_t* off,
+                     int64_t n_reads, int k, int w, uint64_t* out,
+                     int64_t cap) {
+  unsigned n_thr = std::max(1u, std::min<unsigned>(
+      std::thread::hardware_concurrency(), 8));
+  if (n_reads < 64) n_thr = 1;
+  std::vector<std::vector<uint64_t>> bufs(n_thr);
+  std::atomic<int64_t> next{0};
+  const int64_t grain = 256;  // reads per work unit
+  auto work = [&](unsigned t) {
+    auto& buf = bufs[t];
+    for (int64_t g; (g = next.fetch_add(grain)) < n_reads;) {
+      int64_t end = std::min(g + grain, n_reads);
+      for (int64_t r = g; r < end; r++)
+        minimizer_scan(concat + off[r], off[r + 1] - off[r], k, w,
+                       [&](uint64_t best, int64_t) { buf.push_back(best); });
+    }
+  };
+  if (n_thr == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < n_thr; t++) pool.emplace_back(work, t);
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto& b : bufs) total += (int64_t)b.size();
+  if (total <= cap) {
+    int64_t at = 0;
+    for (auto& b : bufs) {
+      std::copy(b.begin(), b.end(), out + at);
+      at += (int64_t)b.size();
+    }
+  }
+  return total;
+}
+
+// ---------------------------------------------------- haplotype sketch+join
+// Scan one sequence (exact minimizer semantics above) and binary-search each
+// emission against the sorted spectrum keys — the host fast path of the
+// per-haplotype join (ILP_index.cpp:495-526's hash join, done on sorted
+// arrays). Writes matching (k-mer start pos, spectrum id) pairs. Returns the
+// hit count; *n_min_out gets the total emission count. Output is written
+// only while hits <= cap (caller retries with the returned count).
+int64_t phi_hap_join(const uint8_t* codes, int64_t n, int k, int w,
+                     const uint64_t* keys, int64_t n_keys, int32_t* out_pos,
+                     int32_t* out_sid, int64_t cap, int64_t* n_min_out) {
+  int64_t n_min = 0, n_hit = 0;
+  minimizer_scan(codes, n, k, w, [&](uint64_t best, int64_t pos) {
+    n_min++;
+    const uint64_t* it = std::lower_bound(keys, keys + n_keys, best);
+    if (it != keys + n_keys && *it == best) {
+      if (n_hit < cap) {
+        out_pos[n_hit] = (int32_t)pos;
+        out_sid[n_hit] = (int32_t)(it - keys);
+      }
+      n_hit++;
+    }
+  });
+  *n_min_out = n_min;
+  return n_hit;
 }
 
 // ------------------------------------------------- banded Myers edit distance

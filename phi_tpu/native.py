@@ -101,6 +101,16 @@ def get_lib() -> ctypes.CDLL | None:
                                    ctypes.POINTER(ctypes.c_uint32),
                                    c_i32p, c_i64]
 
+    lib.phi_spectrum.restype = c_i64
+    lib.phi_spectrum.argtypes = [c_u8p, c_i64p, c_i64, ctypes.c_int,
+                                 ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_uint64), c_i64]
+
+    lib.phi_hap_join.restype = c_i64
+    lib.phi_hap_join.argtypes = [c_u8p, c_i64, ctypes.c_int, ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_uint64), c_i64,
+                                 c_i32p, c_i32p, c_i64, c_i64p]
+
     lib.phi_anchors.restype = c_p
     lib.phi_anchors.argtypes = [c_i64, c_i64, c_i32p, c_i32p, c_i64p,
                                 c_i64p, c_i32p, c_i32p, c_i64,
@@ -244,6 +254,56 @@ def minimizers_native(codes: np.ndarray, k: int, w: int):
             pos.ctypes.data_as(c_i32p), cap)
         if cnt <= cap:
             return hi[:cnt].copy(), lo[:cnt].copy(), pos[:cnt].copy()
+        cap = int(cnt)
+
+
+def spectrum_native(concat: np.ndarray, off: np.ndarray, k: int, w: int
+                    ) -> np.ndarray | None:
+    """Emitted canonical minimizer keys (uint64, duplicates included) of a
+    ragged read concatenation, each read scanned independently — the host
+    fast path for the read-spectrum phase. None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cc = np.ascontiguousarray(concat, np.uint8)
+    oo = np.ascontiguousarray(off, np.int64)
+    n_reads = len(oo) - 1
+    cap = max(1024, 4 * len(cc) // (w + 1) + 64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    while True:
+        out = np.empty(cap, np.uint64)
+        cnt = lib.phi_spectrum(cc.ctypes.data_as(c_u8p),
+                               oo.ctypes.data_as(c_i64p), n_reads, k, w,
+                               out.ctypes.data_as(u64p), cap)
+        if cnt <= cap:
+            return out[:cnt].copy()
+        cap = int(cnt)
+
+
+def hap_join_native(codes: np.ndarray, k: int, w: int, sp_key: np.ndarray
+                    ) -> tuple[int, np.ndarray, np.ndarray] | None:
+    """(n_minimizers, hit_positions, hit_spectrum_ids) of one sequence
+    joined against sorted uint64 spectrum keys, or None. Releases the GIL
+    for the whole scan, so callers thread across haplotypes."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cc = np.ascontiguousarray(codes, np.uint8)
+    kk = np.ascontiguousarray(sp_key, np.uint64)
+    n = len(cc)
+    cap = max(1024, 4 * n // (w + 1) + 64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n_min = c_i64(0)
+    while True:
+        pos = np.empty(cap, np.int32)
+        sid = np.empty(cap, np.int32)
+        cnt = lib.phi_hap_join(
+            cc.ctypes.data_as(c_u8p), n, k, w,
+            kk.ctypes.data_as(u64p), len(kk),
+            pos.ctypes.data_as(c_i32p), sid.ctypes.data_as(c_i32p), cap,
+            ctypes.byref(n_min))
+        if cnt <= cap:
+            return int(n_min.value), pos[:cnt].copy(), sid[:cnt].copy()
         cap = int(cnt)
 
 

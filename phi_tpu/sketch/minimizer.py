@@ -501,6 +501,7 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
 
     results: list = [None] * len(seqs)
     device_idx = []
+    host_idx = []
     multi_dev = devices is not None and len(devices) > 1
     for i, codes in enumerate(seqs):
         L = len(codes)
@@ -508,9 +509,25 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
             results[i] = (0, np.zeros(0, np.int32), np.zeros(0, np.int32))
         elif (jax.default_backend() == "cpu" and not multi_dev) \
                 or (codes >= 4).any():
-            results[i] = _host_join_one(codes, k, w, sp_hi, sp_lo)
+            host_idx.append(i)
         else:
             device_idx.append(i)
+    if host_idx:
+        # the native scan+join releases the GIL, so haplotypes run on a real
+        # thread pool (the OpenMP hap axis of ILP_index.cpp:643-655)
+        from concurrent.futures import ThreadPoolExecutor
+        sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
+            | np.asarray(sp_lo).astype(np.uint64)
+        if len(host_idx) > 1:
+            with ThreadPoolExecutor(max_workers=min(8, len(host_idx))) as ex:
+                outs = list(ex.map(
+                    lambda i: _host_join_one(seqs[i], k, w, sp_hi, sp_lo,
+                                             sp_key), host_idx))
+        else:
+            outs = [_host_join_one(seqs[i], k, w, sp_hi, sp_lo, sp_key)
+                    for i in host_idx]
+        for i, out in zip(host_idx, outs):
+            results[i] = out
     if not device_idx:
         return results
 
@@ -734,10 +751,19 @@ def start_join_prewarm_thread(k: int, w: int, spectrum_bucket: int):
     return th
 
 
-def _host_join_one(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo):
+def _host_join_one(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
+                   sp_key: np.ndarray | None = None):
+    if sp_key is None:
+        sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
+            | np.asarray(sp_lo).astype(np.uint64)
+    try:
+        from phi_tpu.native import hap_join_native
+        res = hap_join_native(codes, k, w, sp_key)
+        if res is not None:
+            return res
+    except Exception:
+        pass
     hi, lo, pos = sketch_sequence(codes, k, w)
-    sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
-        | np.asarray(sp_lo).astype(np.uint64)
     key = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
     idx = np.searchsorted(sp_key, key)
     idx_c = np.minimum(idx, max(len(sp_key) - 1, 0))
@@ -784,10 +810,28 @@ def sketch_read_concat(concat: np.ndarray, off: np.ndarray, k: int,
     each shard's chunked sketch is pinned to its own device (the dp
     data-parallel axis of the mesh, SURVEY §2.4); all dispatches are async,
     the spectrum union is a host-side sorted dedup."""
+    import os
     if len(concat) < w + k - 1:
         z = np.zeros(0, np.uint32)
         return z, z.copy()
     off = np.asarray(off, np.int64)
+    single = devices is None or len(devices) <= 1
+    if single and os.environ.get("PHI_TPU_DEVICE_READ_SKETCH") != "1":
+        # Host fast path: the per-read C++ scan (threaded) beats the chunked
+        # device dispatch at single-device read volumes on every backend —
+        # the spectrum lands on the host either way (the mixed-key join
+        # table is built host-side before upload), so this trades device
+        # round trips for a memory-bound native scan. The device path
+        # remains the multi-device (dp-sharded) route and the fallback.
+        try:
+            from phi_tpu.native import spectrum_native
+            keys = spectrum_native(concat, off, k, w)
+        except Exception:
+            keys = None
+        if keys is not None:
+            uniq = np.unique(keys)
+            return ((uniq >> np.uint64(32)).astype(np.uint32),
+                    (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     if devices is not None and len(devices) > 1:
         from phi_tpu.parallel.dist import read_shard_bounds
         n_reads = len(off) - 1

@@ -196,3 +196,48 @@ def test_native_lane_csr_and_walk_codes_parity():
         ref_codes = np.concatenate(
             [g.seq_code[g.node_off[v]:g.node_off[v + 1]] for v in walk])
         assert np.array_equal(nat, ref_codes)
+
+
+def test_native_spectrum_matches_xla_concat():
+    """phi_spectrum (per-read C++ scan) vs the chunked XLA masked-concat
+    path: identical unique spectra on reads with Ns and short reads."""
+    from phi_tpu.sketch.minimizer import _concat_emissions
+    rng = np.random.default_rng(7)
+    lens = rng.integers(5, 300, 200)
+    concat = rng.integers(0, 4, lens.sum()).astype(np.uint8)
+    concat[rng.random(len(concat)) < 0.03] = 4  # Ns
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    for k, w in ((7, 5), (15, 11), (31, 25)):
+        keys = native.spectrum_native(concat, off, k, w)
+        assert keys is not None
+        want = np.unique(_concat_emissions(concat, off, k, w))
+        assert np.array_equal(np.unique(keys), want)
+
+
+def test_native_hap_join_matches_host_join():
+    """phi_hap_join (scan + binary search in C++) vs the numpy
+    sketch+searchsorted join: same minimizer count, positions, ids."""
+    from phi_tpu.sketch.minimizer import sketch_sequence
+    rng = np.random.default_rng(11)
+    k, w = 9, 7
+    seq = rng.integers(0, 4, 20_000).astype(np.uint8)
+    seq[rng.random(len(seq)) < 0.01] = 4
+    # spectrum: half real minimizers of a related sequence, half noise
+    other = seq.copy()
+    other[rng.random(len(other)) < 0.05] = rng.integers(0, 4)
+    hi, lo, _ = sketch_sequence(other, k, w)
+    keys = np.unique((hi.astype(np.uint64) << np.uint64(32))
+                     | lo.astype(np.uint64))
+    got = native.hap_join_native(seq, k, w, keys)
+    assert got is not None
+    n_min, pos, sid = got
+    ghi, glo, gpos = sketch_sequence(seq, k, w)
+    gkey = (ghi.astype(np.uint64) << np.uint64(32)) | glo.astype(np.uint64)
+    idx = np.searchsorted(keys, gkey)
+    idx_c = np.minimum(idx, len(keys) - 1)
+    hit = keys[idx_c] == gkey
+    assert n_min == len(ghi)
+    assert np.array_equal(pos, gpos[hit])
+    assert np.array_equal(sid, idx[hit].astype(np.int32))
+    assert hit.sum() > 100  # nontrivial overlap
