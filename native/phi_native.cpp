@@ -15,7 +15,9 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <string>
+#include <string_view>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -119,21 +121,24 @@ void* phi_gfa_parse(const char* path) {
     return h;
   }
   const uint8_t* lut = base_lut();
-  std::unordered_map<std::string, int32_t> seg_id;
+  // string_view keys over stable deque storage: segment lookups (hot in
+  // W-line walks, millions of steps) never allocate or copy the name
+  std::unordered_map<std::string_view, int32_t> seg_id;
+  seg_id.reserve(1 << 20);
+  std::deque<std::string> names;        // deque: elements never move
   std::vector<std::string> seqs;
-  std::vector<std::string> names;
   std::vector<std::string> tags;        // raw S-line tag suffix per segment
   std::vector<int64_t> declared_len;    // LN:i for '*'-sequence segments
   // raw links (u, ou, v, ov)
   std::vector<int64_t> links;
   int64_t fa_seg = -1;  // embedded-FASTA mode (gfa-io.cpp:479-499)
 
-  auto get_seg = [&](const std::string& name) -> int32_t {
+  auto get_seg = [&](std::string_view name) -> int32_t {
     auto it = seg_id.find(name);
     if (it != seg_id.end()) return it->second;
     int32_t id = static_cast<int32_t>(names.size());
-    seg_id.emplace(name, id);
-    names.push_back(name);
+    names.emplace_back(name);
+    seg_id.emplace(std::string_view(names.back()), id);
     seqs.emplace_back();
     tags.emplace_back();
     declared_len.push_back(0);
@@ -205,7 +210,7 @@ void* phi_gfa_parse(const char* path) {
         }
         size_t j = i + 1;
         while (j < wk.size() && wk[j] != '>' && wk[j] != '<') j++;
-        int64_t id = get_seg(wk.substr(i + 1, j - i - 1));
+        int64_t id = get_seg(std::string_view(wk).substr(i + 1, j - i - 1));
         verts.push_back(id << 1 | (c == '<' ? 1 : 0));
         i = j;
       }
