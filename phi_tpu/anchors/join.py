@@ -238,14 +238,22 @@ def credit_arrays(graph: PangenomeGraph, t: AnchorTables) -> tuple[np.ndarray, n
     float32 [H, P] each.
     """
     H, P = graph.walk_mat.shape
+    return credit_arrays_from_occ(t.occ_hap, t.occ_start, t.occ_end,
+                                  t.occ_weight, H, P)
+
+
+def credit_arrays_from_occ(occ_hap: np.ndarray, occ_start: np.ndarray,
+                           occ_end: np.ndarray, occ_weight: np.ndarray,
+                           H: int, P: int) -> tuple[np.ndarray, np.ndarray]:
+    """credit_arrays from raw occurrence columns (no graph needed)."""
     # weighted bincount instead of np.add.at (unbuffered ufunc.at is ~10x
     # slower at millions of occurrences)
-    b_idx = t.occ_hap.astype(np.int64) * P + t.occ_end
-    B = np.bincount(b_idx, weights=t.occ_weight,
+    b_idx = occ_hap.astype(np.int64) * P + occ_end
+    B = np.bincount(b_idx, weights=occ_weight,
                     minlength=H * P).reshape(H, P).astype(np.float32)
-    start_next = t.occ_start.astype(np.int64) + 1
+    start_next = occ_start.astype(np.int64) + 1
     in_range = start_next < P
-    s_idx = t.occ_hap[in_range].astype(np.int64) * P + start_next[in_range]
-    S = np.bincount(s_idx, weights=t.occ_weight[in_range],
+    s_idx = occ_hap[in_range].astype(np.int64) * P + start_next[in_range]
+    S = np.bincount(s_idx, weights=occ_weight[in_range],
                     minlength=H * P).reshape(H, P).astype(np.float32)
     return np.cumsum(S, axis=1, dtype=np.float32), np.cumsum(B, axis=1, dtype=np.float32)

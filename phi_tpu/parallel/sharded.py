@@ -59,6 +59,7 @@ def _pad_to(x: np.ndarray, axis: int, mult: int, value) -> np.ndarray:
 
 def prepare_sharded_tables(tables, mesh: Mesh):
     """Pad the solver tables to mesh-divisible shapes (numpy, host side)."""
+    tables = tables.dense()
     nh = mesh.shape["hap"]
     ns = mesh.shape["sp"]
     S = _pad_to(_pad_to(tables.S, 0, nh, 0.0), 1, ns, 0.0)
@@ -297,6 +298,7 @@ def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
     (lanes on 'hap', positions on 'sp'). M is returned unpadded on host for
     the standard decoder."""
     import numpy as np
+    tables = tables.dense()
     S, B, state_vertex, walk_len = prepare_sharded_tables(tables, mesh)
     common = (jnp.asarray(state_vertex), jnp.asarray(walk_len),
               jnp.asarray(tables.esrc_h), jnp.asarray(tables.esrc_p),

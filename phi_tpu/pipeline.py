@@ -255,7 +255,7 @@ def _debug_model_dump(graph: PangenomeGraph, anchors: AnchorTables,
     toy models; larger models print a summary line instead."""
     from phi_tpu.solve.prep import build_solver_tables, solver_layers
     t = build_solver_tables(graph, anchors, opt.recombination,
-                            solver_layers(graph, opt.k))
+                            solver_layers(graph, opt.k)).dense()
     H, P = t.state_vertex.shape
     n_occ = len(anchors.occ_hap)
     if H * P > 20_000 or len(t.esrc_h) > 50_000 or n_occ > 50_000:

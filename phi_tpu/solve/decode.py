@@ -37,22 +37,23 @@ class DecodeResult:
 def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
                 M: np.ndarray, ends: np.ndarray, n_sweeps: int,
                 dp_objective: float) -> DecodeResult:
-    H, P = t.S.shape
+    H, P = t.state_vertex.shape
     walk_len = t.walk_len
     INF = np.float32(np.inf)
     M = np.asarray(M)
 
     # entry values (replay one numpy sweep from the fixpoint). Switch-source
     # exit values D[h,p] = M[h,p] - B[h,p] are gathered at the esrc states
-    # only — the dense [H,P] D array is never built. sort + reduceat instead
-    # of np.minimum.at (which is unbuffered and orders of magnitude slower
-    # at tens of millions of source states).
+    # only — the dense [H,P] D array is never built (and B itself is read
+    # through the lazy point accessor; the exact path carries no dense B).
+    # sort + reduceat instead of np.minimum.at (which is unbuffered and
+    # orders of magnitude slower at tens of millions of source states).
     ent = np.full(t.n_vtx, INF, np.float32)
     if len(t.esrc_h):
         eh = t.esrc_h.astype(np.int64)
         ep = t.esrc_p.astype(np.int64)
         sv = np.where(ep < walk_len[t.esrc_h],
-                      M[eh, ep] - t.B[eh, ep], INF)
+                      M[eh, ep] - t.B_at(eh, ep), INF)
         order = np.argsort(t.esrc_target, kind="stable")
         tgt_s = t.esrc_target[order]
         sv_s = sv[order]
@@ -75,7 +76,7 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
                              ent[np.maximum(sv_row, 0)] + t.R, INF)
             start_entry_h = float(e_row[0])
             e_row[0] = min(e_row[0], np.float32(0.0))
-            A_row = np.where(row_valid, e_row + t.S[h], INF)
+            A_row = np.where(row_valid, e_row + t.S_row(h), INF)
             run_min_row = np.minimum.accumulate(A_row)
             qlatest_row = np.maximum.accumulate(
                 np.where(A_row <= run_min_row, cols1d, -1))
@@ -149,7 +150,7 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         segments.append((h, q, p))
         v = int(t.state_vertex[h, q])
         A_row, _, _, start_entry_h = lane_arrays(h)
-        entry_val = A_row[q] - t.S[h, q]
+        entry_val = A_row[q] - t.S_row(h)[q]
         if q == 0 and entry_val >= -_EPS and start_entry_h >= -_EPS:
             break  # lane start
         # switch: find an achieving diverging source state for vertex v

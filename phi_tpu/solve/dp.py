@@ -89,7 +89,7 @@ def _dev_cached(src_arr, shape_key, build):
 
 
 def _bucketed_args(t: SolverTables, max_sweeps: int):
-    H, P = t.S.shape
+    H, P = t.state_vertex.shape
     Hb, Pb, Eb, Vb = bucket_shapes(H, P, len(t.esrc_h), t.n_vtx)
 
     def build_sv():
@@ -132,6 +132,7 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
             {"H": Hb, "P": Pb, "L": L})
         return (S_dev, B_dev, W_dev), common, (H, P), statics
 
+    t = t.dense()
     S = np.zeros((Hb, Pb), np.float32)
     S[:H, :P] = t.S
     B = np.zeros((Hb, Pb), np.float32)

@@ -22,8 +22,13 @@ from phi_tpu.graph.pangenome import PangenomeGraph, ragged_arange
 
 @dataclasses.dataclass
 class SolverTables:
-    S: np.ndarray             # float32 [H, P] entry charge (starts < p)
-    B: np.ndarray             # float32 [H, P] exit reward (ends <= p)
+    # Dense credit arrays are None on the exact single-chip path: the device
+    # builds its own S/B/W from the occurrence columns (solve.dp._build_sbw_jit)
+    # and the decode backtrace reads lanes lazily (B_at / S_row below), so
+    # the 2*H*P host floats would be pure wasted bandwidth at scale. Bracket
+    # mode and the mesh-sharded path materialize them via dense().
+    S: np.ndarray | None      # float32 [H, P] entry charge (starts < p)
+    B: np.ndarray | None      # float32 [H, P] exit reward (ends <= p)
     esrc_h: np.ndarray        # int32 [n_src] lane of diverging source state
     esrc_p: np.ndarray        # int32 [n_src] position of source state
     esrc_target: np.ndarray   # int32 [n_src] target vertex of the graph edge
@@ -59,6 +64,58 @@ class SolverTables:
     @property
     def P(self) -> int:
         return self.state_vertex.shape[1]
+
+    def dense(self) -> "SolverTables":
+        """Tables with dense S/B materialized (self if already dense)."""
+        if self.S is not None:
+            return self
+        from phi_tpu.anchors.join import credit_arrays_from_occ
+        S, B = credit_arrays_from_occ(self.occ_hap, self.occ_start,
+                                      self.occ_end, self.occ_weight,
+                                      self.H, self.P)
+        return dataclasses.replace(self, S=S, B=B)
+
+    def B_at(self, h: np.ndarray, p: np.ndarray) -> np.ndarray:
+        """B values at scattered (lane, position) points — from the dense
+        array when present, else by binary search over occurrences sorted by
+        (lane, end) with prefix-summed weights."""
+        if self.B is not None:
+            return self.B[h, p]
+        cache = getattr(self, "_b_sorted", None)
+        if cache is None:
+            span = np.int64(self.P) + 1
+            key = self.occ_hap.astype(np.int64) * span + self.occ_end
+            order = np.argsort(key, kind="stable")
+            keys = key[order]
+            cumw = np.concatenate(
+                [[0.0], np.cumsum(self.occ_weight[order], dtype=np.float64)])
+            base = np.searchsorted(keys, np.arange(self.H, dtype=np.int64) * span)
+            cache = (keys, cumw, base, span)
+            self._b_sorted = cache
+        keys, cumw, base, span = cache
+        q = np.asarray(h, np.int64) * span + np.asarray(p, np.int64)
+        idx = np.searchsorted(keys, q, side="right")
+        return (cumw[idx] - cumw[base[np.asarray(h)]]).astype(np.float32)
+
+    def S_row(self, h: int) -> np.ndarray:
+        """One lane's dense S row (entry charge, starts < p)."""
+        if self.S is not None:
+            return self.S[h]
+        cache = getattr(self, "_s_rows", None)
+        if cache is None:
+            cache = {}
+            self._s_rows = cache
+        row = cache.get(h)
+        if row is None:
+            P = self.P
+            m = self.occ_hap == h
+            start_next = self.occ_start[m].astype(np.int64) + 1
+            keep = start_next < P
+            diff = np.bincount(start_next[keep],
+                               weights=self.occ_weight[m][keep], minlength=P)
+            row = np.cumsum(diff[:P], dtype=np.float64).astype(np.float32)
+            cache[h] = row
+        return row
 
 
 def switch_sources(graph: PangenomeGraph) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -209,7 +266,6 @@ def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
     """n_layers: W-layer count override (pipeline passes solver_layers() so
     the program shape is stable across Lagrangian rounds and read sets);
     default derives it from the anchors actually present."""
-    S, B = credit_arrays(graph, anchors)
     esrc_h, esrc_p, esrc_target, esrc_edge = switch_sources_cached(graph)
     # const term: each model k-mer contributes weight mu_i (occ_weight is
     # per-occurrence but equal across occurrences of a k-mer). The first-
@@ -229,6 +285,11 @@ def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
         n_layers = _bucket_layers(max_span - 1)
     if n_layers > MAX_LAYERS:
         n_layers = None
+    # dense S/B only for bracket mode (the exact path builds them on device
+    # and decodes lazily — see the SolverTables docstring)
+    S = B = None
+    if n_layers is None:
+        S, B = credit_arrays(graph, anchors)
     return SolverTables(
         S=S, B=B, esrc_h=esrc_h, esrc_p=esrc_p,
         esrc_target=esrc_target, esrc_edge=esrc_edge,

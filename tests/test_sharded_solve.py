@@ -64,7 +64,7 @@ def test_sharded_solve_synthetic():
     assert float(end_min) == pytest.approx(float(ends.min()), abs=1e-3)
     # the sharded fixpoint matches the single-chip fixpoint on the
     # unpadded (finite) region
-    H, P = t.S.shape
+    H, P = t.state_vertex.shape
     Ms = np.asarray(M)[:H, :P]
     finite = np.isfinite(M_single)
     assert np.allclose(Ms[finite], M_single[finite], atol=1e-3)

@@ -256,7 +256,7 @@ def test_device_w_build_matches_host():
     from phi_tpu.solve.prep import straddle_layers
     graph, anchors, tables = _ladder_instance(R=0.3)
     L = tables.n_layers
-    H, P = tables.S.shape
+    H, P = tables.state_vertex.shape
     host = straddle_layers(graph, anchors, L)
     Nb = bucket_size(len(anchors.occ_hap), 8)
     pad = lambda x, v: np.pad(x, (0, Nb - len(x)), constant_values=v)
@@ -280,7 +280,7 @@ def test_device_sbw_build_matches_host():
     from phi_tpu.solve.prep import straddle_layers
     graph, anchors, tables = _ladder_instance(R=0.3)
     L = tables.n_layers
-    H, P = tables.S.shape
+    H, P = tables.state_vertex.shape
     S_host, B_host = credit_arrays(graph, anchors)
     W_host = straddle_layers(graph, anchors, L)
     Nb = bucket_size(len(anchors.occ_hap), 8)
