@@ -24,6 +24,17 @@
 
 namespace {
 
+// 0 = auto (hardware_concurrency capped at 8); set via phi_set_threads
+// (the CLI's -t flag, reference main.cpp:53 semantics)
+std::atomic<int> g_n_threads{0};
+
+unsigned pool_size() {
+  int n = g_n_threads.load(std::memory_order_relaxed);
+  if (n > 0) return static_cast<unsigned>(n);
+  return std::max(1u,
+                  std::min<unsigned>(std::thread::hardware_concurrency(), 8));
+}
+
 // ---------------------------------------------------------------- gz lines
 class GzReader {
  public:
@@ -111,6 +122,9 @@ std::vector<std::string> split_tab(const std::string& s, size_t max_fields) {
 }  // namespace
 
 extern "C" {
+
+// Thread-count override for every native pool (0 = auto). The CLI's -t.
+void phi_set_threads(int n) { g_n_threads.store(n); }
 
 // ------------------------------------------------------------------- GFA
 void* phi_gfa_parse(const char* path) {
@@ -533,8 +547,7 @@ int64_t phi_minimizers(const uint8_t* codes, int64_t n, int k, int w,
 int64_t phi_spectrum(const uint8_t* concat, const int64_t* off,
                      int64_t n_reads, int k, int w, uint64_t* out,
                      int64_t cap) {
-  unsigned n_thr = std::max(1u, std::min<unsigned>(
-      std::thread::hardware_concurrency(), 8));
+  unsigned n_thr = pool_size();
   if (n_reads < 64) n_thr = 1;
   std::vector<std::vector<uint64_t>> bufs(n_thr);
   std::atomic<int64_t> next{0};
@@ -797,8 +810,7 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
       group_key[i] = anchors::mix64(static_cast<uint64_t>(hit_sid[i]) ^ rh);
     }
   };
-  unsigned n_thr = std::max(1u, std::min<unsigned>(
-      std::thread::hardware_concurrency(), 8));
+  unsigned n_thr = pool_size();
   if (n_haps <= 1 || n_thr <= 1) {
     for (int64_t hp = 0; hp < n_haps; hp++) pass1(hp);
   } else {

@@ -101,6 +101,9 @@ def get_lib() -> ctypes.CDLL | None:
                                    ctypes.POINTER(ctypes.c_uint32),
                                    c_i32p, c_i64]
 
+    lib.phi_set_threads.restype = None
+    lib.phi_set_threads.argtypes = [ctypes.c_int]
+
     lib.phi_spectrum.restype = c_i64
     lib.phi_spectrum.argtypes = [c_u8p, c_i64p, c_i64, ctypes.c_int,
                                  ctypes.c_int,
@@ -138,6 +141,27 @@ def get_lib() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return get_lib() is not None
+
+
+# thread-count request (0 = auto): native pools read it via phi_set_threads,
+# Python-side pools (hap join fan-out) read the module global
+THREADS = 0
+
+
+def set_threads(n: int) -> None:
+    """Set every native/host pool size (the CLI's -t, main.cpp:53)."""
+    global THREADS
+    THREADS = max(0, int(n))
+    lib = get_lib()
+    if lib is not None:
+        lib.phi_set_threads(THREADS)
+
+
+def pool_threads(default_cap: int = 8) -> int:
+    """Effective host pool size for Python-side thread fan-outs."""
+    if THREADS > 0:
+        return THREADS
+    return min(default_cap, os.cpu_count() or 1)
 
 
 def _copy(ptr, n, dtype):

@@ -53,6 +53,9 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
                  opt: Options) -> PipelineResult:
     import time
     _enable_compile_cache()
+    if opt.num_threads:
+        from phi_tpu.native import set_threads
+        set_threads(opt.num_threads)
     timings: dict[str, float] = {}
     t0 = time.time()
 

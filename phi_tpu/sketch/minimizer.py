@@ -519,7 +519,9 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
         sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
             | np.asarray(sp_lo).astype(np.uint64)
         if len(host_idx) > 1:
-            with ThreadPoolExecutor(max_workers=min(8, len(host_idx))) as ex:
+            from phi_tpu.native import pool_threads
+            with ThreadPoolExecutor(
+                    max_workers=min(pool_threads(), len(host_idx))) as ex:
                 outs = list(ex.map(
                     lambda i: _host_join_one(seqs[i], k, w, sp_hi, sp_lo,
                                              sp_key), host_idx))
