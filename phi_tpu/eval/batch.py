@@ -66,3 +66,26 @@ def write_matrix_csv(results: list[MatrixCell], path: str) -> None:
                 row.append("" if c is None else
                            f"({c.real_time_s:.1f}, {c.peak_rss_gb:.2f}, {c.edit_distance})")
             wr.writerow(row)
+
+
+def downsample_fastq(in_path: str, out_path: str, fraction: float,
+                     seed: int = 11) -> int:
+    """Bernoulli per-read downsampling of a (gzipped) FASTQ — the native
+    stand-in for the reference's `seqkit sample -p` coverage titration
+    (data/preprocess.py:85-109). Returns the number of reads kept."""
+    import gzip
+
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    op = gzip.open if in_path.endswith(".gz") else open
+    wop = gzip.open if out_path.endswith(".gz") else open
+    kept = 0
+    with op(in_path, "rt") as f, wop(out_path, "wt") as out:
+        while True:
+            rec = [f.readline() for _ in range(4)]
+            if not rec[0]:
+                break
+            if rng.random() < fraction:
+                out.writelines(rec)
+                kept += 1
+    return kept

@@ -45,3 +45,20 @@ def test_checkpoint_suffix_normalized(tmp_path):
     save_index(base, sp, hits)
     sp2, hits2, _ = load_index(base)
     assert np.array_equal(sp2[0], sp[0]) and hits2[0][0] == 5
+
+
+def test_downsample_fastq(tmp_path):
+    import gzip
+
+    from phi_tpu.eval.batch import downsample_fastq
+    src = tmp_path / "r.fq.gz"
+    with gzip.open(src, "wt") as f:
+        for i in range(400):
+            f.write(f"@r{i}\nACGTACGTAC\n+\nIIIIIIIIII\n")
+    out = tmp_path / "s.fq.gz"
+    kept = downsample_fastq(str(src), str(out), 0.25, seed=3)
+    assert 50 <= kept <= 150  # ~100 expected
+    with gzip.open(out, "rt") as f:
+        lines = f.read().strip().split("\n")
+    assert len(lines) == 4 * kept
+    assert lines[0].startswith("@r") and lines[1] == "ACGTACGTAC"
