@@ -869,6 +869,85 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
   return h;
 }
 
+// ------------------------------------------------- solver table build (host)
+// Dense S/B credit planes + W straddle stack from the occurrence columns —
+// the host-side counterpart of solve.dp._build_sbw_jit for the CPU backend,
+// where XLA's scatter is serial per update (337 s at 25M occ x [64, 3M];
+// this build: seconds). Semantics are prep.straddle_layers_from_occ /
+// anchors.credit_arrays: S[h,p] = sum w over {start < p}, B[h,p] = sum w
+// over {end <= p}, W[j,h,p] = sum w over {start < p-j <= p < end}.
+// Layers (and the S/B pair) are built by a thread pool, each scattering
+// into its own output plane then prefix-summing rows in place.
+// Output buffers MUST arrive zeroed (np.zeros = calloc zero pages): the
+// builder never memsets — untouched pages stay virtual zeros, and each
+// row's prefix sum runs only over the touched index range. W scatters come
+// in canceling (+w at a, -w at b) pairs, so outside [min_touch, max_touch]
+// the running sum is exactly zero and the page is never written; high W
+// layers (long k-mer spans, rare) therefore cost almost nothing. S/B rows
+// have no canceling pairs — their suffix from min_touch on is nonzero, so
+// they cumsum through to P.
+void phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
+                   const float* ow, int64_t n, int64_t H, int64_t P,
+                   int64_t L, int64_t H_real, float* S_out, float* B_out,
+                   float* W_out) {
+  const int64_t plane = H * P;
+  auto row_cumsum = [&](float* p, const int64_t* lo, const int64_t* hi) {
+    for (int64_t h = 0; h < H_real; h++) {
+      if (lo[h] > hi[h]) continue;
+      double acc = 0.0;  // float64 accumulate, float32 store
+      float* row = p + h * P;
+      for (int64_t x = lo[h]; x <= hi[h]; x++) {
+        acc += row[x];
+        row[x] = static_cast<float>(acc);
+      }
+    }
+  };
+  // task ids: 0 -> S+B, 1..L -> W layer j = id-1
+  std::atomic<int64_t> next{0};
+  auto work = [&] {
+    std::vector<int64_t> lo(H_real), hi(H_real);
+    for (int64_t id; (id = next.fetch_add(1)) <= L;) {
+      if (id == 0) {
+        std::fill(lo.begin(), lo.end(), P);
+        for (int64_t i = 0; i < n; i++) {
+          int64_t h = oh[i], base = h * P;
+          B_out[base + oe[i]] += ow[i];
+          int64_t sn = static_cast<int64_t>(os[i]) + 1;
+          if (sn < P) S_out[base + sn] += ow[i];
+          int64_t first = sn < oe[i] ? sn : oe[i];
+          if (first < lo[h]) lo[h] = first;
+        }
+        std::fill(hi.begin(), hi.end(), P - 1);  // no canceling pairs
+        row_cumsum(S_out, lo.data(), hi.data());
+        row_cumsum(B_out, lo.data(), hi.data());
+      } else {
+        int64_t j = id - 1;
+        float* Wj = W_out + j * plane;
+        std::fill(lo.begin(), lo.end(), P);
+        std::fill(hi.begin(), hi.end(), -1);
+        for (int64_t i = 0; i < n; i++) {
+          if (static_cast<int64_t>(oe[i]) - os[i] < j + 2) continue;
+          int64_t h = oh[i], base = h * P;
+          int64_t a = static_cast<int64_t>(os[i]) + 1 + j, b = oe[i];
+          Wj[base + a] += ow[i];
+          Wj[base + b] -= ow[i];
+          if (a < lo[h]) lo[h] = a;
+          if (b > hi[h]) hi[h] = b;
+        }
+        row_cumsum(Wj, lo.data(), hi.data());
+      }
+    }
+  };
+  unsigned n_thr = std::min<unsigned>(pool_size(), static_cast<unsigned>(L + 1));
+  if (n_thr <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < n_thr; t++) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+}
+
 // ------------------------------------------------------- graph tensor utils
 
 // lanes_of_vertex CSR by counting sort: for each vertex, the flat lane

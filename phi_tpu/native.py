@@ -130,6 +130,12 @@ def get_lib() -> ctypes.CDLL | None:
     lib.phi_anchors_per_hap.argtypes = [c_p]
     lib.phi_anchors_free.argtypes = [c_p]
 
+    c_f32p = ctypes.POINTER(ctypes.c_float)
+    lib.phi_build_sbw.restype = None
+    lib.phi_build_sbw.argtypes = [c_i32p, c_i32p, c_i32p, c_f32p, c_i64,
+                                  c_i64, c_i64, c_i64, c_i64,
+                                  c_f32p, c_f32p, c_f32p]
+
     lib.phi_lane_csr.restype = None
     lib.phi_lane_csr.argtypes = [c_i64, c_i64, c_i32p, c_i32p, c_i64,
                                  c_i64p, c_i64p]
@@ -376,6 +382,34 @@ def anchors_native(graph, k: int,
     finally:
         lib.phi_anchors_free(hp)
     return occ_hap, occ_start, occ_end, occ_kmer, n_model, filtered, per_hap
+
+
+def build_sbw_native(occ_hap: np.ndarray, occ_start: np.ndarray,
+                     occ_end: np.ndarray, occ_weight: np.ndarray,
+                     H: int, P: int, L: int, H_real: int | None = None):
+    """(S [H,P], B [H,P], W [L,H,P]) float32 padded solver planes built by
+    the threaded native scatter+cumsum, or None if the library is missing.
+    Rows >= H_real stay zero (padding lanes)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    oh = np.ascontiguousarray(occ_hap, np.int32)
+    os_ = np.ascontiguousarray(occ_start, np.int32)
+    oe = np.ascontiguousarray(occ_end, np.int32)
+    ow = np.ascontiguousarray(occ_weight, np.float32)
+    # np.zeros = calloc: untouched regions stay shared zero pages — the
+    # builder relies on this (no memset) and skips them entirely
+    S = np.zeros((H, P), np.float32)
+    B = np.zeros((H, P), np.float32)
+    W = np.zeros((L, H, P), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.phi_build_sbw(oh.ctypes.data_as(c_i32p), os_.ctypes.data_as(c_i32p),
+                      oe.ctypes.data_as(c_i32p), ow.ctypes.data_as(f32p),
+                      len(oh), H, P, L,
+                      H if H_real is None else H_real,
+                      S.ctypes.data_as(f32p), B.ctypes.data_as(f32p),
+                      W.ctypes.data_as(f32p))
+    return S, B, W
 
 
 def lane_csr_native(walk_mat: np.ndarray, walk_len: np.ndarray,

@@ -326,8 +326,16 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
     current relaxation path: duplicates push mu down, uncovered k-mers
     restore it toward 1); valid lower bound max_mu L(mu), best primal path
     kept, loop stops early when the bound certifies or stalls (DESIGN.md)."""
-    from phi_tpu.solve.prep import solver_layers
+    from phi_tpu.solve.prep import _bucket_layers, solver_layers
     layers = solver_layers(graph, opt.k)
+    import jax as _jax
+    if _jax.default_backend() == "cpu" and len(anchors.occ_hap):
+        # graph-derived layer count is the worst case over any read set
+        # (stable program shape for TPU compile prewarm); on the CPU backend
+        # compiles are cheap, so shrink to the anchors' actual max span —
+        # the W stack and every solver sweep scale with L
+        actual = int((anchors.occ_end - anchors.occ_start).max())
+        layers = min(layers, _bucket_layers(actual - 1))
     tables = build_solver_tables(graph, anchors, opt.recombination, layers)
     best = _solve_and_decode(graph, tables, anchors, opt)
     best_bound = best.dp_objective

@@ -112,9 +112,23 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
     statics = {"n_vtx": Vb, "max_sweeps": max_sweeps}
 
     if t.n_layers is not None:
-        # exact path: S, B and the W stack are all built on device from the
-        # occurrence arrays — the only per-round upload is occ_weight
+        # exact path: S, B and the W stack are built on device from the
+        # occurrence arrays — the only per-round upload is occ_weight.
+        # On the CPU backend XLA's scatter is serial per update (337 s at
+        # 25M occurrences x [64, 3M]); the threaded native builder does the
+        # same planes in seconds, and "upload" is a memcpy there.
         L = t.n_layers
+        if jax.default_backend() == "cpu":
+            try:
+                from phi_tpu.native import build_sbw_native
+                built = build_sbw_native(t.occ_hap, t.occ_start, t.occ_end,
+                                         t.occ_weight, Hb, Pb, L, H)
+            except Exception:
+                built = None
+            if built is not None:
+                S_np, B_np, W_np = built
+                return ((jnp.asarray(S_np), jnp.asarray(B_np),
+                         jnp.asarray(W_np)), common, (H, P), statics)
         Nb = bucket_size(max(len(t.occ_hap), 1), 1024)
 
         def build_occ():
