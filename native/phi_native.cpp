@@ -587,14 +587,29 @@ int64_t phi_spectrum(const uint8_t* concat, const int64_t* off,
 // arrays). Writes matching (k-mer start pos, spectrum id) pairs. Returns the
 // hit count; *n_min_out gets the total emission count. Output is written
 // only while hits <= cap (caller retries with the returned count).
+// bucket_off ([1 << prefix_bits] + 1 entries, from numpy searchsorted over
+// the key top bits) turns the full binary search into a first-probe table
+// lookup plus a short in-bucket search — at multi-Gbp scale the ~23 random
+// cacheline reads per emission were the join's whole cost. Pass
+// bucket_off = NULL / prefix_bits = 0 for the plain binary search.
 int64_t phi_hap_join(const uint8_t* codes, int64_t n, int k, int w,
-                     const uint64_t* keys, int64_t n_keys, int32_t* out_pos,
-                     int32_t* out_sid, int64_t cap, int64_t* n_min_out) {
+                     const uint64_t* keys, int64_t n_keys,
+                     const int64_t* bucket_off, int prefix_bits,
+                     int32_t* out_pos, int32_t* out_sid, int64_t cap,
+                     int64_t* n_min_out) {
   int64_t n_min = 0, n_hit = 0;
+  const int shift = 64 - prefix_bits;
   minimizer_scan(codes, n, k, w, [&](uint64_t best, int64_t pos) {
     n_min++;
-    const uint64_t* it = std::lower_bound(keys, keys + n_keys, best);
-    if (it != keys + n_keys && *it == best) {
+    const uint64_t* lo = keys;
+    const uint64_t* hi = keys + n_keys;
+    if (bucket_off) {
+      uint64_t b = best >> shift;
+      lo = keys + bucket_off[b];
+      hi = keys + bucket_off[b + 1];
+    }
+    const uint64_t* it = std::lower_bound(lo, hi, best);
+    if (it != hi && *it == best) {
       if (n_hit < cap) {
         out_pos[n_hit] = (int32_t)pos;
         out_sid[n_hit] = (int32_t)(it - keys);

@@ -112,6 +112,7 @@ def get_lib() -> ctypes.CDLL | None:
     lib.phi_hap_join.restype = c_i64
     lib.phi_hap_join.argtypes = [c_u8p, c_i64, ctypes.c_int, ctypes.c_int,
                                  ctypes.POINTER(ctypes.c_uint64), c_i64,
+                                 c_i64p, ctypes.c_int,
                                  c_i32p, c_i32p, c_i64, c_i64p]
 
     lib.phi_anchors.restype = c_p
@@ -310,11 +311,27 @@ def spectrum_native(concat: np.ndarray, off: np.ndarray, k: int, w: int
         cap = int(cnt)
 
 
-def hap_join_native(codes: np.ndarray, k: int, w: int, sp_key: np.ndarray
+def join_accel(sp_key: np.ndarray) -> tuple[np.ndarray, int]:
+    """(bucket_off, prefix_bits) first-probe table over sorted uint64 keys:
+    bucket_off[b] = first index whose top prefix_bits equal b. Build once
+    per spectrum, share across haplotype joins."""
+    n = len(sp_key)
+    prefix_bits = max(1, min(26, int(np.log2(max(n, 2))) + 2))
+    edges = (np.arange((1 << prefix_bits) + 1, dtype=np.uint64)
+             << np.uint64(64 - prefix_bits))
+    edges[-1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    off = np.searchsorted(sp_key, edges, side="left").astype(np.int64)
+    off[-1] = n  # top edge is inclusive of the all-ones key
+    return off, prefix_bits
+
+
+def hap_join_native(codes: np.ndarray, k: int, w: int, sp_key: np.ndarray,
+                    accel: tuple[np.ndarray, int] | None = None
                     ) -> tuple[int, np.ndarray, np.ndarray] | None:
     """(n_minimizers, hit_positions, hit_spectrum_ids) of one sequence
     joined against sorted uint64 spectrum keys, or None. Releases the GIL
-    for the whole scan, so callers thread across haplotypes."""
+    for the whole scan, so callers thread across haplotypes. Pass a shared
+    join_accel(sp_key) to skip the per-emission full binary search."""
     lib = get_lib()
     if lib is None:
         return None
@@ -324,12 +341,17 @@ def hap_join_native(codes: np.ndarray, k: int, w: int, sp_key: np.ndarray
     cap = max(1024, 4 * n // (w + 1) + 64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     n_min = c_i64(0)
+    if accel is not None:
+        off_arr, prefix_bits = accel
+        off_ptr = np.ascontiguousarray(off_arr, np.int64).ctypes.data_as(c_i64p)
+    else:
+        off_ptr, prefix_bits = None, 0
     while True:
         pos = np.empty(cap, np.int32)
         sid = np.empty(cap, np.int32)
         cnt = lib.phi_hap_join(
             cc.ctypes.data_as(c_u8p), n, k, w,
-            kk.ctypes.data_as(u64p), len(kk),
+            kk.ctypes.data_as(u64p), len(kk), off_ptr, prefix_bits,
             pos.ctypes.data_as(c_i32p), sid.ctypes.data_as(c_i32p), cap,
             ctypes.byref(n_min))
         if cnt <= cap:

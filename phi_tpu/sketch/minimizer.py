@@ -518,15 +518,22 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
         from concurrent.futures import ThreadPoolExecutor
         sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
             | np.asarray(sp_lo).astype(np.uint64)
+        accel = None
+        try:
+            from phi_tpu.native import available, join_accel
+            if available() and len(sp_key) > (1 << 16):
+                accel = join_accel(sp_key)  # shared first-probe table
+        except Exception:
+            pass
         if len(host_idx) > 1:
             from phi_tpu.native import pool_threads
             with ThreadPoolExecutor(
                     max_workers=min(pool_threads(), len(host_idx))) as ex:
                 outs = list(ex.map(
                     lambda i: _host_join_one(seqs[i], k, w, sp_hi, sp_lo,
-                                             sp_key), host_idx))
+                                             sp_key, accel), host_idx))
         else:
-            outs = [_host_join_one(seqs[i], k, w, sp_hi, sp_lo, sp_key)
+            outs = [_host_join_one(seqs[i], k, w, sp_hi, sp_lo, sp_key, accel)
                     for i in host_idx]
         for i, out in zip(host_idx, outs):
             results[i] = out
@@ -754,13 +761,15 @@ def start_join_prewarm_thread(k: int, w: int, spectrum_bucket: int):
 
 
 def _host_join_one(codes: np.ndarray, k: int, w: int, sp_hi, sp_lo,
-                   sp_key: np.ndarray | None = None):
+                   sp_key: np.ndarray | None = None, accel=None):
     if sp_key is None:
         sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
             | np.asarray(sp_lo).astype(np.uint64)
     try:
-        from phi_tpu.native import hap_join_native
-        res = hap_join_native(codes, k, w, sp_key)
+        from phi_tpu.native import hap_join_native, join_accel
+        if accel is None and len(sp_key) > (1 << 16):
+            accel = join_accel(sp_key)
+        res = hap_join_native(codes, k, w, sp_key, accel)
         if res is not None:
             return res
     except Exception:
