@@ -306,12 +306,23 @@ def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
     B_dev = jnp.asarray(B)
     if tables.n_layers is not None:
         # exact-credit mode: one fixpoint is both the bound and the path
-        from phi_tpu.solve.prep import straddle_layers_from_occ
         L = tables.n_layers
         H0, P0 = tables.S.shape
-        W_host = straddle_layers_from_occ(
-            tables.occ_hap, tables.occ_start, tables.occ_end,
-            tables.occ_weight, H0, P0, L)
+        W_host = None
+        try:
+            from phi_tpu.native import build_sbw_native
+            built = build_sbw_native(tables.occ_hap, tables.occ_start,
+                                     tables.occ_end, tables.occ_weight,
+                                     H0, P0, L)
+            if built is not None:
+                W_host = built[2]
+        except Exception:
+            W_host = None
+        if W_host is None:
+            from phi_tpu.solve.prep import straddle_layers_from_occ
+            W_host = straddle_layers_from_occ(
+                tables.occ_hap, tables.occ_start, tables.occ_end,
+                tables.occ_weight, H0, P0, L)
         Wp = np.zeros((L,) + S.shape, np.float32)
         Wp[:, :H0, :P0] = W_host
         solver = sharded_solve_exact(mesh, R=tables.R, n_vtx=tables.n_vtx,
