@@ -241,3 +241,46 @@ def test_native_hap_join_matches_host_join():
     assert np.array_equal(pos, gpos[hit])
     assert np.array_equal(sid, idx[hit].astype(np.int32))
     assert hit.sum() > 100  # nontrivial overlap
+
+
+def test_native_sbw_build_matches_host():
+    """phi_build_sbw vs credit_arrays_from_occ + straddle_layers_from_occ,
+    including zero-page regions (untouched rows/layers must be exact 0)."""
+    from phi_tpu.anchors.join import credit_arrays_from_occ
+    from phi_tpu.solve.prep import straddle_layers_from_occ
+    rng = np.random.default_rng(3)
+    N, H, P, L, H_real = 20_000, 8, 2048, 8, 5
+    oh = rng.integers(0, H_real, N).astype(np.int32)
+    os_ = rng.integers(0, P - 40, N).astype(np.int32)
+    oe = (os_ + rng.integers(1, 9, N)).astype(np.int32)
+    ow = rng.random(N).astype(np.float32)
+    got = native.build_sbw_native(oh, os_, oe, ow, H, P, L, H_real)
+    assert got is not None
+    S, B, W = got
+    S2, B2 = credit_arrays_from_occ(oh, os_, oe, ow, H, P)
+    W2 = straddle_layers_from_occ(oh, os_, oe, ow, H, P, L)
+    assert np.allclose(S, S2, atol=1e-3)
+    assert np.allclose(B, B2, atol=1e-3)
+    assert np.allclose(W, W2, atol=1e-3)
+    assert (S[H_real:] == 0).all() and (W[:, H_real:] == 0).all()
+
+
+def test_join_accel_parity():
+    """First-probe prefix table gives identical join results, including the
+    all-ones sentinel key edge case."""
+    from phi_tpu.native import hap_join_native, join_accel
+    rng = np.random.default_rng(9)
+    k, w = 9, 5
+    seq = rng.integers(0, 4, 100_000).astype(np.uint8)
+    other = seq.copy()
+    other[rng.random(len(other)) < 0.05] = 2
+    from phi_tpu.sketch.minimizer import sketch_sequence
+    hi, lo, _ = sketch_sequence(other, k, w)
+    keys = np.unique(np.concatenate([
+        (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64),
+        np.array([0, 0xFFFFFFFFFFFFFFFF], np.uint64)]))
+    acc = join_accel(keys)
+    a = hap_join_native(seq, k, w, keys)
+    b = hap_join_native(seq, k, w, keys, acc)
+    assert a[0] == b[0]
+    assert np.array_equal(a[1], b[1]) and np.array_equal(a[2], b[2])
