@@ -32,23 +32,27 @@ CACHE_DIR = os.environ.get("PHI_TPU_SCALE_CACHE", "/tmp/phi_tpu_scale")
 
 
 def instance_dir(n_haps: int, length: int, coverage: float, seed: int,
-                 var_rate: float, error_rate: float, n_breaks: int) -> str:
+                 var_rate: float, error_rate: float, n_breaks: int,
+                 read_len: int = 150) -> str:
     tag = (f"h{n_haps}_L{length}_c{coverage:g}_s{seed}_v{var_rate:g}"
            f"_e{error_rate:g}_b{n_breaks}")
+    if read_len != 150:
+        tag += f"_r{read_len}"
     return os.path.join(CACHE_DIR, tag)
 
 
 def build_instance(n_haps: int, length: int = 5_000_000, coverage: float = 2.0,
                    seed: int = 0, var_rate: float = 0.01,
                    error_rate: float = 0.002, n_breaks: int = 2,
-                   indel_fraction: float = 0.05) -> dict[str, str]:
+                   indel_fraction: float = 0.05,
+                   read_len: int = 150) -> dict[str, str]:
     """Materialize (or reuse) a cached instance; returns its file paths.
 
     The read target is a recombinant mosaic of panel haplotypes with
     n_breaks switchpoints (the inference task the reference's benchmark
     exercises: infer a recombined haplotype from low-coverage reads)."""
     d = instance_dir(n_haps, length, coverage, seed, var_rate, error_rate,
-                     n_breaks)
+                     n_breaks, read_len)
     paths = {"gfa": os.path.join(d, "graph.gfa"),
              "reads": os.path.join(d, "reads.fq.gz"),
              "truth": os.path.join(d, "truth.fa"),
@@ -67,7 +71,8 @@ def build_instance(n_haps: int, length: int = 5_000_000, coverage: float = 2.0,
         haps = rng.permutation(n_haps)[:n_breaks + 1]
         breaks = [(int(p), int(h)) for p, h in zip(bpos, haps[1:])]
     reads, target = sample_reads(rng, hap_seqs, coverage=coverage,
-                                 error_rate=error_rate, recomb_breaks=breaks)
+                                 read_len=read_len, error_rate=error_rate,
+                                 recomb_breaks=breaks)
     write_gfa(graph, path=paths["gfa"])
     with gzip.open(paths["reads"], "wt") as f:
         for i, r in enumerate(reads):
