@@ -98,3 +98,47 @@ def test_best_hap_baseline_loses_to_recombination(tmp_path, monkeypatch):
                         opt=Options(lagrangian_rounds=2), with_baseline=True)
     by = {r.read_name: r for r in res}
     assert by["besthap"].edit_distance > by["heldout"].edit_distance
+
+
+def test_datasets_native_steps(tmp_path):
+    """preprocess.py-parity native steps: header rewrite, mean length,
+    seqkit-sample-n equivalent, coverage titration counts."""
+    import gzip
+
+    from phi_tpu.eval.datasets import (build_mhc_dataset,
+                                       downsample_by_coverage,
+                                       mean_read_length,
+                                       rename_chm13_header, sample_n_reads)
+    fa = tmp_path / "MHC-CHM13.0.fa"
+    fa.write_text(">CHM13#0\nACGT\n")
+    rename_chm13_header(str(fa))
+    assert fa.read_text() == ">0\nACGT\n"
+
+    fq = tmp_path / "APD.fastq"
+    with open(fq, "w") as f:
+        for i in range(200):
+            f.write(f"@r{i}\n{'A' * 100}\n+\n{'I' * 100}\n")
+    assert mean_read_length(str(fq)) == 100.0
+    out = tmp_path / "s.fastq"
+    kept = sample_n_reads(str(fq), str(out), 50, seed=1)
+    assert kept == 50
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 200
+    # input order preserved
+    ids = [int(l[2:]) for l in lines[::4]]
+    assert ids == sorted(ids)
+
+    produced = downsample_by_coverage(str(tmp_path), str(tmp_path / "ds"),
+                                      samples=["APD"], coverages=[0.1, 15],
+                                      region_len=10_000)
+    assert len(produced) == 2
+    # 0.1x of 10 kb at 100 bp mean = 10 reads; 15x keeps all 200
+    low = (tmp_path / "ds" / "APD_0.1x.fastq").read_text().strip().split("\n")
+    assert len(low) == 4 * 10
+    full = (tmp_path / "ds" / "APD_15x.fastq").read_text().strip().split("\n")
+    assert len(full) == 4 * 200
+
+    # tool-gated steps skip cleanly in this egress-free environment
+    report = build_mhc_dataset(str(tmp_path / "data"))
+    assert report["panel"].startswith(("done", "skipped"))
+    assert report["pangenome"].startswith(("done", "skipped"))
