@@ -32,6 +32,14 @@ def plot_matrix(csv_path: str, out_png: str, metric: int = 2,
     import matplotlib.pyplot as plt
 
     reads, covs, cells = read_matrix_csv(csv_path)
+
+    def _cov_key(c: str):
+        try:
+            return float(c.rstrip("xX"))
+        except ValueError:
+            return float("inf")
+
+    covs = sorted(covs, key=_cov_key)  # CSV columns sort lexically
     fig, ax = plt.subplots(figsize=(6, 4))
     for rn in reads:
         ys = [cells[(rn, cv)][metric] for cv in covs if (rn, cv) in cells]
@@ -45,6 +53,45 @@ def plot_matrix(csv_path: str, out_png: str, metric: int = 2,
     fig.tight_layout()
     fig.savefig(out_png, dpi=120)
     plt.close(fig)
+
+
+def plot_scaling(csv_path: str, out_png: str,
+                 reference: dict[int, tuple[float, float]] | None = None
+                 ) -> None:
+    """Haplotype-count scaling figure from the phi-scale CSV
+    (n_haps, wall_s, peak_rss_gb, ...) — the reference's increasing.py
+    figure. `reference` maps n_haps -> (wall_s, rss_gb) for overlay."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(csv_path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    n = [int(r["n_haps"]) for r in rows]
+    wall = [float(r["wall_s"]) for r in rows]
+    rss = [float(r["peak_rss_gb"]) for r in rows]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 4))
+    ax1.plot(n, wall, marker="o", label="PHI-TPU")
+    ax2.plot(n, rss, marker="o", label="PHI-TPU")
+    if reference:
+        rn = sorted(reference)
+        ax1.plot(rn, [reference[x][0] for x in rn], marker="s",
+                 linestyle="--", label="reference PHI")
+        ax2.plot(rn, [reference[x][1] for x in rn], marker="s",
+                 linestyle="--", label="reference PHI")
+    for ax, yl in ((ax1, "wall clock (s)"), (ax2, "peak RSS (GB)")):
+        ax.set_xlabel("haplotypes")
+        ax.set_ylabel(yl)
+        ax.set_yscale("log")
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+
+
+# data/plots/increasing.csv:2 — the reference's published scaling row
+REFERENCE_INCREASING = {3: (69.0, 4.5), 7: (177.0, 13.0), 13: (419.0, 28.4),
+                        25: (1356.0, 63.0), 49: (4828.0, 133.3)}
 
 
 def main(argv=None) -> int:
