@@ -91,6 +91,10 @@ def _dev_cached(src_arr, shape_key, build):
 def _bucketed_args(t: SolverTables, max_sweeps: int):
     H, P = t.state_vertex.shape
     Hb, Pb, Eb, Vb = bucket_shapes(H, P, len(t.esrc_h), t.n_vtx)
+    if jax.default_backend() == "cpu":
+        # compiles are cheap on CPU: keep the lane axis exact (49 -> 64
+        # bucketing wastes ~23% of every [H, P] sweep pass)
+        Hb = max(H, 1)
 
     def build_sv():
         sv = np.full((Hb, Pb), -1, np.int32)
