@@ -74,10 +74,17 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     # bucketed shape depends only on the graph, known now.
     import jax as _jax
     if _jax.default_backend() != "cpu":
-        from phi_tpu.sketch.minimizer import start_read_sketch_prewarm_thread
         from phi_tpu.solve.dp import start_prewarm_thread
-        start_read_sketch_prewarm_thread(opt.k, opt.w)
         start_prewarm_thread(graph, opt.recombination, opt.max_sweeps, opt.k)
+        # the masked read-sketch program (the largest compile in the whole
+        # pipeline) only runs when the native host scan is unavailable or
+        # explicitly bypassed — don't spend the remote compile service on it
+        import os as _os
+        from phi_tpu.native import available as _native_ok
+        if (_os.environ.get("PHI_TPU_DEVICE_READ_SKETCH") == "1"
+                or not _native_ok()):
+            from phi_tpu.sketch.minimizer import start_read_sketch_prewarm_thread
+            start_read_sketch_prewarm_thread(opt.k, opt.w)
 
     if opt.load_index:
         # checkpoint path: spectrum + per-hap join hits were persisted by a
