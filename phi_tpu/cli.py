@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", type=int, default=1, help="mode QP/ILP (compat) [1]")
     p.add_argument("-m", type=int, default=1, help="mixed/integer (compat) [1]")
     p.add_argument("-N", type=int, default=0, help="naive expanded graph (compat) [0]")
-    p.add_argument("-t", type=int, default=4, help="host threads [4]")
+    p.add_argument("-t", type=int, default=0, help="host threads (0 = auto)")
     p.add_argument("-c", type=int, default=5000, help="max k-mer occurrence (compat) [5000]")
     p.add_argument("-d", type=int, default=0, help="debug mode [0]")
     p.add_argument("--sweeps", type=int, default=256, help="DP sweep cap [256]")

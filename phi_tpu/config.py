@@ -18,7 +18,7 @@ class Options:
     is_qclp: int = 1            # -q: 1=IQP, 0=ILP (same solver here; logged for parity)
     is_mixed: int = 1           # -m: 1=mixed, 0=integer (same solver here; logged)
     is_naive_exp: int = 0       # -N: naive expanded graph (same objective; logged)
-    num_threads: int = 4        # -t: host-side thread hint (device does the work)
+    num_threads: int = 0        # -t: host pool size (0 = auto: min(cores, 8))
     max_occ: int = 5000         # -c: accepted for compatibility (unused in reference solve path too)
     debug: bool = False         # -d
     max_sweeps: int = 256       # solver fixpoint sweep cap

@@ -68,23 +68,33 @@ def write_matrix_csv(results: list[MatrixCell], path: str) -> None:
             wr.writerow(row)
 
 
+def fastq_open(path: str, mode: str = "rt"):
+    """Open a FASTQ, gzip-aware by extension."""
+    import gzip
+    return (gzip.open if path.endswith(".gz") else open)(path, mode)
+
+
+def fastq_records(path: str):
+    """Yield 4-line FASTQ records (lists of raw lines) from a (gzipped)
+    file; stops at EOF or a truncated final record."""
+    with fastq_open(path) as f:
+        while True:
+            rec = [f.readline() for _ in range(4)]
+            if not rec[0] or not rec[3]:
+                break
+            yield rec
+
+
 def downsample_fastq(in_path: str, out_path: str, fraction: float,
                      seed: int = 11) -> int:
     """Bernoulli per-read downsampling of a (gzipped) FASTQ — the native
     stand-in for the reference's `seqkit sample -p` coverage titration
     (data/preprocess.py:85-109). Returns the number of reads kept."""
-    import gzip
-
     import numpy as np
     rng = np.random.default_rng(seed)
-    op = gzip.open if in_path.endswith(".gz") else open
-    wop = gzip.open if out_path.endswith(".gz") else open
     kept = 0
-    with op(in_path, "rt") as f, wop(out_path, "wt") as out:
-        while True:
-            rec = [f.readline() for _ in range(4)]
-            if not rec[0]:
-                break
+    with fastq_open(out_path, "wt") as out:
+        for rec in fastq_records(in_path):
             if rng.random() < fraction:
                 out.writelines(rec)
                 kept += 1

@@ -50,40 +50,29 @@ def rename_chm13_header(fasta_path: str) -> None:
 
 def mean_read_length(fastq_path: str) -> float:
     """Native `seqkit stats` column 7 (preprocess.py:95-101)."""
+    from phi_tpu.eval.batch import fastq_records
     total = count = 0
-    op = gzip.open if fastq_path.endswith(".gz") else open
-    with op(fastq_path, "rt") as f:
-        while True:
-            rec = [f.readline() for _ in range(4)]
-            if not rec[0]:
-                break
-            total += len(rec[1].strip())
-            count += 1
+    for rec in fastq_records(fastq_path):
+        total += len(rec[1].strip())
+        count += 1
     return total / max(count, 1)
 
 
 def sample_n_reads(in_path: str, out_path: str, n: int, seed: int) -> int:
     """Native `seqkit sample -s seed -n N` (preprocess.py:108): reservoir
     sample of N whole FASTQ records, written in input order."""
+    from phi_tpu.eval.batch import fastq_open, fastq_records
     rng = np.random.default_rng(seed)
-    op = gzip.open if in_path.endswith(".gz") else open
     reservoir: list[tuple[int, list[str]]] = []
-    with op(in_path, "rt") as f:
-        i = 0
-        while True:
-            rec = [f.readline() for _ in range(4)]
-            if not rec[0]:
-                break
-            if len(reservoir) < n:
-                reservoir.append((i, rec))
-            else:
-                j = int(rng.integers(0, i + 1))
-                if j < n:
-                    reservoir[j] = (i, rec)
-            i += 1
+    for i, rec in enumerate(fastq_records(in_path)):
+        if len(reservoir) < n:
+            reservoir.append((i, rec))
+        else:
+            j = int(rng.integers(0, i + 1))
+            if j < n:
+                reservoir[j] = (i, rec)
     reservoir.sort(key=lambda t: t[0])
-    wop = gzip.open if out_path.endswith(".gz") else open
-    with wop(out_path, "wt") as out:
+    with fastq_open(out_path, "wt") as out:
         for _, rec in reservoir:
             out.writelines(rec)
     return len(reservoir)
@@ -154,15 +143,27 @@ def build_mhc_dataset(out_dir: str = "data", threads: int = 4,
     #    needed; chop_graph.sh parity is exercised by eval/scale.py.
     report["chop"] = "native (phi-vcf2gfa --chop 30, phi-subset)"
 
-    # 4. SRA reads (wget + fastq-dump), preprocess.py:72-80
+    # 4. SRA reads (wget + fastq-dump), preprocess.py:72-80: download the
+    # run blob, split-dump, then merge the split files into {sample}.fastq
+    # (the reference's `cat data/reads/{read}_* > data/reads/{read}.fastq`)
     reads_dir = os.path.join(out_dir, "reads")
     if _tool("wget") and _tool("fastq-dump"):
         os.makedirs(reads_dir, exist_ok=True)
         for name, run in SRA_RUNS.items():
             url = f"https://sra-pub-run-odp.s3.amazonaws.com/sra/{run}/{run}"
-            runner(["wget", "-q", "-O", name, url], check=True)
+            blob = os.path.join(out_dir, name + ".sra")
+            runner(["wget", "-q", "-O", blob, url], check=True)
             runner(["fastq-dump", "--split-files", "--outdir", reads_dir,
-                    name], check=True)
+                    blob], check=True)
+            parts = sorted(f for f in os.listdir(reads_dir)
+                           if f.startswith(os.path.basename(blob).replace(
+                               ".sra", "_")) and f.endswith(".fastq"))
+            with open(os.path.join(reads_dir, name + ".fastq"), "w") as out:
+                for part in parts:
+                    pp = os.path.join(reads_dir, part)
+                    with open(pp) as f:
+                        shutil.copyfileobj(f, out)
+                    os.remove(pp)
         report["reads"] = "done"
     else:
         report["reads"] = "skipped (wget/fastq-dump not on PATH)"

@@ -316,7 +316,8 @@ def join_accel(sp_key: np.ndarray) -> tuple[np.ndarray, int]:
     bucket_off[b] = first index whose top prefix_bits equal b. Build once
     per spectrum, share across haplotype joins."""
     n = len(sp_key)
-    prefix_bits = max(1, min(26, int(np.log2(max(n, 2))) + 2))
+    # ~1 key per bucket: table memory ~= the key array it accelerates
+    prefix_bits = max(1, min(26, int(np.log2(max(n, 2)))))
     edges = (np.arange((1 << prefix_bits) + 1, dtype=np.uint64)
              << np.uint64(64 - prefix_bits))
     edges[-1] = np.uint64(0xFFFFFFFFFFFFFFFF)

@@ -298,6 +298,20 @@ def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
     (lanes on 'hap', positions on 'sp'). M is returned unpadded on host for
     the standard decoder."""
     import numpy as np
+    if tables.S is None and tables.n_layers is not None:
+        # one native pass builds S, B AND the W stack the exact branch needs
+        try:
+            import dataclasses as _dc
+
+            from phi_tpu.native import build_sbw_native
+            built3 = build_sbw_native(tables.occ_hap, tables.occ_start,
+                                      tables.occ_end, tables.occ_weight,
+                                      tables.H, tables.P, tables.n_layers)
+            if built3 is not None:
+                tables = _dc.replace(tables, S=built3[0], B=built3[1])
+                tables._w_host = built3[2]
+        except Exception:
+            pass
     tables = tables.dense()
     S, B, state_vertex, walk_len = prepare_sharded_tables(tables, mesh)
     common = (jnp.asarray(state_vertex), jnp.asarray(walk_len),
@@ -308,16 +322,16 @@ def solve_dp_sharded(tables, mesh: Mesh, max_sweeps: int = 256):
         # exact-credit mode: one fixpoint is both the bound and the path
         L = tables.n_layers
         H0, P0 = tables.S.shape
-        W_host = None
-        try:
-            from phi_tpu.native import build_sbw_native
-            built = build_sbw_native(tables.occ_hap, tables.occ_start,
-                                     tables.occ_end, tables.occ_weight,
-                                     H0, P0, L)
-            if built is not None:
-                W_host = built[2]
-        except Exception:
-            W_host = None
+        W_host = getattr(tables, "_w_host", None)  # built alongside S/B above
+        if W_host is None:
+            try:
+                from phi_tpu.native import build_sbw_native
+                built = build_sbw_native(tables.occ_hap, tables.occ_start,
+                                         tables.occ_end, tables.occ_weight,
+                                         H0, P0, L)
+                W_host = built[2] if built is not None else None
+            except Exception:
+                W_host = None
         if W_host is None:
             from phi_tpu.solve.prep import straddle_layers_from_occ
             W_host = straddle_layers_from_occ(

@@ -82,7 +82,8 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         import os as _os
         from phi_tpu.native import available as _native_ok
         if (_os.environ.get("PHI_TPU_DEVICE_READ_SKETCH") == "1"
-                or not _native_ok()):
+                or not _native_ok()
+                or (opt.mesh_devices or 0) > 1):  # mesh runs dp-shard reads on device
             from phi_tpu.sketch.minimizer import start_read_sketch_prewarm_thread
             start_read_sketch_prewarm_thread(opt.k, opt.w)
 
