@@ -901,10 +901,13 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
 // layers (long k-mer spans, rare) therefore cost almost nothing. S/B rows
 // have no canceling pairs — their suffix from min_touch on is nonzero, so
 // they cumsum through to P.
+// w_lo/w_hi (nullable, [L*H] each): per (layer, lane) touched column range
+// [lo, hi] outside of which W is exactly zero — the native solver skips
+// those columns' W reads (phi_solve_exact).
 void phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
                    const float* ow, int64_t n, int64_t H, int64_t P,
                    int64_t L, int64_t H_real, float* S_out, float* B_out,
-                   float* W_out) {
+                   float* W_out, int64_t* w_lo, int64_t* w_hi) {
   const int64_t plane = H * P;
   auto row_cumsum = [&](float* p, const int64_t* lo, const int64_t* hi) {
     for (int64_t h = 0; h < H_real; h++) {
@@ -950,6 +953,16 @@ void phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
           if (b > hi[h]) hi[h] = b;
         }
         row_cumsum(Wj, lo.data(), hi.data());
+        if (w_lo && w_hi) {
+          for (int64_t h = 0; h < H_real; h++) {
+            w_lo[j * H + h] = lo[h];
+            w_hi[j * H + h] = hi[h];
+          }
+          for (int64_t h = H_real; h < H; h++) {
+            w_lo[j * H + h] = P;  // empty range
+            w_hi[j * H + h] = -1;
+          }
+        }
       }
     }
   };
@@ -961,6 +974,141 @@ void phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
     for (unsigned t = 0; t < n_thr; t++) pool.emplace_back(work);
     for (auto& th : pool) th.join();
   }
+}
+
+// ----------------------------------------------------- exact solver (host)
+// CPU-backend counterpart of solve.dp._solve_exact_jit: prefix-min
+// relaxation sweeps to fixpoint with exact straddle-corrected credit. The
+// arithmetic replicates the XLA program operation for operation in float32
+// (mins are exact; the add/sub chains are identical), so M, ends, and the
+// sweep count match the device solver bit for bit. Two exactness-preserving
+// shortcuts: a monotonic-deque windowed min covers every layer whose W is
+// zero at a column (W >= 0, so an uncorrected A can only overestimate a
+// corrected term that is itself included), and per-(layer,lane) touched
+// ranges from phi_build_sbw skip W reads where the plane is identically
+// zero. Returns the sweep count.
+int64_t phi_solve_exact(const float* S, const float* B, const float* W,
+                        const int64_t* w_lo, const int64_t* w_hi,
+                        const int32_t* eh, const int32_t* ep,
+                        const int32_t* et, int64_t n_esrc,
+                        const int32_t* sv, const int32_t* walk_len, float R,
+                        int64_t n_vtx, int64_t H, int64_t P, int64_t L,
+                        int64_t max_sweeps, float* M_out, float* ends_out) {
+  const float INF = std::numeric_limits<float>::infinity();
+  std::vector<float> M(static_cast<size_t>(H) * P, INF);
+  std::vector<float> Mn(static_cast<size_t>(H) * P);
+  std::vector<float> ent(static_cast<size_t>(n_vtx));
+  unsigned n_thr = pool_size();
+
+  // per-thread entry buffers (scatter-min over esrc rows), merged serially
+  std::vector<std::vector<float>> ent_t(n_thr);
+  for (auto& e : ent_t) e.assign(n_vtx, INF);
+
+  auto run_pool = [&](auto fn) {
+    if (n_thr <= 1) {
+      fn(0);
+      return;
+    }
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < n_thr; t++) pool.emplace_back(fn, t);
+    for (auto& th : pool) th.join();
+  };
+
+  std::atomic<int64_t> next{0};
+  std::atomic<bool> changed{false};
+  int64_t it = 0;
+  while (it < std::max<int64_t>(max_sweeps, 2)) {
+    if (it >= 2 && !changed.load()) break;
+    // 1. entry values per vertex
+    next.store(0);
+    run_pool([&](unsigned t) {
+      auto& e = ent_t[t];
+      if (it > 0) std::fill(e.begin(), e.end(), INF);
+      const int64_t grain = 1 << 16;
+      for (int64_t g; (g = next.fetch_add(grain)) < n_esrc;) {
+        int64_t end = std::min(g + grain, n_esrc);
+        for (int64_t i = g; i < end; i++) {
+          int64_t h = eh[i], p = ep[i];
+          if (p >= walk_len[h]) continue;
+          float d = M[h * P + p] - B[h * P + p];
+          float& slot = e[et[i]];
+          if (d < slot) slot = d;
+        }
+      }
+    });
+    for (int64_t v = 0; v < n_vtx; v++) {
+      float m = ent_t[0][v];
+      for (unsigned t = 1; t < n_thr; t++) m = std::min(m, ent_t[t][v]);
+      ent[v] = m;
+    }
+    // 2. per-lane relaxation
+    changed.store(false);
+    next.store(0);
+    run_pool([&](unsigned t) {
+      (void)t;
+      std::vector<float> A(P);
+      // monotonic deque over the last L values of A (windowed min)
+      std::vector<float> dqv(std::max<int64_t>(L, 1) + 1);
+      std::vector<int64_t> dqp(std::max<int64_t>(L, 1) + 1);
+      bool any_change = false;
+      for (int64_t h; (h = next.fetch_add(1)) < H;) {
+        const int32_t* svr = sv + h * P;
+        const float* Sr = S + h * P;
+        const float* Mr = M.data() + h * P;
+        float* Mo = Mn.data() + h * P;
+        int64_t len = walk_len[h];
+        float scan = INF;  // cummin of A[0 .. p-L], maintained below
+        size_t head = 0, tail = 0;
+        const size_t dqn = dqv.size();
+        for (int64_t p = 0; p < P; p++) {
+          float e_state = INF;
+          if (svr[p] >= 0) e_state = ent[svr[p]] + R;
+          if (p == 0) e_state = std::min(e_state, 0.0f);
+          float a = (p < len) ? e_state + Sr[p] : INF;
+          A[p] = a;
+          // windowed min of A over [p-L+1, p] via monotonic deque
+          // (the L recent-entry layers with zero straddle weight)
+          while (tail > head && dqv[(tail - 1) % dqn] >= a) tail--;
+          dqv[tail % dqn] = a;
+          dqp[tail % dqn] = p;
+          tail++;
+          if (tail > head && dqp[head % dqn] <= p - L) head++;
+          float mn;
+          if (p >= L) {
+            scan = std::min(scan, A[p - L]);
+            mn = scan;
+          } else {
+            mn = INF;
+          }
+          if (L > 0) {
+            mn = std::min(mn, dqv[head % dqn]);
+            for (int64_t j = 0; j < L; j++) {
+              int64_t lo_j = w_lo[j * H + h];
+              if (p < lo_j || p > w_hi[j * H + h] || p < j) continue;
+              float wv = W[(j * H + h) * P + p];
+              if (wv != 0.0f) mn = std::min(mn, A[p - j] - wv);
+            }
+          }
+          Mo[p] = mn;
+          if (!any_change && mn < Mr[p] - 1e-4f) any_change = true;
+        }
+      }
+      if (any_change) changed.store(true);
+    });
+    M.swap(Mn);
+    it++;
+  }
+  std::memcpy(M_out, M.data(), sizeof(float) * H * P);
+  for (int64_t h = 0; h < H; h++) {
+    int64_t len = walk_len[h];
+    if (len > 0) {
+      int64_t p = len - 1;
+      ends_out[h] = M[h * P + p] - B[h * P + p];
+    } else {
+      ends_out[h] = INF;
+    }
+  }
+  return it;
 }
 
 // ------------------------------------------------------- graph tensor utils

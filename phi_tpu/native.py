@@ -135,7 +135,14 @@ def get_lib() -> ctypes.CDLL | None:
     lib.phi_build_sbw.restype = None
     lib.phi_build_sbw.argtypes = [c_i32p, c_i32p, c_i32p, c_f32p, c_i64,
                                   c_i64, c_i64, c_i64, c_i64,
-                                  c_f32p, c_f32p, c_f32p]
+                                  c_f32p, c_f32p, c_f32p, c_i64p, c_i64p]
+
+    lib.phi_solve_exact.restype = c_i64
+    lib.phi_solve_exact.argtypes = [c_f32p, c_f32p, c_f32p, c_i64p, c_i64p,
+                                    c_i32p, c_i32p, c_i32p, c_i64,
+                                    c_i32p, c_i32p, ctypes.c_float,
+                                    c_i64, c_i64, c_i64, c_i64, c_i64,
+                                    c_f32p, c_f32p]
 
     lib.phi_lane_csr.restype = None
     lib.phi_lane_csr.argtypes = [c_i64, c_i64, c_i32p, c_i32p, c_i64,
@@ -409,10 +416,13 @@ def anchors_native(graph, k: int,
 
 def build_sbw_native(occ_hap: np.ndarray, occ_start: np.ndarray,
                      occ_end: np.ndarray, occ_weight: np.ndarray,
-                     H: int, P: int, L: int, H_real: int | None = None):
+                     H: int, P: int, L: int, H_real: int | None = None,
+                     with_ranges: bool = False):
     """(S [H,P], B [H,P], W [L,H,P]) float32 padded solver planes built by
     the threaded native scatter+cumsum, or None if the library is missing.
-    Rows >= H_real stay zero (padding lanes)."""
+    Rows >= H_real stay zero (padding lanes). with_ranges=True appends the
+    per-(layer,lane) touched column ranges (w_lo, w_hi) — W is exactly zero
+    outside them (the native solver's W-read skip)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -425,14 +435,58 @@ def build_sbw_native(occ_hap: np.ndarray, occ_start: np.ndarray,
     S = np.zeros((H, P), np.float32)
     B = np.zeros((H, P), np.float32)
     W = np.zeros((L, H, P), np.float32)
+    w_lo = np.empty((max(L, 1), H), np.int64)
+    w_hi = np.empty((max(L, 1), H), np.int64)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.phi_build_sbw(oh.ctypes.data_as(c_i32p), os_.ctypes.data_as(c_i32p),
                       oe.ctypes.data_as(c_i32p), ow.ctypes.data_as(f32p),
                       len(oh), H, P, L,
                       H if H_real is None else H_real,
                       S.ctypes.data_as(f32p), B.ctypes.data_as(f32p),
-                      W.ctypes.data_as(f32p))
+                      W.ctypes.data_as(f32p),
+                      w_lo.ctypes.data_as(c_i64p),
+                      w_hi.ctypes.data_as(c_i64p))
+    if with_ranges:
+        return S, B, W, w_lo, w_hi
     return S, B, W
+
+
+def solve_exact_native(S: np.ndarray, B: np.ndarray, W: np.ndarray,
+                       w_lo: np.ndarray, w_hi: np.ndarray,
+                       esrc_h: np.ndarray, esrc_p: np.ndarray,
+                       esrc_target: np.ndarray, state_vertex: np.ndarray,
+                       walk_len: np.ndarray, R: float, n_vtx: int,
+                       max_sweeps: int):
+    """(M [H,P], ends [H], n_sweeps) — the native exact-credit fixpoint,
+    bit-identical to solve.dp._solve_exact_jit, or None if the library is
+    missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    H, P = state_vertex.shape
+    L = W.shape[0]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    Sa = np.ascontiguousarray(S, np.float32)
+    Ba = np.ascontiguousarray(B, np.float32)
+    Wa = np.ascontiguousarray(W, np.float32)
+    lo = np.ascontiguousarray(w_lo, np.int64)
+    hi = np.ascontiguousarray(w_hi, np.int64)
+    eh = np.ascontiguousarray(esrc_h, np.int32)
+    ep = np.ascontiguousarray(esrc_p, np.int32)
+    et = np.ascontiguousarray(esrc_target, np.int32)
+    sv = np.ascontiguousarray(state_vertex, np.int32)
+    wl = np.ascontiguousarray(walk_len, np.int32)
+    M = np.empty((H, P), np.float32)
+    ends = np.empty(H, np.float32)
+    sweeps = lib.phi_solve_exact(
+        Sa.ctypes.data_as(f32p), Ba.ctypes.data_as(f32p),
+        Wa.ctypes.data_as(f32p), lo.ctypes.data_as(c_i64p),
+        hi.ctypes.data_as(c_i64p), eh.ctypes.data_as(c_i32p),
+        ep.ctypes.data_as(c_i32p), et.ctypes.data_as(c_i32p), len(eh),
+        sv.ctypes.data_as(c_i32p), wl.ctypes.data_as(c_i32p),
+        ctypes.c_float(R), n_vtx, H, P, L, max_sweeps,
+        M.ctypes.data_as(f32p), ends.ctypes.data_as(f32p))
+    return M, ends, int(sweeps)
 
 
 def lane_csr_native(walk_mat: np.ndarray, walk_len: np.ndarray,

@@ -367,6 +367,14 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
         return M, ends, n_sweeps, lb
     import time
 
+    if jax.default_backend() == "cpu":
+        # fully-native exact solve: no padding, no XLA compile, W reads
+        # skipped outside each layer's touched range — bit-identical to
+        # _solve_exact_jit (tests/test_native.py::test_native_solver_parity)
+        out = _solve_exact_native(t, max_sweeps)
+        if out is not None:
+            return out
+
     from phi_tpu.execache import cached_call
     t0 = time.time()
     (S_dev, B_dev, W_dev), common, (H, P), statics = _bucketed_args(t, max_sweeps)
@@ -383,6 +391,35 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
     LAST_TIMINGS.update(tables=round(t1 - t0, 3), exec=round(t2 - t1, 3),
                         fetch=round(time.time() - t2, 3))
     n_sweeps = int(sweeps)
+    _warn_cap(n_sweeps, max_sweeps)
+    lb = float(t.const + ends.min()) if len(ends) else float(t.const)
+    return M, ends, n_sweeps, lb
+
+
+def _solve_exact_native(t: SolverTables, max_sweeps: int):
+    """(M, ends, n_sweeps, lb) via the native CPU solver, or None."""
+    import time
+    try:
+        from phi_tpu.native import build_sbw_native, solve_exact_native
+    except Exception:
+        return None
+    t0 = time.time()
+    H, P = t.state_vertex.shape
+    built = build_sbw_native(t.occ_hap, t.occ_start, t.occ_end, t.occ_weight,
+                             H, P, t.n_layers, with_ranges=True)
+    if built is None:
+        return None
+    S, B, W, w_lo, w_hi = built
+    t1 = time.time()
+    res = solve_exact_native(S, B, W, w_lo, w_hi, t.esrc_h, t.esrc_p,
+                             t.esrc_target, t.state_vertex, t.walk_len,
+                             t.R, t.n_vtx, max_sweeps)
+    if res is None:
+        return None
+    M, ends, n_sweeps = res
+    LAST_TIMINGS.clear()
+    LAST_TIMINGS.update(tables=round(t1 - t0, 3),
+                        exec=round(time.time() - t1, 3), fetch=0.0)
     _warn_cap(n_sweeps, max_sweeps)
     lb = float(t.const + ends.min()) if len(ends) else float(t.const)
     return M, ends, n_sweeps, lb

@@ -284,3 +284,49 @@ def test_join_accel_parity():
     b = hap_join_native(seq, k, w, keys, acc)
     assert a[0] == b[0]
     assert np.array_equal(a[1], b[1]) and np.array_equal(a[2], b[2])
+
+
+def test_native_solver_parity():
+    """phi_solve_exact vs the XLA exact fixpoint: bit-identical M, ends,
+    and sweep count on the ladder instance and random mosaics."""
+    import jax.numpy as jnp
+
+    from phi_tpu.native import build_sbw_native, solve_exact_native
+    from phi_tpu.solve.dp import _bucketed_args, _solve_exact_jit
+    from phi_tpu.solve.dp import solve_dp
+    import tests.test_solver as ts
+
+    import random
+
+    def _random_tables():
+        graph, read = ts._random_instance(random.Random(5), n_blocks=6,
+                                          n_haps=4)
+        tabs = ts._full_solve(graph, [read], 4, 2, 0.5)[1]
+        return tabs
+
+    for mk in (lambda: ts._ladder_instance(R=0.3)[2], _random_tables):
+        t = mk()
+        assert t.n_layers is not None
+        H, P = t.state_vertex.shape
+        built = build_sbw_native(t.occ_hap, t.occ_start, t.occ_end,
+                                 t.occ_weight, H, P, t.n_layers,
+                                 with_ranges=True)
+        S, B, W, lo, hi = built
+        M_n, ends_n, sweeps_n = solve_exact_native(
+            S, B, W, lo, hi, t.esrc_h, t.esrc_p, t.esrc_target,
+            t.state_vertex, t.walk_len, t.R, t.n_vtx, 256)
+        # reference: the XLA program on the same (unpadded via bucket) args
+        (S_d, B_d, W_d), common, (H0, P0), statics = _bucketed_args(t, 256)
+        M_x, ends_x, sweeps_x = _solve_exact_jit(S_d, B_d, W_d, *common,
+                                                 **statics)
+        M_x = np.asarray(M_x)[:H, :P]
+        ends_x = np.asarray(ends_x)[:H]
+        assert int(sweeps_x) == sweeps_n
+        fin = np.isfinite(M_x) | np.isfinite(M_n)
+        assert np.array_equal(M_x[fin], M_n[fin])
+        fe = np.isfinite(ends_x) | np.isfinite(ends_n)
+        assert np.array_equal(ends_x[fe], ends_n[fe])
+        # and solve_dp routes through the native path on CPU with the same
+        # answer end to end
+        M2, ends2, sw2, lb2 = solve_dp(t, 256)
+        assert np.array_equal(np.asarray(M2)[fin], M_n[fin])
