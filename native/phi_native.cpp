@@ -842,19 +842,53 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
   // cache-friendlier than an indirect comparator) -> bad groups -> bad k-mers
   std::vector<char> bad_sid(static_cast<size_t>(spectrum_size), 0);
   {
+    // group_key values are mix64 outputs (uniform), so an 8-bit top-prefix
+    // partition splits the pairs into 256 balanced buckets; groups never
+    // cross buckets, so each bucket sorts and run-scans independently on
+    // the thread pool — no global sort, no merge.
+    constexpr int kBk = 256;
+    std::vector<int64_t> bcnt(kBk + 1, 0);
+    for (int64_t i = 0; i < total; i++) bcnt[(group_key[i] >> 56) + 1]++;
+    for (int c = 0; c < kBk; c++) bcnt[c + 1] += bcnt[c];
     std::vector<std::pair<uint64_t, int32_t>> ks(total);
-    for (int64_t i = 0; i < total; i++) ks[i] = {group_key[i], hit_sid[i]};
-    std::sort(ks.begin(), ks.end(),
-              [](const auto& a, const auto& b) { return a.first < b.first; });
+    {
+      std::vector<int64_t> fill(bcnt.begin(), bcnt.end() - 1);
+      for (int64_t i = 0; i < total; i++)
+        ks[fill[group_key[i] >> 56]++] = {group_key[i], hit_sid[i]};
+    }
     double cutoff = threshold * static_cast<double>(n_haps);
-    int64_t run = 0;
-    while (run < total) {
-      int64_t end = run;
-      while (end < total && ks[end].first == ks[run].first) end++;
-      if (static_cast<double>(end - run) >= cutoff) {
-        for (int64_t j = run; j < end; j++) bad_sid[ks[j].second] = 1;
+    unsigned nt = pool_size();
+    std::atomic<int64_t> next_bk{0};
+    // per-thread bad-sid scratch, OR-merged after join (two threads may
+    // flag the same sid; same-byte concurrent stores are formally a race)
+    std::vector<std::vector<char>> bad_t(nt);
+    auto work_bucket = [&](unsigned t) {
+      auto& bad = nt > 1 ? bad_t[t] : bad_sid;
+      if (nt > 1) bad.assign(static_cast<size_t>(spectrum_size), 0);
+      for (int64_t b; (b = next_bk.fetch_add(1)) < kBk;) {
+        auto* lo = ks.data() + bcnt[b];
+        auto* hi = ks.data() + bcnt[b + 1];
+        std::sort(lo, hi,
+                  [](const auto& a, const auto& c) { return a.first < c.first; });
+        for (auto* run = lo; run < hi;) {
+          auto* end = run;
+          while (end < hi && end->first == run->first) end++;
+          if (static_cast<double>(end - run) >= cutoff) {
+            for (auto* j = run; j < end; j++) bad[j->second] = 1;
+          }
+          run = end;
+        }
       }
-      run = end;
+    };
+    if (nt <= 1) {
+      work_bucket(0);
+    } else {
+      std::vector<std::thread> pool;
+      for (unsigned t = 0; t < nt; t++) pool.emplace_back(work_bucket, t);
+      for (auto& th : pool) th.join();
+      for (unsigned t = 0; t < nt; t++)
+        for (int64_t s = 0; s < spectrum_size; s++)
+          if (bad_t[t][s]) bad_sid[s] = 1;
     }
   }
   for (int64_t s = 0; s < spectrum_size; s++) h->filtered_kmers += bad_sid[s];
