@@ -473,25 +473,36 @@ int phi_toposort(int64_t n, int64_t m, const int32_t* eu, const int32_t* ev,
 // cap using the returned count).
 }  // extern "C" (template below; linkage resumes after)
 
+// Feed-based minimizer scan state machine: callers push base codes one at
+// a time (contiguous arrays, or walks streamed straight from graph
+// tensors). Exact reference semantics (see phi_minimizers note below).
 template <class Emit>
-static inline void minimizer_scan(const uint8_t* codes, int64_t n, int k,
-                                  int w, Emit emit) {
-  if (k < 1 || k > 31 || w < 1 || n < (int64_t)(k + w - 1)) return;
-  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
-  const int rc_shift = 2 * (k - 1);
+struct MinScan {
+  const int k, w;
+  const uint64_t mask;
+  const int rc_shift;
+  Emit emit;
   uint64_t fwd = 0, rc = 0;
   int valid_run = 0;
-  // monotonic ring deque (pow2 capacity, mask indexing)
-  size_t ring = 8;
-  while (ring < (size_t)(w + 1)) ring <<= 1;
-  const size_t rmask = ring - 1;
-  std::vector<uint64_t> dqv(ring);
-  std::vector<int64_t> dqp(ring);
-  size_t head = 0, tail = 0;  // [head, tail)
+  std::vector<uint64_t> dqv;
+  std::vector<int64_t> dqp;
+  size_t rmask, head = 0, tail = 0;  // [head, tail)
   uint64_t prev_val = ~0ULL;
   bool have_prev = false;
-  for (int64_t j = 0; j < n; j++) {
-    uint8_t c = codes[j];
+  int64_t j = 0;  // bases consumed
+
+  MinScan(int k_, int w_, Emit emit_)
+      : k(k_), w(w_),
+        mask((k_ < 32) ? ((1ULL << (2 * k_)) - 1) : ~0ULL),
+        rc_shift(2 * (k_ - 1)), emit(emit_) {
+    size_t ring = 8;
+    while (ring < (size_t)(w + 1)) ring <<= 1;
+    rmask = ring - 1;
+    dqv.resize(ring);
+    dqp.resize(ring);
+  }
+
+  inline void feed(uint8_t c) {
     if (c < 4) {
       fwd = ((fwd << 2) | c) & mask;
       rc = (rc >> 2) | ((uint64_t)(3 - c) << rc_shift);
@@ -499,8 +510,8 @@ static inline void minimizer_scan(const uint8_t* codes, int64_t n, int k,
     } else {
       valid_run = 0;
     }
-    int64_t i = j - k + 1;  // k-mer start index
-    if (i < 0) continue;
+    int64_t i = j++ - k + 1;  // k-mer start index
+    if (i < 0) return;
     if (valid_run >= k) {
       uint64_t cur = fwd < rc ? fwd : rc;
       while (tail > head && dqv[(tail - 1) & rmask] >= cur) tail--;
@@ -518,6 +529,14 @@ static inline void minimizer_scan(const uint8_t* codes, int64_t n, int k,
       }
     }
   }
+};
+
+template <class Emit>
+static inline void minimizer_scan(const uint8_t* codes, int64_t n, int k,
+                                  int w, Emit emit) {
+  if (k < 1 || k > 31 || w < 1 || n < (int64_t)(k + w - 1)) return;
+  MinScan<Emit> scan(k, w, emit);
+  for (int64_t j = 0; j < n; j++) scan.feed(codes[j]);
 }
 
 extern "C" {
@@ -617,6 +636,46 @@ int64_t phi_hap_join(const uint8_t* codes, int64_t n, int k, int w,
       n_hit++;
     }
   });
+  *n_min_out = n_min;
+  return n_hit;
+}
+
+// Walk-streaming variant: scan the haplotype straight out of the graph
+// tensors (seq_code gathered node by node) — no 2.25 GB of materialized
+// walk concatenations at chromosome scale. Join semantics identical to
+// phi_hap_join.
+int64_t phi_hap_join_walk(const uint8_t* seq_code, const int64_t* node_off,
+                          const int32_t* walk, int64_t n_walk, int k, int w,
+                          const uint64_t* keys, int64_t n_keys,
+                          const int64_t* bucket_off, int prefix_bits,
+                          int32_t* out_pos, int32_t* out_sid, int64_t cap,
+                          int64_t* n_min_out) {
+  int64_t n_min = 0, n_hit = 0;
+  const int shift = 64 - prefix_bits;
+  auto emit = [&](uint64_t best, int64_t pos) {
+    n_min++;
+    const uint64_t* lo = keys;
+    const uint64_t* hi = keys + n_keys;
+    if (bucket_off) {
+      uint64_t b = best >> shift;
+      lo = keys + bucket_off[b];
+      hi = keys + bucket_off[b + 1];
+    }
+    const uint64_t* it = std::lower_bound(lo, hi, best);
+    if (it != hi && *it == best) {
+      if (n_hit < cap) {
+        out_pos[n_hit] = (int32_t)pos;
+        out_sid[n_hit] = (int32_t)(it - keys);
+      }
+      n_hit++;
+    }
+  };
+  MinScan<decltype(emit)> scan(k, w, emit);
+  for (int64_t i = 0; i < n_walk; i++) {
+    const uint8_t* p = seq_code + node_off[walk[i]];
+    const uint8_t* e = seq_code + node_off[walk[i] + 1];
+    for (; p < e; ++p) scan.feed(*p);
+  }
   *n_min_out = n_min;
   return n_hit;
 }

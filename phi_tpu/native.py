@@ -115,6 +115,13 @@ def get_lib() -> ctypes.CDLL | None:
                                  c_i64p, ctypes.c_int,
                                  c_i32p, c_i32p, c_i64, c_i64p]
 
+    lib.phi_hap_join_walk.restype = c_i64
+    lib.phi_hap_join_walk.argtypes = [c_u8p, c_i64p, c_i32p, c_i64,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_uint64), c_i64,
+                                      c_i64p, ctypes.c_int,
+                                      c_i32p, c_i32p, c_i64, c_i64p]
+
     lib.phi_anchors.restype = c_p
     lib.phi_anchors.argtypes = [c_i64, c_i64, c_i32p, c_i32p, c_i64p,
                                 c_i64p, c_i32p, c_i32p, c_i64,
@@ -359,6 +366,43 @@ def hap_join_native(codes: np.ndarray, k: int, w: int, sp_key: np.ndarray,
         sid = np.empty(cap, np.int32)
         cnt = lib.phi_hap_join(
             cc.ctypes.data_as(c_u8p), n, k, w,
+            kk.ctypes.data_as(u64p), len(kk), off_ptr, prefix_bits,
+            pos.ctypes.data_as(c_i32p), sid.ctypes.data_as(c_i32p), cap,
+            ctypes.byref(n_min))
+        if cnt <= cap:
+            return int(n_min.value), pos[:cnt].copy(), sid[:cnt].copy()
+        cap = int(cnt)
+
+
+def hap_join_walk_native(seq_code: np.ndarray, node_off: np.ndarray,
+                         walk: np.ndarray, walk_bases: int, k: int, w: int,
+                         sp_key: np.ndarray,
+                         accel: tuple[np.ndarray, int] | None = None
+                         ) -> tuple[int, np.ndarray, np.ndarray] | None:
+    """hap_join_native streaming the walk straight from graph tensors (no
+    materialized concatenation). walk_bases sizes the retry capacity."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sc = np.ascontiguousarray(seq_code, np.uint8)
+    no = np.ascontiguousarray(node_off, np.int64)
+    wk = np.ascontiguousarray(walk, np.int32)
+    kk = np.ascontiguousarray(sp_key, np.uint64)
+    cap = max(1024, 4 * walk_bases // (w + 1) + 64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n_min = c_i64(0)
+    if accel is not None:
+        off_arr, prefix_bits = accel
+        off_c = np.ascontiguousarray(off_arr, np.int64)
+        off_ptr = off_c.ctypes.data_as(c_i64p)
+    else:
+        off_ptr, prefix_bits = None, 0
+    while True:
+        pos = np.empty(cap, np.int32)
+        sid = np.empty(cap, np.int32)
+        cnt = lib.phi_hap_join_walk(
+            sc.ctypes.data_as(c_u8p), no.ctypes.data_as(c_i64p),
+            wk.ctypes.data_as(c_i32p), len(wk), k, w,
             kk.ctypes.data_as(u64p), len(kk), off_ptr, prefix_bits,
             pos.ctypes.data_as(c_i32p), sid.ctypes.data_as(c_i32p), cap,
             ctypes.byref(n_min))

@@ -150,9 +150,18 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         sp_hi_d = jnp.asarray(spectrum[0])
         sp_lo_d = jnp.asarray(spectrum[1])
         plog.raw("Number of Minimizers")
-        hap_codes = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
-        hits = sketch_join_many(hap_codes, opt.k, opt.w, sp_hi_d, sp_lo_d,
-                                devices=mesh_devices)
+        hits = None
+        if _jax.default_backend() == "cpu" and mesh_devices is None:
+            # stream walks straight from the graph tensors (no per-hap
+            # concatenations); exact same join semantics
+            from phi_tpu.sketch.minimizer import sketch_join_walks
+            hits = sketch_join_walks(graph, opt.k, opt.w,
+                                     spectrum[0], spectrum[1])
+        if hits is None:
+            hap_codes = [graph.walk_seq_codes(h)
+                         for h in range(graph.num_walks)]
+            hits = sketch_join_many(hap_codes, opt.k, opt.w, sp_hi_d,
+                                    sp_lo_d, devices=mesh_devices)
         for h in range(graph.num_walks):
             plog.raw(f"{graph.walk_names[h]} : {hits[h][0]}")
         plog.log("ILP_function", "Haplotypes sketched")

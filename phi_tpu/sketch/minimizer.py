@@ -655,6 +655,44 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     return results
 
 
+def sketch_join_walks(graph, k: int, w: int, sp_hi, sp_lo
+                      ) -> list[tuple[int, np.ndarray, np.ndarray]] | None:
+    """Host-native hap sketch+join streaming each walk straight from the
+    graph tensors (no materialized per-hap concatenations — the walk bases
+    are read once, node by node). Threaded across haplotypes; exact
+    semantics of sketch_join_many's host path. None if the native library
+    is unavailable (callers fall back to sketch_join_many)."""
+    try:
+        from phi_tpu.native import (available, hap_join_walk_native,
+                                    join_accel, pool_threads)
+        if not available():
+            return None
+    except Exception:
+        return None
+    sp_key = (np.asarray(sp_hi).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(sp_lo).astype(np.uint64)
+    accel = join_accel(sp_key) if len(sp_key) > (1 << 16) else None
+    g = graph.gfa
+    node_len = g.node_off[1:] - g.node_off[:-1]
+
+    def one(h: int):
+        walk = graph.walk_mat[h, :graph.walk_len[h]]
+        bases = int(node_len[walk].sum())
+        return hap_join_walk_native(g.seq_code, g.node_off, walk, bases,
+                                    k, w, sp_key, accel)
+
+    H = graph.num_walks
+    from concurrent.futures import ThreadPoolExecutor
+    if H > 1:
+        with ThreadPoolExecutor(max_workers=min(pool_threads(), H)) as ex:
+            outs = list(ex.map(one, range(H)))
+    else:
+        outs = [one(h) for h in range(H)]
+    if any(o is None for o in outs):
+        return None
+    return outs
+
+
 def estimate_spectrum_bucket(total_bases: int, k: int, w: int) -> int:
     """pow2 bucket the read spectrum will land in: distinct minimizers are
     bounded by emitted minimizers ~ 2/(w+1) per window (tight at <=1x

@@ -330,3 +330,37 @@ def test_native_solver_parity():
         # answer end to end
         M2, ends2, sw2, lb2 = solve_dp(t, 256)
         assert np.array_equal(np.asarray(M2)[fin], M_n[fin])
+
+
+def test_hap_join_walk_matches_concat():
+    """Walk-streaming hap join == join over the materialized concatenation,
+    including walks whose nodes contain Ns and zero-length nodes."""
+    from phi_tpu.native import (hap_join_native, hap_join_walk_native,
+                                join_accel)
+    from phi_tpu.sketch.minimizer import sketch_sequence
+    rng = np.random.default_rng(21)
+    # synthetic graph arrays: 200 nodes of length 0..40 incl Ns
+    lens = rng.integers(0, 40, 200)
+    node_off = np.zeros(201, np.int64)
+    np.cumsum(lens, out=node_off[1:])
+    seq_code = rng.integers(0, 4, node_off[-1]).astype(np.uint8)
+    seq_code[rng.random(len(seq_code)) < 0.02] = 4
+    walk = rng.integers(0, 200, 150).astype(np.int32)
+    concat = np.concatenate([seq_code[node_off[v]:node_off[v + 1]]
+                             for v in walk]) if len(walk) else \
+        np.zeros(0, np.uint8)
+    k, w = 11, 7
+    other = concat.copy()
+    other[rng.random(len(other)) < 0.1] = 1
+    hi, lo, _ = sketch_sequence(other, k, w)
+    keys = np.unique((hi.astype(np.uint64) << np.uint64(32))
+                     | lo.astype(np.uint64))
+    a = hap_join_native(concat, k, w, keys)
+    b = hap_join_walk_native(seq_code, node_off, walk, len(concat), k, w,
+                             keys)
+    assert a[0] == b[0]
+    assert np.array_equal(a[1], b[1]) and np.array_equal(a[2], b[2])
+    acc = join_accel(keys)
+    c = hap_join_walk_native(seq_code, node_off, walk, len(concat), k, w,
+                             keys, acc)
+    assert np.array_equal(a[1], c[1]) and np.array_equal(a[2], c[2])
