@@ -680,6 +680,19 @@ int64_t phi_hap_join_walk(const uint8_t* seq_code, const int64_t* node_off,
   return n_hit;
 }
 
+// Two-pointer merge: idx[i] = number of sorted_keys <= sorted_queries[i]
+// (searchsorted side='right' over ASCENDING queries) — O(n+m) sequential
+// instead of m binary searches over a cold array.
+void phi_merge_upper(const uint64_t* keys, int64_t n,
+                     const uint64_t* queries, int64_t m, int64_t* out_idx) {
+  int64_t p = 0;
+  for (int64_t i = 0; i < m; i++) {
+    uint64_t q = queries[i];
+    while (p < n && keys[p] <= q) p++;
+    out_idx[i] = p;
+  }
+}
+
 // ------------------------------------------------- banded Myers edit distance
 // Block bit-parallel Myers (Hyyro 2003) with Ukkonen band doubling — the
 // algorithm family behind edlib, written from scratch. query = rows,

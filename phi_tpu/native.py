@@ -151,6 +151,10 @@ def get_lib() -> ctypes.CDLL | None:
                                     c_i64, c_i64, c_i64, c_i64, c_i64,
                                     c_f32p, c_f32p]
 
+    u64p_t = ctypes.POINTER(ctypes.c_uint64)
+    lib.phi_merge_upper.restype = None
+    lib.phi_merge_upper.argtypes = [u64p_t, c_i64, u64p_t, c_i64, c_i64p]
+
     lib.phi_lane_csr.restype = None
     lib.phi_lane_csr.argtypes = [c_i64, c_i64, c_i32p, c_i32p, c_i64,
                                  c_i64p, c_i64p]
@@ -531,6 +535,23 @@ def solve_exact_native(S: np.ndarray, B: np.ndarray, W: np.ndarray,
         ctypes.c_float(R), n_vtx, H, P, L, max_sweeps,
         M.ctypes.data_as(f32p), ends.ctypes.data_as(f32p))
     return M, ends, int(sweeps)
+
+
+def merge_upper_native(sorted_keys: np.ndarray, sorted_queries: np.ndarray
+                       ) -> np.ndarray | None:
+    """searchsorted(sorted_keys, sorted_queries, side='right') as an O(n+m)
+    two-pointer merge (queries must be ascending), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    kk = np.ascontiguousarray(sorted_keys, np.uint64)
+    qq = np.ascontiguousarray(sorted_queries, np.uint64)
+    out = np.empty(len(qq), np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.phi_merge_upper(kk.ctypes.data_as(u64p), len(kk),
+                        qq.ctypes.data_as(u64p), len(qq),
+                        out.ctypes.data_as(c_i64p))
+    return out
 
 
 def lane_csr_native(walk_mat: np.ndarray, walk_len: np.ndarray,

@@ -53,7 +53,7 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         eh = t.esrc_h.astype(np.int64)
         ep = t.esrc_p.astype(np.int64)
         sv = np.where(ep < walk_len[t.esrc_h],
-                      M[eh, ep] - t.B_at(eh, ep), INF)
+                      M[eh, ep] - _b_at_esrc(t, graph, eh, ep), INF)
         order = np.argsort(t.esrc_target, kind="stable")
         tgt_s = t.esrc_target[order]
         sv_s = sv[order]
@@ -194,6 +194,33 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         dp_objective=dp_objective, true_objective=float(true_obj),
         n_sweeps=n_sweeps,
     )
+
+
+def _b_at_esrc(t: SolverTables, graph: PangenomeGraph, eh: np.ndarray,
+               ep: np.ndarray) -> np.ndarray:
+    """t.B_at over the switch-source points, which are graph-static: the
+    query sort is cached on the graph and the lookup is an O(n+m)
+    two-pointer merge instead of millions of cold binary searches."""
+    if t.B is not None:
+        return t.B[eh, ep]
+    keys, cumw, base, span = t.b_cache()
+    qkey = (eh * span + ep).view(np.uint64)  # non-negative: reinterpret
+    cache = getattr(graph, "_esrc_qorder", None)
+    if cache is None or cache[0] is not t.esrc_h or cache[1] != int(span):
+        order = np.argsort(qkey, kind="stable")
+        cache = (t.esrc_h, int(span), order, qkey[order])
+        graph._esrc_qorder = cache
+    _, _, order, qsorted = cache
+    try:
+        from phi_tpu.native import merge_upper_native
+        idx = merge_upper_native(keys.view(np.uint64), qsorted)
+    except Exception:
+        idx = None
+    if idx is None:
+        return t.B_at(eh, ep)
+    tmp = np.empty(len(qkey), np.float64)
+    tmp[order] = cumw[idx]
+    return (tmp - cumw[base[eh]]).astype(np.float32)
 
 
 def _verify_edges(graph: PangenomeGraph, vertices: np.ndarray) -> None:

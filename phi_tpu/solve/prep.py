@@ -75,12 +75,9 @@ class SolverTables:
                                       self.H, self.P)
         return dataclasses.replace(self, S=S, B=B)
 
-    def B_at(self, h: np.ndarray, p: np.ndarray) -> np.ndarray:
-        """B values at scattered (lane, position) points — from the dense
-        array when present, else by binary search over occurrences sorted by
-        (lane, end) with prefix-summed weights."""
-        if self.B is not None:
-            return self.B[h, p]
+    def b_cache(self):
+        """(keys, cumw, base, span): occurrences sorted by (lane, end) with
+        prefix-summed weights — the lazy-B lookup structure."""
         cache = getattr(self, "_b_sorted", None)
         if cache is None:
             span = np.int64(self.P) + 1
@@ -92,7 +89,15 @@ class SolverTables:
             base = np.searchsorted(keys, np.arange(self.H, dtype=np.int64) * span)
             cache = (keys, cumw, base, span)
             self._b_sorted = cache
-        keys, cumw, base, span = cache
+        return cache
+
+    def B_at(self, h: np.ndarray, p: np.ndarray) -> np.ndarray:
+        """B values at scattered (lane, position) points — from the dense
+        array when present, else by binary search over occurrences sorted by
+        (lane, end) with prefix-summed weights."""
+        if self.B is not None:
+            return self.B[h, p]
+        keys, cumw, base, span = self.b_cache()
         q = np.asarray(h, np.int64) * span + np.asarray(p, np.int64)
         idx = np.searchsorted(keys, q, side="right")
         return (cumw[idx] - cumw[base[np.asarray(h)]]).astype(np.float32)
