@@ -237,7 +237,9 @@ def parse_gfa_native(path: str):
         except (IndexError, ValueError):
             return (parts[0] if parts else "_"), 0, 0
     walk_meta = [_meta(s) for s in meta_raw]
-    walks = [wconcat[woff[i]:woff[i + 1]].copy() for i in range(nw)]
+    # views into the single wconcat copy — per-walk copies would double the
+    # 440 MB walk concat at chromosome scale
+    walks = [wconcat[woff[i]:woff[i + 1]] for i in range(nw)]
     return GfaData(seg_names=seg_names, node_len=node_len, node_off=node_off,
                    seq_code=seq_code, edge_u=edge_u, edge_v=edge_v,
                    walks=walks, walk_names=walk_names,
