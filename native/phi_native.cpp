@@ -206,14 +206,29 @@ void* phi_gfa_parse(const char* path) {
       links.push_back(u << 2 | ou << 1 | 0);
       links.push_back(v << 2 | ov << 1 | 1);
     } else if (t == 'W') {
-      auto f = split_tab(line, 7);
-      if (f.size() < 7) continue;
-      h->walk_names += f[1] + "." + f[2];
+      // view-based field split: W lines are megabytes (the whole walk) and
+      // copying field 7 per walk costs ~1 GB at chromosome scale
+      std::string_view lv(line);
+      std::string_view f[7];
+      size_t start = 0, nf = 0;
+      while (nf + 1 < 7) {
+        size_t tab = lv.find('\t', start);
+        if (tab == std::string_view::npos) break;
+        f[nf++] = lv.substr(start, tab - start);
+        start = tab + 1;
+      }
+      f[nf++] = lv.substr(start);
+      if (nf < 7) continue;
+      h->walk_names.append(f[1]);
+      h->walk_names.push_back('.');
+      h->walk_names.append(f[2]);
       h->walk_names.push_back('\0');
-      h->walk_meta += f[3] + "\t" + f[4] + "\t" + f[5];
-      h->walk_meta.push_back('\0');
+      for (int c = 3; c <= 5; c++) {
+        h->walk_meta.append(f[c]);
+        h->walk_meta.push_back(c < 5 ? '\t' : '\0');
+      }
       // parse >s1>s2<s3...
-      const std::string& wk = f[6];
+      std::string_view wk = f[6];
       std::vector<int64_t> verts;  // seg<<1 | strand
       size_t i = 0;
       while (i < wk.size()) {
