@@ -45,6 +45,9 @@ class GzReader {
     if (f_) gzclose(f_);
   }
   bool ok() const { return f_ != nullptr; }
+  // gzread returned an error (corrupt/truncated stream) — callers must
+  // treat the parse as failed, not as a silently smaller dataset
+  bool error() const { return err_; }
   // Reads one line (without trailing \n) into line. Returns false at EOF.
   bool getline(std::string& line) {
     line.clear();
@@ -52,6 +55,7 @@ class GzReader {
       if (pos_ >= len_) {
         len_ = gzread(f_, buf_, sizeof(buf_));
         pos_ = 0;
+        if (len_ < 0) err_ = true;
         if (len_ <= 0) return !line.empty();
       }
       char* nl = static_cast<char*>(memchr(buf_ + pos_, '\n', len_ - pos_));
@@ -69,6 +73,7 @@ class GzReader {
   gzFile f_ = nullptr;
   char buf_[1 << 20];
   int len_ = 0, pos_ = 0;
+  bool err_ = false;
 };
 
 const uint8_t* base_lut() {
@@ -127,7 +132,7 @@ extern "C" {
 void phi_set_threads(int n) { g_n_threads.store(n); }
 
 // ------------------------------------------------------------------- GFA
-void* phi_gfa_parse(const char* path) {
+void* phi_gfa_parse(const char* path) try {
   auto* h = new GfaHandle();
   GzReader rd(path);
   if (!rd.ok()) {
@@ -261,6 +266,10 @@ void* phi_gfa_parse(const char* path) {
     }
   }
 
+  if (rd.error()) {
+    h->error = "gzip stream error (corrupt or truncated input)";
+    return h;
+  }
   size_t n = names.size();
   // '*'-sequence segments with declared LN:i lengths: fill with 'N' so the
   // tensor invariant sum(node_len) == len(seq_code) holds
@@ -312,6 +321,10 @@ void* phi_gfa_parse(const char* path) {
     h->edge_u.push_back(static_cast<int32_t>(p >> 32));
     h->edge_v.push_back(static_cast<int32_t>(p & 0xFFFFFFFF));
   }
+  return h;
+} catch (...) {
+  auto* h = new GfaHandle();
+  h->error = "native allocation failure";
   return h;
 }
 
@@ -377,7 +390,7 @@ const char* phi_gfa_walk_meta(void* hp, int64_t* len) {
 void phi_gfa_free(void* hp) { delete static_cast<GfaHandle*>(hp); }
 
 // ------------------------------------------------------------- FASTA/FASTQ
-void* phi_reads_load(const char* path) {
+void* phi_reads_load(const char* path) try {
   auto* h = new ReadsHandle();
   GzReader rd(path);
   if (!rd.ok()) {
@@ -409,11 +422,15 @@ void* phi_reads_load(const char* path) {
     }
   } else if (line[0] == '@') {  // FASTQ
     for (;;) {
+      size_t names_mark = h->names.size();
       size_t sp = line.find_first_of(" \t");
       h->names.append(line, 1, (sp == std::string::npos ? line.size() : sp) - 1);
       h->names.push_back('\0');
       std::string seq;
-      if (!rd.getline(seq)) break;
+      if (!rd.getline(seq)) {
+        h->names.resize(names_mark);  // truncated record: drop its name
+        break;
+      }
       append_seq(seq);
       h->off.push_back(static_cast<int64_t>(h->codes.size()));
       std::string plus, qual;
@@ -423,6 +440,11 @@ void* phi_reads_load(const char* path) {
   } else {
     h->error = "not FASTA/FASTQ";
   }
+  if (rd.error()) h->error = "gzip stream error (corrupt or truncated input)";
+  return h;
+} catch (...) {
+  auto* h = new ReadsHandle();
+  h->error = "native allocation failure";
   return h;
 }
 
@@ -580,7 +602,7 @@ int64_t phi_minimizers(const uint8_t* codes, int64_t n, int k, int w,
 // (caller retries with the returned count as the new cap).
 int64_t phi_spectrum(const uint8_t* concat, const int64_t* off,
                      int64_t n_reads, int k, int w, uint64_t* out,
-                     int64_t cap) {
+                     int64_t cap) try {
   unsigned n_thr = pool_size();
   if (n_reads < 64) n_thr = 1;
   std::vector<std::vector<uint64_t>> bufs(n_thr);
@@ -612,6 +634,8 @@ int64_t phi_spectrum(const uint8_t* concat, const int64_t* off,
     }
   }
   return total;
+} catch (...) {
+  return -1;
 }
 
 // ---------------------------------------------------- haplotype sketch+join
@@ -626,33 +650,24 @@ int64_t phi_spectrum(const uint8_t* concat, const int64_t* off,
 // lookup plus a short in-bucket search — at multi-Gbp scale the ~23 random
 // cacheline reads per emission were the join's whole cost. Pass
 // bucket_off = NULL / prefix_bits = 0 for the plain binary search.
+int64_t phi_hap_join_walk(const uint8_t* seq_code, const int64_t* node_off,
+                          const int32_t* walk, int64_t n_walk, int k, int w,
+                          const uint64_t* keys, int64_t n_keys,
+                          const int64_t* bucket_off, int prefix_bits,
+                          int32_t* out_pos, int32_t* out_sid, int64_t cap,
+                          int64_t* n_min_out);
+
 int64_t phi_hap_join(const uint8_t* codes, int64_t n, int k, int w,
                      const uint64_t* keys, int64_t n_keys,
                      const int64_t* bucket_off, int prefix_bits,
                      int32_t* out_pos, int32_t* out_sid, int64_t cap,
                      int64_t* n_min_out) {
-  int64_t n_min = 0, n_hit = 0;
-  const int shift = 64 - prefix_bits;
-  minimizer_scan(codes, n, k, w, [&](uint64_t best, int64_t pos) {
-    n_min++;
-    const uint64_t* lo = keys;
-    const uint64_t* hi = keys + n_keys;
-    if (bucket_off) {
-      uint64_t b = best >> shift;
-      lo = keys + bucket_off[b];
-      hi = keys + bucket_off[b + 1];
-    }
-    const uint64_t* it = std::lower_bound(lo, hi, best);
-    if (it != hi && *it == best) {
-      if (n_hit < cap) {
-        out_pos[n_hit] = (int32_t)pos;
-        out_sid[n_hit] = (int32_t)(it - keys);
-      }
-      n_hit++;
-    }
-  });
-  *n_min_out = n_min;
-  return n_hit;
+  // one-node walk over the contiguous array: a single join implementation
+  const int64_t off[2] = {0, n};
+  const int32_t one_walk[1] = {0};
+  return phi_hap_join_walk(codes, off, one_walk, 1, k, w, keys, n_keys,
+                           bucket_off, prefix_bits, out_pos, out_sid, cap,
+                           n_min_out);
 }
 
 // Walk-streaming variant: scan the haplotype straight out of the graph
@@ -664,7 +679,9 @@ int64_t phi_hap_join_walk(const uint8_t* seq_code, const int64_t* node_off,
                           const uint64_t* keys, int64_t n_keys,
                           const int64_t* bucket_off, int prefix_bits,
                           int32_t* out_pos, int32_t* out_sid, int64_t cap,
-                          int64_t* n_min_out) {
+                          int64_t* n_min_out) try {
+  *n_min_out = 0;
+  if (k < 1 || k > 31 || w < 1) return 0;
   int64_t n_min = 0, n_hit = 0;
   const int shift = 64 - prefix_bits;
   auto emit = [&](uint64_t best, int64_t pos) {
@@ -693,6 +710,8 @@ int64_t phi_hap_join_walk(const uint8_t* seq_code, const int64_t* node_off,
   }
   *n_min_out = n_min;
   return n_hit;
+} catch (...) {
+  return -1;  // bad_alloc etc. must not cross the C ABI (aborts Python)
 }
 
 // Two-pointer merge: idx[i] = number of sorted_keys <= sorted_queries[i]
@@ -880,7 +899,7 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
                   const int32_t* walk_len, const int64_t* node_len,
                   const int64_t* hit_off, const int32_t* hit_pos,
                   const int32_t* hit_sid, int64_t spectrum_size, int32_t k,
-                  double threshold) {
+                  double threshold) try {
   auto* h = new anchors::Handle();
   int64_t total = hit_off[n_haps];
   h->per_hap_anchors.assign(n_haps, 0);
@@ -1003,6 +1022,8 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
     }
   }
   return h;
+} catch (...) {
+  return nullptr;
 }
 
 // ------------------------------------------------- solver table build (host)
@@ -1025,10 +1046,10 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
 // w_lo/w_hi (nullable, [L*H] each): per (layer, lane) touched column range
 // [lo, hi] outside of which W is exactly zero — the native solver skips
 // those columns' W reads (phi_solve_exact).
-void phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
-                   const float* ow, int64_t n, int64_t H, int64_t P,
-                   int64_t L, int64_t H_real, float* S_out, float* B_out,
-                   float* W_out, int64_t* w_lo, int64_t* w_hi) {
+int phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
+                  const float* ow, int64_t n, int64_t H, int64_t P,
+                  int64_t L, int64_t H_real, float* S_out, float* B_out,
+                  float* W_out, int64_t* w_lo, int64_t* w_hi) try {
   const int64_t plane = H * P;
   auto row_cumsum = [&](float* p, const int64_t* lo, const int64_t* hi) {
     for (int64_t h = 0; h < H_real; h++) {
@@ -1095,6 +1116,9 @@ void phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
     for (unsigned t = 0; t < n_thr; t++) pool.emplace_back(work);
     for (auto& th : pool) th.join();
   }
+  return 0;
+} catch (...) {
+  return -1;
 }
 
 // ----------------------------------------------------- exact solver (host)
@@ -1114,7 +1138,7 @@ int64_t phi_solve_exact(const float* S, const float* B, const float* W,
                         const int32_t* et, int64_t n_esrc,
                         const int32_t* sv, const int32_t* walk_len, float R,
                         int64_t n_vtx, int64_t H, int64_t P, int64_t L,
-                        int64_t max_sweeps, float* M_out, float* ends_out) {
+                        int64_t max_sweeps, float* M_out, float* ends_out) try {
   const float INF = std::numeric_limits<float>::infinity();
   std::vector<float> M(static_cast<size_t>(H) * P, INF);
   std::vector<float> Mn(static_cast<size_t>(H) * P);
@@ -1230,6 +1254,8 @@ int64_t phi_solve_exact(const float* S, const float* B, const float* W,
     }
   }
   return it;
+} catch (...) {
+  return -1;
 }
 
 // ------------------------------------------------------- graph tensor utils

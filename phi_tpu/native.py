@@ -18,6 +18,9 @@ _DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 _SO = os.path.join(_DIR, "libphi_native.so")
 _lib: ctypes.CDLL | None = None
 _tried = False
+import threading as _threading
+
+_lib_lock = _threading.Lock()
 
 c_p = ctypes.c_void_p
 c_i64 = ctypes.c_int64
@@ -37,6 +40,14 @@ def _build() -> bool:
 
 
 def get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lib_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> ctypes.CDLL | None:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
@@ -139,7 +150,7 @@ def get_lib() -> ctypes.CDLL | None:
     lib.phi_anchors_free.argtypes = [c_p]
 
     c_f32p = ctypes.POINTER(ctypes.c_float)
-    lib.phi_build_sbw.restype = None
+    lib.phi_build_sbw.restype = ctypes.c_int
     lib.phi_build_sbw.argtypes = [c_i32p, c_i32p, c_i32p, c_f32p, c_i64,
                                   c_i64, c_i64, c_i64, c_i64,
                                   c_f32p, c_f32p, c_f32p, c_i64p, c_i64p]
@@ -326,6 +337,8 @@ def spectrum_native(concat: np.ndarray, off: np.ndarray, k: int, w: int
         cnt = lib.phi_spectrum(cc.ctypes.data_as(c_u8p),
                                oo.ctypes.data_as(c_i64p), n_reads, k, w,
                                out.ctypes.data_as(u64p), cap)
+        if cnt < 0:
+            return None
         if cnt <= cap:
             return out[:cnt].copy()
         cap = int(cnt)
@@ -375,6 +388,8 @@ def hap_join_native(codes: np.ndarray, k: int, w: int, sp_key: np.ndarray,
             kk.ctypes.data_as(u64p), len(kk), off_ptr, prefix_bits,
             pos.ctypes.data_as(c_i32p), sid.ctypes.data_as(c_i32p), cap,
             ctypes.byref(n_min))
+        if cnt < 0:
+            return None
         if cnt <= cap:
             return int(n_min.value), pos[:cnt].copy(), sid[:cnt].copy()
         cap = int(cnt)
@@ -412,6 +427,8 @@ def hap_join_walk_native(seq_code: np.ndarray, node_off: np.ndarray,
             kk.ctypes.data_as(u64p), len(kk), off_ptr, prefix_bits,
             pos.ctypes.data_as(c_i32p), sid.ctypes.data_as(c_i32p), cap,
             ctypes.byref(n_min))
+        if cnt < 0:
+            return None
         if cnt <= cap:
             return int(n_min.value), pos[:cnt].copy(), sid[:cnt].copy()
         cap = int(cnt)
@@ -450,6 +467,8 @@ def anchors_native(graph, k: int,
         np.ascontiguousarray(hit_off).ctypes.data_as(c_i64p),
         hit_pos.ctypes.data_as(c_i32p), hit_sid.ctypes.data_as(c_i32p),
         spectrum_size, k, threshold)
+    if not hp:
+        return None
     try:
         n_occ = lib.phi_anchors_n_occ(hp)
         occ_hap = _copy(lib.phi_anchors_occ_hap(hp), n_occ, np.int32)
@@ -488,14 +507,17 @@ def build_sbw_native(occ_hap: np.ndarray, occ_start: np.ndarray,
     w_lo = np.empty((max(L, 1), H), np.int64)
     w_hi = np.empty((max(L, 1), H), np.int64)
     f32p = ctypes.POINTER(ctypes.c_float)
-    lib.phi_build_sbw(oh.ctypes.data_as(c_i32p), os_.ctypes.data_as(c_i32p),
-                      oe.ctypes.data_as(c_i32p), ow.ctypes.data_as(f32p),
-                      len(oh), H, P, L,
-                      H if H_real is None else H_real,
-                      S.ctypes.data_as(f32p), B.ctypes.data_as(f32p),
-                      W.ctypes.data_as(f32p),
-                      w_lo.ctypes.data_as(c_i64p),
-                      w_hi.ctypes.data_as(c_i64p))
+    rc = lib.phi_build_sbw(
+        oh.ctypes.data_as(c_i32p), os_.ctypes.data_as(c_i32p),
+        oe.ctypes.data_as(c_i32p), ow.ctypes.data_as(f32p),
+        len(oh), H, P, L,
+        H if H_real is None else H_real,
+        S.ctypes.data_as(f32p), B.ctypes.data_as(f32p),
+        W.ctypes.data_as(f32p),
+        w_lo.ctypes.data_as(c_i64p),
+        w_hi.ctypes.data_as(c_i64p))
+    if rc != 0:
+        return None
     if with_ranges:
         return S, B, W, w_lo, w_hi
     return S, B, W
@@ -536,6 +558,8 @@ def solve_exact_native(S: np.ndarray, B: np.ndarray, W: np.ndarray,
         sv.ctypes.data_as(c_i32p), wl.ctypes.data_as(c_i32p),
         ctypes.c_float(R), n_vtx, H, P, L, max_sweeps,
         M.ctypes.data_as(f32p), ends.ctypes.data_as(f32p))
+    if sweeps < 0:
+        return None
     return M, ends, int(sweeps)
 
 
