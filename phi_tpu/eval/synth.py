@@ -40,7 +40,7 @@ def synth_pangenome(rng: np.random.Generator, length: int = 100_000,
         out = []
         for i in range(0, len(seq), max_node_len):
             counter += 1
-            name = f"s{counter}"
+            name = str(counter)  # numeric names, like vg/gfa2gbwt chopped output
             segments[name] = seq[i:i + max_node_len]
             out.append(name)
         return out
