@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <memory>
 #include <string>
 #include <string_view>
 #include <thread>
@@ -55,8 +56,16 @@ class GzReader {
       if (pos_ >= len_) {
         len_ = gzread(f_, buf_, sizeof(buf_));
         pos_ = 0;
-        if (len_ < 0) err_ = true;
-        if (len_ <= 0) return !line.empty();
+        if (len_ <= 0) {
+          // a truncated gzip member ends with ret=0 and Z_BUF_ERROR (not a
+          // negative return) — interrogate zlib so premature EOF fails the
+          // parse instead of passing as a silently smaller dataset
+          int errnum = Z_OK;
+          gzerror(f_, &errnum);
+          if (len_ < 0 || (errnum != Z_OK && errnum != Z_STREAM_END))
+            err_ = true;
+          return !line.empty();
+        }
       }
       char* nl = static_cast<char*>(memchr(buf_ + pos_, '\n', len_ - pos_));
       if (nl) {
@@ -132,8 +141,10 @@ extern "C" {
 void phi_set_threads(int n) { g_n_threads.store(n); }
 
 // ------------------------------------------------------------------- GFA
-void* phi_gfa_parse(const char* path) try {
+void* phi_gfa_parse(const char* path) {
   auto* h = new GfaHandle();
+  h->error.reserve(64);  // catch-path assignment must not allocate
+  try {
   GzReader rd(path);
   if (!rd.ok()) {
     h->error = "cannot open file";
@@ -255,6 +266,10 @@ void* phi_gfa_parse(const char* path) try {
       }
       f[nf++] = lv.substr(start);
       if (nf < 7) continue;
+      // optional typed tags may follow the walk on GFA 1.1 W lines —
+      // the walk field ends at the next tab
+      size_t wt = f[6].find('\t');
+      if (wt != std::string_view::npos) f[6] = f[6].substr(0, wt);
       h->walk_names.append(f[1]);
       h->walk_names.push_back('.');
       h->walk_names.append(f[2]);
@@ -353,10 +368,11 @@ void* phi_gfa_parse(const char* path) try {
     h->edge_v.push_back(static_cast<int32_t>(p & 0xFFFFFFFF));
   }
   return h;
-} catch (...) {
-  auto* h = new GfaHandle();
-  h->error = "native allocation failure";
-  return h;
+  } catch (...) {
+    *h = GfaHandle{};  // drop partial contents (move-assign, no alloc)
+    h->error = "native allocation failure";
+    return h;
+  }
 }
 
 const char* phi_gfa_error(void* hp) {
@@ -421,8 +437,10 @@ const char* phi_gfa_walk_meta(void* hp, int64_t* len) {
 void phi_gfa_free(void* hp) { delete static_cast<GfaHandle*>(hp); }
 
 // ------------------------------------------------------------- FASTA/FASTQ
-void* phi_reads_load(const char* path) try {
+void* phi_reads_load(const char* path) {
   auto* h = new ReadsHandle();
+  h->error.reserve(64);  // catch-path assignment must not allocate
+  try {
   GzReader rd(path);
   if (!rd.ok()) {
     h->error = "cannot open file";
@@ -473,10 +491,11 @@ void* phi_reads_load(const char* path) try {
   }
   if (rd.error()) h->error = "gzip stream error (corrupt or truncated input)";
   return h;
-} catch (...) {
-  auto* h = new ReadsHandle();
-  h->error = "native allocation failure";
-  return h;
+  } catch (...) {
+    *h = ReadsHandle{};
+    h->error = "native allocation failure";
+    return h;
+  }
 }
 
 const char* phi_reads_error(void* hp) {
@@ -977,7 +996,10 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
 
   // pass 2: group counting (sorted (key, sid) pairs — direct sort is
   // cache-friendlier than an indirect comparator) -> bad groups -> bad k-mers
-  std::vector<char> bad_sid(static_cast<size_t>(spectrum_size), 0);
+  // (shared atomic flags: relaxed same-value stores from any thread are
+  // race-free and avoid per-thread spectrum_size scratch + a serial merge)
+  std::unique_ptr<std::atomic<uint8_t>[]> bad_sid(
+      new std::atomic<uint8_t>[spectrum_size]());
   {
     // group_key values are mix64 outputs (uniform), so an 8-bit top-prefix
     // partition splits the pairs into 256 balanced buckets; groups never
@@ -996,12 +1018,7 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
     double cutoff = threshold * static_cast<double>(n_haps);
     unsigned nt = pool_size();
     std::atomic<int64_t> next_bk{0};
-    // per-thread bad-sid scratch, OR-merged after join (two threads may
-    // flag the same sid; same-byte concurrent stores are formally a race)
-    std::vector<std::vector<char>> bad_t(nt);
-    auto work_bucket = [&](unsigned t) {
-      auto& bad = nt > 1 ? bad_t[t] : bad_sid;
-      if (nt > 1) bad.assign(static_cast<size_t>(spectrum_size), 0);
+    auto work_bucket = [&] {
       for (int64_t b; (b = next_bk.fetch_add(1)) < kBk;) {
         auto* lo = ks.data() + bcnt[b];
         auto* hi = ks.data() + bcnt[b + 1];
@@ -1011,36 +1028,36 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
           auto* end = run;
           while (end < hi && end->first == run->first) end++;
           if (static_cast<double>(end - run) >= cutoff) {
-            for (auto* j = run; j < end; j++) bad[j->second] = 1;
+            for (auto* j = run; j < end; j++)
+              bad_sid[j->second].store(1, std::memory_order_relaxed);
           }
           run = end;
         }
       }
     };
     if (nt <= 1) {
-      work_bucket(0);
+      work_bucket();
     } else {
       std::vector<std::thread> pool;
-      for (unsigned t = 0; t < nt; t++) pool.emplace_back(work_bucket, t);
+      for (unsigned t = 0; t < nt; t++) pool.emplace_back(work_bucket);
       for (auto& th : pool) th.join();
-      for (unsigned t = 0; t < nt; t++)
-        for (int64_t s = 0; s < spectrum_size; s++)
-          if (bad_t[t][s]) bad_sid[s] = 1;
     }
   }
-  for (int64_t s = 0; s < spectrum_size; s++) h->filtered_kmers += bad_sid[s];
+  for (int64_t s = 0; s < spectrum_size; s++)
+    h->filtered_kmers += bad_sid[s].load(std::memory_order_relaxed);
 
   // pass 3: retained occurrences; solver keeps multi-vertex ones
   std::vector<char> model_sid(static_cast<size_t>(spectrum_size), 0);
   int64_t n_keep = 0;
   for (int64_t i = 0; i < total; i++)
-    if (!bad_sid[hit_sid[i]] && o_end[i] > o_start[i]) n_keep++;
+    if (!bad_sid[hit_sid[i]].load(std::memory_order_relaxed)
+        && o_end[i] > o_start[i]) n_keep++;
   h->occ_hap.reserve(n_keep);
   h->occ_start.reserve(n_keep);
   h->occ_end.reserve(n_keep);
   h->occ_kmer.reserve(n_keep);
   for (int64_t i = 0; i < total; i++) {
-    if (bad_sid[hit_sid[i]]) continue;
+    if (bad_sid[hit_sid[i]].load(std::memory_order_relaxed)) continue;
     h->per_hap_anchors[o_hap[i]]++;
     if (o_end[i] <= o_start[i]) continue;
     h->occ_hap.push_back(o_hap[i]);

@@ -40,8 +40,7 @@ def _build() -> bool:
 
 
 def get_lib() -> ctypes.CDLL | None:
-    global _lib, _tried
-    if _lib is not None or _tried:
+    if _lib is not None:  # lock-free fast path only once fully initialized
         return _lib
     with _lib_lock:
         return _get_lib_locked()
@@ -51,8 +50,8 @@ def _get_lib_locked() -> ctypes.CDLL | None:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
-    _tried = True
     if not os.path.exists(_SO) and not _build():
+        _tried = True
         return None
     lib = ctypes.CDLL(_SO)
     lib.phi_gfa_parse.restype = c_p
@@ -172,6 +171,7 @@ def _get_lib_locked() -> ctypes.CDLL | None:
     lib.phi_walk_codes.restype = c_i64
     lib.phi_walk_codes.argtypes = [c_u8p, c_i64p, c_i32p, c_i64, c_u8p]
     _lib = lib
+    _tried = True
     return _lib
 
 

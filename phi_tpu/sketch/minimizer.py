@@ -673,7 +673,7 @@ def sketch_join_walks(graph, k: int, w: int, sp_hi, sp_lo
         | np.asarray(sp_lo).astype(np.uint64)
     accel = join_accel(sp_key) if len(sp_key) > (1 << 16) else None
     g = graph.gfa
-    node_len = g.node_off[1:] - g.node_off[:-1]
+    node_len = g.node_len
 
     def one(h: int):
         walk = graph.walk_mat[h, :graph.walk_len[h]]

@@ -122,3 +122,46 @@ def test_embedded_fasta_and_ln_declared_length(tmp_path):
         assert g.node_seq(0) == "NNNN"      # LN-declared, no sequence
         assert g.node_seq(1) == "ACGT"      # embedded FASTA
         assert g.node_seq(2) == "NNN"
+
+
+def test_w_line_trailing_tags_native(tmp_path):
+    """GFA 1.1 W lines may carry typed tags after the walk; the walk field
+    must end at the tab (native parser previously created a phantom
+    segment from '2\\tXX:i:5')."""
+    import numpy as np
+
+    from phi_tpu.native import available, parse_gfa_native
+    if not available():
+        import pytest
+        pytest.skip("native library unavailable")
+    p = tmp_path / "t.gfa"
+    p.write_text("S\t1\tACGTACGT\nS\t2\tTTTTCCCC\nL\t1\t+\t2\t+\t0M\n"
+                 "W\tsamp\t1\tchr1\t0\t16\t>1>2\tXX:i:5\n")
+    g = parse_gfa_native(str(p))
+    assert len(g.node_len) == 2
+    assert np.array_equal(g.walks[0], [0, 1])
+
+
+def test_truncated_gzip_fails_loudly(tmp_path):
+    """A gzip stream cut mid-member must raise, not parse as a silently
+    smaller dataset (gzread reports it via gzerror, not a negative return)."""
+    import gzip
+
+    import pytest
+
+    from phi_tpu.native import available, load_reads_native, parse_gfa_native
+    if not available():
+        pytest.skip("native library unavailable")
+    big_gfa = "".join(f"S\t{i}\t{'ACGT' * 25}\n" for i in range(5000))
+    blob = gzip.compress(big_gfa.encode())
+    p = tmp_path / "t.gfa.gz"
+    p.write_bytes(blob[: len(blob) // 2])
+    with pytest.raises(ValueError, match="gzip stream error"):
+        parse_gfa_native(str(p))
+    big_fq = "".join(f"@r{i}\n{'ACGT' * 30}\n+\n{'I' * 120}\n"
+                     for i in range(5000))
+    blobq = gzip.compress(big_fq.encode())
+    q = tmp_path / "t.fq.gz"
+    q.write_bytes(blobq[: len(blobq) // 2])
+    with pytest.raises(ValueError, match="gzip stream error"):
+        load_reads_native(str(q))
