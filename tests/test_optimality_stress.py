@@ -138,3 +138,26 @@ def test_duplicate_credit_trap_at_scale():
         "refinement must recover lane A despite B's duplicate credit"
     assert res.true_objective - res.dp_objective <= 0.5 + 1e-6, \
         f"gap not closed: {res.true_objective} vs {res.dp_objective}"
+
+
+@pytest.mark.parametrize("seed,R", [(33, 0.5), (41, 3.0), (75, 0.5)])
+def test_refinement_recovers_optimum_hard_cases(seed, R):
+    """Instances where the one-shot relaxation decode is suboptimal (found
+    by a 100-seed sweep vs brute force); the pipeline's Lagrangian
+    refinement must recover the exact optimum."""
+    import random
+
+    import tests.test_solver as ts
+    from phi_tpu.config import Options
+    from phi_tpu.pipeline import _solve_with_refinement
+    from phi_tpu.solve.exact import brute_force_optimum
+    rng = random.Random(seed)
+    graph, read = ts._random_instance(rng, n_blocks=rng.randint(3, 7),
+                                      n_haps=rng.randint(2, 5))
+    anchors, tables, _ = ts._full_solve(graph, [read], 4, 2, R)
+    exact, _ = brute_force_optimum(graph, tables, anchors)
+    res = _solve_with_refinement(graph, anchors,
+                                 Options(k=4, w=2, recombination=R,
+                                         lagrangian_rounds=8))
+    assert res.dp_objective <= exact + 1e-3   # valid bound throughout
+    assert res.true_objective <= exact + 1e-3  # exact optimum recovered
