@@ -49,7 +49,9 @@ class GzReader {
   // gzread returned an error (corrupt/truncated stream) — callers must
   // treat the parse as failed, not as a silently smaller dataset
   bool error() const { return err_; }
-  // Reads one line (without trailing \n) into line. Returns false at EOF.
+  // Reads one line (without trailing \n, and without a trailing \r so CRLF
+  // input parses identically to Unix line endings — kseq.h:146 semantics)
+  // into line. Returns false at EOF.
   bool getline(std::string& line) {
     line.clear();
     for (;;) {
@@ -64,6 +66,7 @@ class GzReader {
           gzerror(f_, &errnum);
           if (len_ < 0 || (errnum != Z_OK && errnum != Z_STREAM_END))
             err_ = true;
+          if (!line.empty() && line.back() == '\r') line.pop_back();
           return !line.empty();
         }
       }
@@ -71,6 +74,7 @@ class GzReader {
       if (nl) {
         line.append(buf_ + pos_, nl - (buf_ + pos_));
         pos_ = (nl - buf_) + 1;
+        if (!line.empty() && line.back() == '\r') line.pop_back();
         return true;
       }
       line.append(buf_ + pos_, len_ - pos_);
