@@ -947,28 +947,62 @@ struct Handle {
   int64_t filtered_kmers = 0;
 };
 
+// PHI_NATIVE_TIMING=1: phase wall-clocks on stderr (perf diagnosis only)
+inline bool timing_enabled() {
+  static const bool on = [] {
+    const char* e = getenv("PHI_NATIVE_TIMING");
+    return e && *e == '1';
+  }();
+  return on;
+}
+
+inline double now_s() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
 }  // namespace anchors
 
+// Anchor-table construction from per-haplotype join hits. hit_pos_ph /
+// hit_sid_ph are PER-HAP pointers (no host-side concatenation: at
+// chromosome scale the hit arrays are ~1 GB and the copy the old
+// single-buffer signature forced was the dominant cost of the phase).
+// Hits must ascend in pos within each hap (the join emits them that way);
+// pass 1 verifies while advancing and the call returns nullptr on
+// violation, which callers treat as "fall back to the numpy path".
 void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
                   const int32_t* walk_len, const int64_t* node_len,
-                  const int64_t* hit_off, const int32_t* hit_pos,
-                  const int32_t* hit_sid, int64_t spectrum_size, int32_t k,
-                  double threshold) try {
+                  const int64_t* hit_cnt, const int32_t* const* hit_pos_ph,
+                  const int32_t* const* hit_sid_ph, int64_t spectrum_size,
+                  int32_t k, double threshold) try {
   auto* h = new anchors::Handle();
+  std::vector<int64_t> hit_off(n_haps + 1, 0);
+  for (int64_t hp = 0; hp < n_haps; hp++)
+    hit_off[hp + 1] = hit_off[hp] + hit_cnt[hp];
   int64_t total = hit_off[n_haps];
   h->per_hap_anchors.assign(n_haps, 0);
+  double t0 = anchors::timing_enabled() ? anchors::now_s() : 0.0;
 
   // pass 1: intervals + run hashes; haps are independent, so split them
   // across a small thread pool (each hap's hit range is contiguous)
   std::vector<int32_t> o_hap(total), o_start(total), o_end(total);
+  std::vector<int32_t> g_sid(total);  // linear-access sid view for passes 2/3
   std::vector<uint64_t> group_key(total);
+  std::atomic<bool> bad_order{false};
   auto pass1 = [&](int64_t hp) {
     const int32_t* wm = walk_mat + hp * P;
+    const int32_t* pos_a = hit_pos_ph[hp];
+    const int32_t* sid_a = hit_sid_ph[hp];
     int64_t L = walk_len[hp];
     int64_t s_idx = 0, e_idx = 0;       // walk positions of interval ends
     int64_t s_base = 0, e_base = 0;     // base offset of position starts
-    for (int64_t i = hit_off[hp]; i < hit_off[hp + 1]; i++) {
-      int64_t pos = hit_pos[i];
+    int64_t prev_pos = -1;
+    for (int64_t j = 0; j < hit_cnt[hp]; j++) {
+      int64_t i = hit_off[hp] + j;
+      int64_t pos = pos_a[j];
+      if (pos < prev_pos) { bad_order.store(true); return; }
+      prev_pos = pos;
       int64_t last = pos + k - 1;
       // advance (hits ascend in pos within a hap)
       while (s_idx + 1 < L && s_base + node_len[wm[s_idx]] <= pos)
@@ -979,10 +1013,11 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
       o_hap[i] = static_cast<int32_t>(hp);
       o_start[i] = static_cast<int32_t>(s_idx);
       o_end[i] = static_cast<int32_t>(e_idx);
+      g_sid[i] = sid_a[j];
       uint64_t rh = 1;
       for (int64_t p = s_idx; p <= e_idx; p++)
         rh = anchors::mix64(rh ^ static_cast<uint64_t>(wm[p]));
-      group_key[i] = anchors::mix64(static_cast<uint64_t>(hit_sid[i]) ^ rh);
+      group_key[i] = anchors::mix64(static_cast<uint64_t>(sid_a[j]) ^ rh);
     }
   };
   unsigned n_thr = pool_size();
@@ -997,6 +1032,13 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
       });
     for (auto& th : pool) th.join();
   }
+  if (bad_order.load()) { delete h; return nullptr; }
+
+  if (anchors::timing_enabled()) {
+    fprintf(stderr, "[phi_anchors] pass1 %.2f s (%lld hits)\n",
+            anchors::now_s() - t0, (long long)total);
+    t0 = anchors::now_s();
+  }
 
   // pass 2: group counting (sorted (key, sid) pairs — direct sort is
   // cache-friendlier than an indirect comparator) -> bad groups -> bad k-mers
@@ -1008,19 +1050,63 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
     // group_key values are mix64 outputs (uniform), so an 8-bit top-prefix
     // partition splits the pairs into 256 balanced buckets; groups never
     // cross buckets, so each bucket sorts and run-scans independently on
-    // the thread pool — no global sort, no merge.
+    // the thread pool — no global sort, no merge. The partition itself is
+    // a two-phase parallel scatter: threads own contiguous input chunks,
+    // count per bucket, then write into disjoint per-(thread,bucket)
+    // slices (order within a bucket is irrelevant — it gets sorted).
     constexpr int kBk = 256;
-    std::vector<int64_t> bcnt(kBk + 1, 0);
-    for (int64_t i = 0; i < total; i++) bcnt[(group_key[i] >> 56) + 1]++;
-    for (int c = 0; c < kBk; c++) bcnt[c + 1] += bcnt[c];
+    unsigned nt = pool_size();
+    int64_t chunk = nt > 1 ? (total + nt - 1) / nt : total;
+    unsigned n_chunks = nt > 1 && total
+        ? static_cast<unsigned>((total + chunk - 1) / chunk) : 1;
+    std::vector<std::vector<int64_t>> tcnt(n_chunks,
+                                           std::vector<int64_t>(kBk, 0));
     std::vector<std::pair<uint64_t, int32_t>> ks(total);
+    auto count_chunk = [&](unsigned t) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(total, lo + chunk);
+      auto& c = tcnt[t];
+      for (int64_t i = lo; i < hi; i++) c[group_key[i] >> 56]++;
+    };
+    std::vector<int64_t> bcnt(kBk + 1, 0);
+    if (n_chunks <= 1) {
+      count_chunk(0);
+    } else {
+      std::vector<std::thread> pool;
+      for (unsigned t = 0; t < n_chunks; t++)
+        pool.emplace_back(count_chunk, t);
+      for (auto& th : pool) th.join();
+    }
+    for (int b = 0; b < kBk; b++) {
+      bcnt[b + 1] = bcnt[b];
+      for (unsigned t = 0; t < n_chunks; t++) bcnt[b + 1] += tcnt[t][b];
+    }
     {
-      std::vector<int64_t> fill(bcnt.begin(), bcnt.end() - 1);
-      for (int64_t i = 0; i < total; i++)
-        ks[fill[group_key[i] >> 56]++] = {group_key[i], hit_sid[i]};
+      // per-(thread,bucket) start offsets, then independent scatters
+      std::vector<std::vector<int64_t>> tfill(n_chunks,
+                                              std::vector<int64_t>(kBk));
+      for (int b = 0; b < kBk; b++) {
+        int64_t at = bcnt[b];
+        for (unsigned t = 0; t < n_chunks; t++) {
+          tfill[t][b] = at;
+          at += tcnt[t][b];
+        }
+      }
+      auto fill_chunk = [&](unsigned t) {
+        int64_t lo = t * chunk, hi = std::min<int64_t>(total, lo + chunk);
+        auto& f = tfill[t];
+        for (int64_t i = lo; i < hi; i++)
+          ks[f[group_key[i] >> 56]++] = {group_key[i], g_sid[i]};
+      };
+      if (n_chunks <= 1) {
+        fill_chunk(0);
+      } else {
+        std::vector<std::thread> pool;
+        for (unsigned t = 0; t < n_chunks; t++)
+          pool.emplace_back(fill_chunk, t);
+        for (auto& th : pool) th.join();
+      }
     }
     double cutoff = threshold * static_cast<double>(n_haps);
-    unsigned nt = pool_size();
     std::atomic<int64_t> next_bk{0};
     auto work_bucket = [&] {
       for (int64_t b; (b = next_bk.fetch_add(1)) < kBk;) {
@@ -1050,29 +1136,83 @@ void* phi_anchors(int64_t n_haps, int64_t P, const int32_t* walk_mat,
   for (int64_t s = 0; s < spectrum_size; s++)
     h->filtered_kmers += bad_sid[s].load(std::memory_order_relaxed);
 
-  // pass 3: retained occurrences; solver keeps multi-vertex ones
-  std::vector<char> model_sid(static_cast<size_t>(spectrum_size), 0);
-  int64_t n_keep = 0;
-  for (int64_t i = 0; i < total; i++)
-    if (!bad_sid[hit_sid[i]].load(std::memory_order_relaxed)
-        && o_end[i] > o_start[i]) n_keep++;
-  h->occ_hap.reserve(n_keep);
-  h->occ_start.reserve(n_keep);
-  h->occ_end.reserve(n_keep);
-  h->occ_kmer.reserve(n_keep);
-  for (int64_t i = 0; i < total; i++) {
-    if (bad_sid[hit_sid[i]].load(std::memory_order_relaxed)) continue;
-    h->per_hap_anchors[o_hap[i]]++;
-    if (o_end[i] <= o_start[i]) continue;
-    h->occ_hap.push_back(o_hap[i]);
-    h->occ_start.push_back(o_start[i]);
-    h->occ_end.push_back(o_end[i]);
-    h->occ_kmer.push_back(hit_sid[i]);
-    if (!model_sid[hit_sid[i]]) {
-      model_sid[hit_sid[i]] = 1;
-      h->n_model_kmers++;
+  if (anchors::timing_enabled()) {
+    fprintf(stderr, "[phi_anchors] pass2 %.2f s\n", anchors::now_s() - t0);
+    t0 = anchors::now_s();
+  }
+
+  // pass 3: retained occurrences; solver keeps multi-vertex ones. Haps own
+  // contiguous ranges, so count-per-hap then fill-at-offset parallelizes
+  // without any merge; model_sid flags use the same relaxed-store trick as
+  // bad_sid (same-value stores from any thread are race-free).
+  std::unique_ptr<std::atomic<uint8_t>[]> model_sid(
+      new std::atomic<uint8_t>[spectrum_size]());
+  std::vector<int64_t> keep_off(n_haps + 1, 0);
+  {
+    auto count_hap = [&](int64_t hp) {
+      int64_t keep = 0, anch = 0;
+      for (int64_t i = hit_off[hp]; i < hit_off[hp + 1]; i++) {
+        if (bad_sid[g_sid[i]].load(std::memory_order_relaxed)) continue;
+        anch++;
+        if (o_end[i] > o_start[i]) keep++;
+      }
+      keep_off[hp + 1] = keep;
+      h->per_hap_anchors[hp] = anch;
+    };
+    unsigned nt = pool_size();
+    if (n_haps <= 1 || nt <= 1) {
+      for (int64_t hp = 0; hp < n_haps; hp++) count_hap(hp);
+    } else {
+      std::vector<std::thread> pool;
+      std::atomic<int64_t> next_hp{0};
+      for (unsigned t = 0; t < nt; t++)
+        pool.emplace_back([&] {
+          for (int64_t hp; (hp = next_hp.fetch_add(1)) < n_haps;)
+            count_hap(hp);
+        });
+      for (auto& th : pool) th.join();
     }
   }
+  for (int64_t hp = 0; hp < n_haps; hp++) keep_off[hp + 1] += keep_off[hp];
+  int64_t n_keep = keep_off[n_haps];
+  h->occ_hap.resize(n_keep);
+  h->occ_start.resize(n_keep);
+  h->occ_end.resize(n_keep);
+  h->occ_kmer.resize(n_keep);
+  {
+    auto fill_hap = [&](int64_t hp) {
+      int64_t at = keep_off[hp];
+      for (int64_t i = hit_off[hp]; i < hit_off[hp + 1]; i++) {
+        int32_t sid = g_sid[i];
+        if (bad_sid[sid].load(std::memory_order_relaxed)) continue;
+        if (o_end[i] <= o_start[i]) continue;
+        h->occ_hap[at] = o_hap[i];
+        h->occ_start[at] = o_start[i];
+        h->occ_end[at] = o_end[i];
+        h->occ_kmer[at] = sid;
+        at++;
+        model_sid[sid].store(1, std::memory_order_relaxed);
+      }
+    };
+    unsigned nt = pool_size();
+    if (n_haps <= 1 || nt <= 1) {
+      for (int64_t hp = 0; hp < n_haps; hp++) fill_hap(hp);
+    } else {
+      std::vector<std::thread> pool;
+      std::atomic<int64_t> next_hp{0};
+      for (unsigned t = 0; t < nt; t++)
+        pool.emplace_back([&] {
+          for (int64_t hp; (hp = next_hp.fetch_add(1)) < n_haps;)
+            fill_hap(hp);
+        });
+      for (auto& th : pool) th.join();
+    }
+  }
+  for (int64_t s = 0; s < spectrum_size; s++)
+    h->n_model_kmers += model_sid[s].load(std::memory_order_relaxed);
+  if (anchors::timing_enabled())
+    fprintf(stderr, "[phi_anchors] pass3 %.2f s (%lld kept)\n",
+            anchors::now_s() - t0, (long long)n_keep);
   return h;
 } catch (...) {
   return nullptr;

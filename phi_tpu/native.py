@@ -134,7 +134,8 @@ def _get_lib_locked() -> ctypes.CDLL | None:
 
     lib.phi_anchors.restype = c_p
     lib.phi_anchors.argtypes = [c_i64, c_i64, c_i32p, c_i32p, c_i64p,
-                                c_i64p, c_i32p, c_i32p, c_i64,
+                                c_i64p, ctypes.POINTER(c_i32p),
+                                ctypes.POINTER(c_i32p), c_i64,
                                 ctypes.c_int32, ctypes.c_double]
     for name in ("phi_anchors_n_occ", "phi_anchors_n_model_kmers",
                  "phi_anchors_filtered_kmers"):
@@ -439,24 +440,29 @@ def anchors_native(graph, k: int,
                    spectrum_size: int, threshold: float):
     """Native anchor-table construction: returns (occ_hap, occ_start,
     occ_end, occ_kmer, n_model_kmers, filtered_kmers, per_hap_anchors) or
-    None. Requires per-hap hit positions in ascending order (the join emits
-    them that way)."""
+    None. Hits are handed over as PER-HAP pointers (no concatenation — at
+    chromosome scale that copy dominated the phase); the native pass 1
+    verifies ascending positions itself and returns null on violation,
+    which falls back to the order-independent numpy path."""
     lib = get_lib()
     if lib is None:
         return None
     H = graph.num_walks
-    hit_off = np.zeros(H + 1, np.int64)
+    hit_cnt = np.zeros(max(H, 1), np.int64)
+    # per-hap contiguous int32 views (no-op when the join already emits
+    # int32, which it does; keep references alive across the call)
+    pos_arrs, sid_arrs = [], []
     for h in range(H):
-        n = len(hits[h][1])
-        hit_off[h + 1] = hit_off[h] + n
-        if n > 1 and not (np.diff(hits[h][1].astype(np.int64)) >= 0).all():
-            return None  # fall back to the order-independent numpy path
-    hit_pos = np.ascontiguousarray(
-        np.concatenate([hits[h][1] for h in range(H)])
-        if hit_off[-1] else np.zeros(0, np.int32), np.int32)
-    hit_sid = np.ascontiguousarray(
-        np.concatenate([hits[h][2] for h in range(H)])
-        if hit_off[-1] else np.zeros(0, np.int32), np.int32)
+        hit_cnt[h] = len(hits[h][1])
+        pos_arrs.append(np.ascontiguousarray(hits[h][1], np.int32))
+        sid_arrs.append(np.ascontiguousarray(hits[h][2], np.int32))
+    empty = np.zeros(1, np.int32)
+    pos_ptrs = (c_i32p * max(H, 1))(*[
+        (a if len(a) else empty).ctypes.data_as(c_i32p) for a in pos_arrs
+    ] or [empty.ctypes.data_as(c_i32p)])
+    sid_ptrs = (c_i32p * max(H, 1))(*[
+        (a if len(a) else empty).ctypes.data_as(c_i32p) for a in sid_arrs
+    ] or [empty.ctypes.data_as(c_i32p)])
     wm = np.ascontiguousarray(graph.walk_mat, np.int32)
     wl = np.ascontiguousarray(graph.walk_len, np.int32)
     nl = np.ascontiguousarray(graph.gfa.node_len, np.int64)
@@ -464,8 +470,7 @@ def anchors_native(graph, k: int,
         H, graph.walk_mat.shape[1] if H else 0,
         wm.ctypes.data_as(c_i32p), wl.ctypes.data_as(c_i32p),
         nl.ctypes.data_as(c_i64p),
-        np.ascontiguousarray(hit_off).ctypes.data_as(c_i64p),
-        hit_pos.ctypes.data_as(c_i32p), hit_sid.ctypes.data_as(c_i32p),
+        hit_cnt.ctypes.data_as(c_i64p), pos_ptrs, sid_ptrs,
         spectrum_size, k, threshold)
     if not hp:
         return None
