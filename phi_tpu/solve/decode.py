@@ -54,7 +54,14 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         ep = t.esrc_p.astype(np.int64)
         sv = np.where(ep < walk_len[t.esrc_h],
                       M[eh, ep] - _b_at_esrc(t, graph, eh, ep), INF)
-        order = np.argsort(t.esrc_target, kind="stable")
+        # esrc_target is graph-static: cache its sort across decode calls
+        # (Lagrangian rounds re-decode with identical switch sources)
+        tcache = getattr(graph, "_esrc_torder", None)
+        if tcache is None or tcache[0] is not t.esrc_target:
+            order = np.argsort(t.esrc_target, kind="stable")
+            tcache = (t.esrc_target, order)
+            graph._esrc_torder = tcache
+        order = tcache[1]
         tgt_s = t.esrc_target[order]
         sv_s = sv[order]
         starts = np.flatnonzero(np.concatenate([[True], tgt_s[1:] != tgt_s[:-1]]))
@@ -89,9 +96,17 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     if L > 0:
         # lazy straddle queries: the W stack is L*H*P floats and only a few
         # backtrace states ever read it — index occurrences per lane by
-        # start position instead
-        o_order = np.argsort(t.occ_hap.astype(np.int64) * (P + 1)
-                             + t.occ_start, kind="stable")
+        # start position instead. The (hap, start) sort depends only on the
+        # occurrence LAYOUT (refinement rounds swap occ_weight, never the
+        # occ_hap/occ_start arrays) — cache it across decode calls.
+        ocache = getattr(graph, "_occ_sorder", None)
+        if (ocache is None or ocache[0] is not t.occ_hap
+                or ocache[1] is not t.occ_start):
+            o_order = np.argsort(t.occ_hap.astype(np.int64) * (P + 1)
+                                 + t.occ_start, kind="stable")
+            ocache = (t.occ_hap, t.occ_start, o_order)
+            graph._occ_sorder = ocache
+        o_order = ocache[2]
         o_hap = t.occ_hap[o_order]
         o_start = t.occ_start[o_order].astype(np.int64)
         o_end = t.occ_end[o_order].astype(np.int64)
