@@ -1455,24 +1455,89 @@ int64_t phi_solve_exact(const float* S, const float* B, const float* W,
 // lanes_of_vertex CSR by counting sort: for each vertex, the flat lane
 // states h*P+p in row-major order (same order as the numpy stable-argsort
 // path in pangenome.build_csr). Caller allocates off[n_vtx+1], values[total].
+// vertex -> flat lane states CSR (counting sort). Parallel and
+// DETERMINISTIC: the count pass uses per-thread count arrays over
+// contiguous walk chunks; the scatter pass partitions by VERTEX RANGE —
+// every thread rescans all walks but writes only vertices in its range, so
+// each vertex's list keeps the exact serial (h, p) order (downstream
+// tie-breaking, and therefore emitted paths, stay byte-identical).
+// Rescans are cheap sequential reads; the wins are parallel first-touch of
+// the ~GB `values` buffer (the old serial scatter was fault-storm-bound at
+// chromosome scale: 98 s for 160M entries) and parallel counting.
 void phi_lane_csr(int64_t H, int64_t P, const int32_t* walk_mat,
                   const int32_t* walk_len, int64_t n_vtx, int64_t* off,
                   int64_t* values) {
-  std::vector<int64_t> cnt(static_cast<size_t>(n_vtx) + 1, 0);
-  for (int64_t h = 0; h < H; h++) {
-    const int32_t* row = walk_mat + h * P;
-    int64_t L = walk_len[h];
-    for (int64_t p = 0; p < L; p++)
-      if (row[p] >= 0) cnt[row[p]]++;
+  unsigned nt = pool_size();
+  int64_t total_rows = H;
+  if (nt <= 1 || total_rows == 0 || n_vtx == 0) {
+    std::vector<int64_t> cnt(static_cast<size_t>(n_vtx) + 1, 0);
+    for (int64_t h = 0; h < H; h++) {
+      const int32_t* row = walk_mat + h * P;
+      int64_t L = walk_len[h];
+      for (int64_t p = 0; p < L; p++)
+        if (row[p] >= 0) cnt[row[p]]++;
+    }
+    off[0] = 0;
+    for (int64_t v = 0; v < n_vtx; v++) off[v + 1] = off[v] + cnt[v];
+    std::vector<int64_t> cur(off, off + n_vtx);
+    for (int64_t h = 0; h < H; h++) {
+      const int32_t* row = walk_mat + h * P;
+      int64_t L = walk_len[h];
+      for (int64_t p = 0; p < L; p++)
+        if (row[p] >= 0) values[cur[row[p]]++] = h * P + p;
+    }
+    return;
+  }
+  // count: per-thread count arrays over hap chunks, then reduce
+  std::vector<std::vector<int64_t>> tcnt(nt);
+  {
+    std::vector<std::thread> pool;
+    std::atomic<int64_t> next_h{0};
+    for (unsigned t = 0; t < nt; t++)
+      pool.emplace_back([&, t] {
+        auto& c = tcnt[t];
+        c.assign(static_cast<size_t>(n_vtx), 0);
+        for (int64_t h; (h = next_h.fetch_add(1)) < H;) {
+          const int32_t* row = walk_mat + h * P;
+          int64_t L = walk_len[h];
+          for (int64_t p = 0; p < L; p++)
+            if (row[p] >= 0) c[row[p]]++;
+        }
+      });
+    for (auto& th : pool) th.join();
   }
   off[0] = 0;
-  for (int64_t v = 0; v < n_vtx; v++) off[v + 1] = off[v] + cnt[v];
-  std::vector<int64_t> cur(off, off + n_vtx);
-  for (int64_t h = 0; h < H; h++) {
-    const int32_t* row = walk_mat + h * P;
-    int64_t L = walk_len[h];
-    for (int64_t p = 0; p < L; p++)
-      if (row[p] >= 0) values[cur[row[p]]++] = h * P + p;
+  for (int64_t v = 0; v < n_vtx; v++) {
+    int64_t c = 0;
+    for (unsigned t = 0; t < nt; t++) c += tcnt[t][v];
+    off[v + 1] = off[v] + c;
+  }
+  int64_t total = off[n_vtx];
+  // vertex-range split balanced by entry count
+  std::vector<int64_t> vsplit(nt + 1, n_vtx);
+  vsplit[0] = 0;
+  for (unsigned t = 1; t < nt; t++) {
+    int64_t want = total * t / nt;
+    vsplit[t] = std::lower_bound(off, off + n_vtx + 1, want) - off;
+    if (vsplit[t] > n_vtx) vsplit[t] = n_vtx;
+  }
+  {
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < nt; t++)
+      pool.emplace_back([&, t] {
+        int64_t vlo = vsplit[t], vhi = vsplit[t + 1];
+        if (vlo >= vhi) return;
+        std::vector<int64_t> cur(off + vlo, off + vhi);
+        for (int64_t h = 0; h < H; h++) {
+          const int32_t* row = walk_mat + h * P;
+          int64_t L = walk_len[h];
+          for (int64_t p = 0; p < L; p++) {
+            int32_t v = row[p];
+            if (v >= vlo && v < vhi) values[cur[v - vlo]++] = h * P + p;
+          }
+        }
+      });
+    for (auto& th : pool) th.join();
   }
 }
 

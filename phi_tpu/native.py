@@ -201,6 +201,35 @@ def pool_threads(default_cap: int = 8) -> int:
     return min(default_cap, os.cpu_count() or 1)
 
 
+_HUGE = 2 << 20  # x86-64 huge page
+_MADV_HUGEPAGE = 14
+
+
+def advise_hugepage(*arrays) -> None:
+    """madvise(MADV_HUGEPAGE) the 2MB-aligned interior of large numpy
+    buffers. This host's THP mode is madvise-only, and allocations past the
+    malloc mmap threshold come as fresh 4 KiB-faulting mmaps — on a
+    virtualized box the resulting fault storm costs 10-60x the compute
+    (DESIGN.md "Host path engineering"). Huge pages cut the fault count
+    512x. Best-effort no-op on failure or small arrays."""
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+    except Exception:
+        return
+    for a in arrays:
+        if a is None or a.nbytes < (8 << 20):
+            continue
+        addr = a.ctypes.data
+        start = (addr + _HUGE - 1) & ~(_HUGE - 1)
+        end = (addr + a.nbytes) & ~(_HUGE - 1)
+        if end > start:
+            try:
+                libc.madvise(ctypes.c_void_p(start),
+                             ctypes.c_size_t(end - start), _MADV_HUGEPAGE)
+            except Exception:
+                return
+
+
 def _copy(ptr, n, dtype):
     if n == 0:
         return np.zeros(0, dtype)
@@ -509,6 +538,7 @@ def build_sbw_native(occ_hap: np.ndarray, occ_start: np.ndarray,
     S = np.zeros((H, P), np.float32)
     B = np.zeros((H, P), np.float32)
     W = np.zeros((L, H, P), np.float32)
+    advise_hugepage(S, B, W)
     w_lo = np.empty((max(L, 1), H), np.int64)
     w_hi = np.empty((max(L, 1), H), np.int64)
     f32p = ctypes.POINTER(ctypes.c_float)
@@ -597,6 +627,7 @@ def lane_csr_native(walk_mat: np.ndarray, walk_len: np.ndarray,
     total = int(wl.sum())
     off = np.zeros(n_vtx + 1, np.int64)
     values = np.empty(total, np.int64)
+    advise_hugepage(values)
     lib.phi_lane_csr(H, P, wm.ctypes.data_as(c_i32p),
                      wl.ctypes.data_as(c_i32p), n_vtx,
                      off.ctypes.data_as(c_i64p),
