@@ -1254,6 +1254,40 @@ int phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
       }
     }
   };
+  // Span-descending occurrence index: W layer j needs only occurrences
+  // with span oe-os >= j+2 (typically a small fraction past layer 0 — a
+  // k-mer spans few chopped nodes), so each layer scans a prefix of this
+  // index instead of all n occurrences (was L+1 full scans of the
+  // occurrence arrays at chromosome scale). Counting sort, stable within
+  // a span class, built once up front.
+  std::vector<int64_t> sidx;
+  std::vector<int64_t> until(L + 1, 0);  // until[j] = #occ with span >= j+2
+  if (L > 0 && n > 0) {
+    int64_t dmax = L + 1;
+    std::vector<int64_t> dcnt(dmax + 2, 0);
+    for (int64_t i = 0; i < n; i++) {
+      int64_t d = static_cast<int64_t>(oe[i]) - os[i];
+      if (d > dmax) d = dmax;
+      if (d >= 2) dcnt[d]++;
+    }
+    // dstart[d] = #occ with span > d = write offset of span class d
+    std::vector<int64_t> dstart(dmax + 2, 0);
+    for (int64_t d = dmax; d >= 2; d--)
+      dstart[d] = dstart[d + 1] + dcnt[d + 1];
+    int64_t n_rel = dstart[2] + dcnt[2];
+    sidx.resize(n_rel);
+    std::vector<int64_t> fill(dstart.begin(), dstart.end());
+    for (int64_t i = 0; i < n; i++) {
+      int64_t d = static_cast<int64_t>(oe[i]) - os[i];
+      if (d > dmax) d = dmax;
+      if (d >= 2) sidx[fill[d]++] = i;
+    }
+    for (int64_t j = 0; j < L; j++) {
+      int64_t need = j + 2;
+      until[j] = need <= dmax ? dstart[need] + dcnt[need] : 0;
+    }
+  }
+
   // task ids: 0 -> S+B, 1..L -> W layer j = id-1
   std::atomic<int64_t> next{0};
   auto work = [&] {
@@ -1277,8 +1311,8 @@ int phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
         float* Wj = W_out + j * plane;
         std::fill(lo.begin(), lo.end(), P);
         std::fill(hi.begin(), hi.end(), -1);
-        for (int64_t i = 0; i < n; i++) {
-          if (static_cast<int64_t>(oe[i]) - os[i] < j + 2) continue;
+        for (int64_t s = 0; s < until[j]; s++) {
+          int64_t i = sidx[s];
           int64_t h = oh[i], base = h * P;
           int64_t a = static_cast<int64_t>(os[i]) + 1 + j, b = oe[i];
           Wj[base + a] += ow[i];
