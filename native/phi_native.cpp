@@ -1288,26 +1288,54 @@ int phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
     }
   }
 
-  // task ids: 0 -> S+B, 1..L -> W layer j = id-1
+  // The S/B task (full scatter + two full-row cumsums) is the straggler
+  // once W layers scan only their span prefix; occurrences arrive sorted
+  // by lane (phi_anchors emits them per-hap), so it splits into per-lane-
+  // range subtasks: each scatters its own occurrence slice and cumsums its
+  // own rows. Verify the ordering once; fall back to one serial S/B task
+  // if an exotic caller hands unsorted occurrences.
+  bool oh_sorted = true;
+  for (int64_t i = 1; i < n; i++)
+    if (oh[i] < oh[i - 1]) { oh_sorted = false; break; }
+  int64_t n_sb = (oh_sorted && H_real > 1)
+      ? std::min<int64_t>(pool_size(), H_real) : 1;
+  // lane chunk c covers haps [hsplit[c], hsplit[c+1]); occ slice found by
+  // binary search over the sorted oh
+  std::vector<int64_t> hsplit(n_sb + 1, H_real);
+  hsplit[0] = 0;
+  for (int64_t c = 1; c < n_sb; c++)
+    hsplit[c] = H_real * c / n_sb;
+  auto sb_task = [&](int64_t c) {
+    int64_t hlo = hsplit[c], hhi = hsplit[c + 1];
+    if (hlo >= hhi) return;
+    int64_t ilo = 0, ihi = n;
+    if (n_sb > 1) {
+      ilo = std::lower_bound(oh, oh + n, static_cast<int32_t>(hlo)) - oh;
+      ihi = std::lower_bound(oh, oh + n, static_cast<int32_t>(hhi)) - oh;
+    }
+    std::vector<int64_t> lo(H_real, P), hi(H_real, -1);
+    for (int64_t i = ilo; i < ihi; i++) {
+      int64_t h = oh[i], base = h * P;
+      B_out[base + oe[i]] += ow[i];
+      int64_t sn = static_cast<int64_t>(os[i]) + 1;
+      if (sn < P) S_out[base + sn] += ow[i];
+      int64_t first = sn < oe[i] ? sn : oe[i];
+      if (first < lo[h]) lo[h] = first;
+    }
+    for (int64_t h = hlo; h < hhi; h++) hi[h] = P - 1;  // no canceling pairs
+    row_cumsum(S_out, lo.data(), hi.data());
+    row_cumsum(B_out, lo.data(), hi.data());
+  };
+
+  // task ids: 0..n_sb-1 -> S+B lane chunks, n_sb..n_sb+L-1 -> W layer id-n_sb
   std::atomic<int64_t> next{0};
   auto work = [&] {
     std::vector<int64_t> lo(H_real), hi(H_real);
-    for (int64_t id; (id = next.fetch_add(1)) <= L;) {
-      if (id == 0) {
-        std::fill(lo.begin(), lo.end(), P);
-        for (int64_t i = 0; i < n; i++) {
-          int64_t h = oh[i], base = h * P;
-          B_out[base + oe[i]] += ow[i];
-          int64_t sn = static_cast<int64_t>(os[i]) + 1;
-          if (sn < P) S_out[base + sn] += ow[i];
-          int64_t first = sn < oe[i] ? sn : oe[i];
-          if (first < lo[h]) lo[h] = first;
-        }
-        std::fill(hi.begin(), hi.end(), P - 1);  // no canceling pairs
-        row_cumsum(S_out, lo.data(), hi.data());
-        row_cumsum(B_out, lo.data(), hi.data());
+    for (int64_t id; (id = next.fetch_add(1)) < n_sb + L;) {
+      if (id < n_sb) {
+        sb_task(id);
       } else {
-        int64_t j = id - 1;
+        int64_t j = id - n_sb;
         float* Wj = W_out + j * plane;
         std::fill(lo.begin(), lo.end(), P);
         std::fill(hi.begin(), hi.end(), -1);
@@ -1334,7 +1362,8 @@ int phi_build_sbw(const int32_t* oh, const int32_t* os, const int32_t* oe,
       }
     }
   };
-  unsigned n_thr = std::min<unsigned>(pool_size(), static_cast<unsigned>(L + 1));
+  unsigned n_thr = std::min<unsigned>(pool_size(),
+                                      static_cast<unsigned>(n_sb + L));
   if (n_thr <= 1) {
     work();
   } else {
