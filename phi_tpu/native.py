@@ -211,7 +211,11 @@ def advise_hugepage(*arrays) -> None:
     malloc mmap threshold come as fresh 4 KiB-faulting mmaps — on a
     virtualized box the resulting fault storm costs 10-60x the compute
     (DESIGN.md "Host path engineering"). Huge pages cut the fault count
-    512x. Best-effort no-op on failure or small arrays."""
+    512x. Best-effort no-op on failure or small arrays. THP defrag here is
+    'madvise' (direct compaction at fault), so if a fragmented host ever
+    stalls on compaction, PHI_TPU_NO_HUGEPAGE=1 disables the advice."""
+    if os.environ.get("PHI_TPU_NO_HUGEPAGE") == "1":
+        return
     try:
         libc = ctypes.CDLL(None, use_errno=True)
     except Exception:
