@@ -364,3 +364,36 @@ def test_hap_join_walk_matches_concat():
     c = hap_join_walk_native(seq_code, node_off, walk, len(concat), k, w,
                              keys, acc)
     assert np.array_equal(a[1], c[1]) and np.array_equal(a[2], c[2])
+
+
+def test_native_anchors_rejects_unsorted_hits():
+    """Pass 1 verifies ascending hit positions itself (the old wrapper
+    precheck moved into C++): shuffled positions must return None so the
+    caller falls back to the order-independent numpy path."""
+    from phi_tpu.native import anchors_native
+    from phi_tpu.testing import tiny_instance
+
+    graph, codes, lengths, spectrum, anchors, tables = tiny_instance()
+    # descending positions in one hap
+    hits = [(5, np.array([9, 3, 1], np.int32), np.array([0, 1, 2], np.int32)),
+            (5, np.array([0, 2], np.int32), np.array([0, 1], np.int32))]
+    assert anchors_native(graph, 4, hits, 3, 1.0) is None
+
+
+def test_native_anchors_empty_and_single_hap():
+    """Degenerate shapes: zero hits everywhere, and a single-hap graph."""
+    from phi_tpu.anchors.join import _anchor_tables_from_hits_py
+    from phi_tpu.native import anchors_native
+    from phi_tpu.testing import tiny_instance
+
+    graph, *_ = tiny_instance()
+    hits = [(0, np.zeros(0, np.int32), np.zeros(0, np.int32))
+            for _ in range(graph.num_walks)]
+    nat = anchors_native(graph, 4, hits, 7, 1.0)
+    assert nat is not None
+    occ_hap, occ_start, occ_end, occ_kmer, n_model, filtered, per_hap = nat
+    py = _anchor_tables_from_hits_py(graph, 4, hits, 7, 1.0)
+    assert len(occ_hap) == len(py.occ_hap) == 0
+    assert n_model == py.n_model_kmers == 0
+    assert filtered == py.filtered_kmers == 0
+    assert np.array_equal(per_hap, py.per_hap_anchors)
