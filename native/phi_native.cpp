@@ -738,8 +738,17 @@ int64_t phi_hap_join_walk(const uint8_t* seq_code, const int64_t* node_off,
   if (k < 1 || k > 31 || w < 1) return 0;
   int64_t n_min = 0, n_hit = 0;
   const int shift = 64 - prefix_bits;
-  auto emit = [&](uint64_t best, int64_t pos) {
-    n_min++;
+  // Prefetch-batched probing: at chromosome scale the join issues ~200M
+  // bucketed binary searches over a ~50 MB key array — pure random-miss
+  // latency. Emissions buffer into a small batch; one pass prefetches each
+  // probe's bucket bounds, a second prefetches the bucket's key lines,
+  // then the searches run on resident lines. Hit order (and so output
+  // order) is exactly emission order.
+  constexpr int kBatch = 16;
+  uint64_t bb[kBatch];
+  int64_t bp[kBatch];
+  int nb = 0;
+  auto probe_one = [&](uint64_t best, int64_t pos) {
     const uint64_t* lo = keys;
     const uint64_t* hi = keys + n_keys;
     if (bucket_off) {
@@ -756,12 +765,33 @@ int64_t phi_hap_join_walk(const uint8_t* seq_code, const int64_t* node_off,
       n_hit++;
     }
   };
+  auto flush = [&] {
+    if (bucket_off) {
+      for (int i = 0; i < nb; i++)
+        __builtin_prefetch(&bucket_off[bb[i] >> shift]);
+      for (int i = 0; i < nb; i++) {
+        const uint64_t* lo = keys + bucket_off[bb[i] >> shift];
+        const uint64_t* hi = keys + bucket_off[(bb[i] >> shift) + 1];
+        for (const uint64_t* q = lo; q < hi; q += 8) __builtin_prefetch(q);
+        if (hi > lo) __builtin_prefetch(hi - 1);
+      }
+    }
+    for (int i = 0; i < nb; i++) probe_one(bb[i], bp[i]);
+    nb = 0;
+  };
+  auto emit = [&](uint64_t best, int64_t pos) {
+    n_min++;
+    bb[nb] = best;
+    bp[nb] = pos;
+    if (++nb == kBatch) flush();
+  };
   MinScan<decltype(emit)> scan(k, w, emit);
   for (int64_t i = 0; i < n_walk; i++) {
     const uint8_t* p = seq_code + node_off[walk[i]];
     const uint8_t* e = seq_code + node_off[walk[i] + 1];
     for (; p < e; ++p) scan.feed(*p);
   }
+  flush();
   *n_min_out = n_min;
   return n_hit;
 } catch (...) {
