@@ -37,6 +37,8 @@ class DecodeResult:
 def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
                 M: np.ndarray, ends: np.ndarray, n_sweeps: int,
                 dp_objective: float) -> DecodeResult:
+    import time as _time
+    _t0 = _time.time()
     H, P = t.state_vertex.shape
     walk_len = t.walk_len
     INF = np.float32(np.inf)
@@ -202,6 +204,9 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     matched_distinct, matched_total = _score_matches(t, anchors, segments)
     true_obj = t.R * n_switches + (anchors.n_model_kmers - matched_distinct)
 
+    from phi_tpu.solve.dp import LAST_TIMINGS
+    LAST_TIMINGS["decode"] = round(
+        LAST_TIMINGS.get("decode", 0.0) + (_time.time() - _t0), 3)
     return DecodeResult(
         segments=segments, vertices=vertices, vertex_hap=vertex_hap,
         n_switches=n_switches, recombination_count=recomb,
