@@ -434,20 +434,17 @@ def _pack_rows_2bit(seqs, rows, row_lanes: int) -> np.ndarray:
     windows past n_valid are masked in-kernel."""
     R = len(rows)
     W = row_lanes // 16
-    words = np.zeros((R, W), np.uint32)
-    shifts = np.arange(16, dtype=np.uint32) * 2
+    buf = np.zeros((R, row_lanes), np.uint8)
     for j, (si, start, nv, cont) in enumerate(rows):
         if si < 0:
             continue  # dummy pad row
         seg = seqs[si][start:start + row_lanes]
-        buf = np.zeros(row_lanes, np.uint8)
-        buf[:len(seg)] = seg
-        c = buf.reshape(-1, 16).astype(np.uint32)
-        acc = np.zeros(W, np.uint32)
-        for b in range(16):
-            acc |= c[:, b] << shifts[b]
-        words[j] = acc
-    return words
+        buf[j, :len(seg)] = seg
+    # 2-bit fields are disjoint, so a sum over the 16 shifted base planes
+    # equals the OR — one vectorized pass over the whole batch
+    c = buf.reshape(R, W, 16).astype(np.uint32)
+    shifts = np.arange(16, dtype=np.uint32) * 2
+    return (c << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
 
 
 def join_caps(w: int, super_blocks: int = SUPER_BLOCKS,
@@ -509,62 +506,76 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     emitcap, cap_total = join_caps(w, super_blocks, rows_per_call)
     n_batches = -(-len(rows) // R)
     padded = rows + [(-1, 0, 0, 0)] * (n_batches * R - len(rows))
-    # phase 1: pack + upload every batch first — uploads carry no
-    # dependency (only the kernel dispatches chain through the dedup
-    # carry), so starting them all lets the host->device copies overlap
-    # each other and the first kernels instead of serializing
-    # pack -> upload -> execute per batch
-    uploads = []
-    for b in range(n_batches):
+    # Windowed pipeline. The device runs programs in enqueue order, so a
+    # hit-prefix fetch enqueued after every batch would only execute once
+    # ALL batches finished — serializing execution then transfer. Keeping
+    # only WINDOW batches in flight lets batch b's count land (it executes
+    # while b+1..b+WINDOW sit in the queue), so its prefix-slice program is
+    # enqueued BEFORE batches b+WINDOW+1.. and its device->host copy
+    # overlaps their execution. Uploads are device_put (async) at dispatch
+    # time; the dedup carry chains as a device array, never synced.
+    from phi_tpu.sketch.minimizer import fetch_prefix_start
+    WINDOW = 3
+
+    def _dispatch(b, carry):
         batch = padded[b * R:(b + 1) * R]
         words = jax.device_put(_pack_rows_2bit(seqs, batch, row_lanes))
         nv = jax.device_put(np.array([r[2] for r in batch], np.int32))
         ct = jax.device_put(np.array([r[3] for r in batch], np.int32))
-        uploads.append((batch, words, nv, ct))
-    # phase 2: carry-chained dispatches
-    carry = jnp.zeros(3, jnp.uint32)
-    pend = []
-    for batch, words, nv, ct in uploads:
         out = cached_call(
             _pallas_join_rows, "pallas_join_rows",
             (words, nv, ct, carry, sp_m_d, sp_lo_d, sp_perm_d, sp_off_d),
             {"k": k, "w": w, "n_rows": R, "n_blocks": super_blocks,
              "emitcap": emitcap, "cap_total": cap_total, "rounds": rounds,
              "interpret": interpret})
-        pend.append([batch, carry, out])
-        carry = out[4]
+        for a in (out[0], out[1]):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        return [batch, carry, out]
 
-    # sync 1: all counts in one transfer
-    counts = np.asarray(jnp.stack(
-        [jnp.stack([o[2][0], o[2][1]]) for o in pend])).astype(np.int64)
-    # rare retries: emission overflow truncates the join input (n_min stays
-    # exact), total-hit overflow truncates the flat arrays (n_hit exact) —
-    # redo those batches with pow2-raised caps
-    for b, (batch, carry_in, out) in enumerate(pend):
-        nm_max = int(counts[b, 0].max())
-        nh_sum = int(counts[b, 1].sum())
-        if nm_max > emitcap or nh_sum > cap_total:
-            ec = _next_pow2(max(emitcap, nm_max))
-            ctot = _next_pow2(max(cap_total, nh_sum))
+    counts = np.zeros((n_batches, 2, R), np.int64)
+    pend: list = [None] * n_batches
+    started: list = [None] * n_batches
+
+    def _harvest(b):
+        batch, carry_in, out = pend[b]
+        nm = np.asarray(out[0]).astype(np.int64)
+        nh = np.asarray(out[1]).astype(np.int64)
+        # rare retries: emission overflow truncates the join input (n_min
+        # stays exact), total-hit overflow truncates the flat arrays (n_hit
+        # exact) — redo that batch with pow2-raised caps. The exported
+        # dedup carry is computed from the full mask, so later batches
+        # already in flight remain exact.
+        if int(nm.max()) > emitcap or int(nh.sum()) > cap_total:
+            ec = _next_pow2(max(emitcap, int(nm.max())))
+            ctot = _next_pow2(max(cap_total, int(nh.sum())))
             words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
             nv = jnp.asarray(np.array([r[2] for r in batch], np.int32))
             ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
-            out2 = _pallas_join_rows(words, nv, ct, carry_in, sp_m_d,
-                                     sp_lo_d, sp_perm_d, sp_off_d, k, w, R,
-                                     super_blocks, ec, ctot, rounds,
-                                     interpret)  # rare retry: no cache
-            pend[b][2] = out2
-            counts[b, 0] = np.asarray(out2[0])
-            counts[b, 1] = np.asarray(out2[1])
+            out = _pallas_join_rows(words, nv, ct, carry_in, sp_m_d,
+                                    sp_lo_d, sp_perm_d, sp_off_d, k, w, R,
+                                    super_blocks, ec, ctot, rounds,
+                                    interpret)  # rare retry: no cache
+            pend[b][2] = out
+            nm = np.asarray(out[0]).astype(np.int64)
+            nh = np.asarray(out[1]).astype(np.int64)
+        counts[b, 0] = nm
+        counts[b, 1] = nh
+        tot = int(nh.sum())
+        started[b] = (tot,) + ((None, None) if tot <= 0
+                               else (fetch_prefix_start(out[2], tot),
+                                     fetch_prefix_start(out[3], tot)))
 
-    # sync 2: flattened hit prefixes — start every device->host copy first
-    # so the transfers overlap in the tunnel (a sequential np.asarray per
-    # batch pays one round trip each)
-    from phi_tpu.sketch.minimizer import fetch_prefix_start
-    started = [(int(counts[b, 1].sum()),) + ((None, None) if counts[b, 1].sum() <= 0
-               else (fetch_prefix_start(out[2], int(counts[b, 1].sum())),
-                     fetch_prefix_start(out[3], int(counts[b, 1].sum()))))
-               for b, (_, _, out) in enumerate(pend)]
+    carry = jnp.zeros(3, jnp.uint32)
+    for b in range(n_batches):
+        pend[b] = _dispatch(b, carry)
+        carry = pend[b][2][4]
+        if b >= WINDOW:
+            _harvest(b - WINDOW)
+    for b in range(max(0, n_batches - WINDOW), n_batches):
+        _harvest(b)
     acc: dict[int, tuple[int, list, list]] = {}
     for b, (batch, _, out) in enumerate(pend):
         total, dpos, did = started[b]
