@@ -2,14 +2,23 @@
 config (test/MHC_4.gfa.gz + CHM13_reads.fq.gz -> CHM13 MHC haplotype), the
 reference's only bundled dataset (README.md:20-26).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+attribution fields:
+  backend     which backend produced the headline wall ("tpu" | "cpu")
+  tpu_wall    warm best-of-3 in-process wall on the TPU backend (null if
+              the attempt failed/timed out; the child verifies the chip is
+              actually attached — a CPU fallback is reported as cpu)
+  cpu_wall    same, host-CPU backend
+  cold_wall   fresh-process end-to-end wall (imports + compile-cache load
+              + run) on the headline backend — the honest user-facing
+              number; vs_baseline_cold derives from it
 
-Baseline: the reference has no published wall-clock for this exact config; the
-closest published point is the 3-haplotype MHC graph at 15x coverage — 69 s,
-32 threads, NERSC CPU node (BASELINE.md, data/plots/increasing.csv:2). This
-config (5 walks, ~0.5x coverage) is at least as hard on the graph axis, so
-vs_baseline = 69 / our_wall_clock is a conservative speedup estimate. The
-solve itself replaces a Gurobi ILP that dominates the reference runtime.
+Baseline: the reference has no published wall-clock for this exact config;
+the closest published point is the 3-haplotype MHC graph at 15x coverage —
+69 s, 32 threads, NERSC CPU node (BASELINE.md, data/plots/increasing.csv:2).
+This config (5 walks, ~0.5x coverage) is at least as hard on the graph axis,
+so vs_baseline = 69 / wall is a conservative speedup estimate. The solve
+itself replaces a Gurobi ILP that dominates the reference runtime.
 
 Correctness gate: the emitted haplotype must be byte-identical to the CHM13
 truth (test/MHC-CHM13.0.fa.gz) — stricter than the reference's own result
@@ -32,6 +41,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 BASELINE_S = 69.0  # data/plots/increasing.csv:2 (3-hap, 15x, 32 CPU threads)
 TPU_DEADLINE_S = int(os.environ.get("PHI_BENCH_TPU_DEADLINE", "2700"))
@@ -39,9 +49,11 @@ CPU_DEADLINE_S = 1800
 
 _CHILD = r"""
 import gzip, json, time, sys
+t_proc = time.time()
 from phi_tpu import logging as plog
 from phi_tpu.config import Options
 from phi_tpu.pipeline import run_pipeline
+import jax
 
 GFA = "/root/reference/test/MHC_4.gfa.gz"
 READS = "/root/reference/test/CHM13_reads.fq.gz"
@@ -58,15 +70,18 @@ def truth_seq():
 
 plog.reset_timer()
 opt = Options(k=31, w=25, recombination=100, lagrangian_rounds=4)
-run_pipeline(GFA, READS, OUT, opt)  # warmup: compiles (cached across runs)
+res = run_pipeline(GFA, READS, OUT, opt)  # warmup: compiles (cached)
+cold = time.time() - t_proc  # fresh-process wall incl. imports + compiles
 wall = float("inf")
-res = None
 for _ in range(3):
     t0 = time.time()
     res = run_pipeline(GFA, READS, OUT, opt)
     wall = min(wall, time.time() - t0)
 ok = res.sequence == truth_seq()
-print("BENCH_RESULT " + json.dumps({"wall": wall, "ok": ok}), flush=True)
+platform = jax.devices()[0].platform  # attribution: what actually ran
+print("BENCH_RESULT " + json.dumps(
+    {"wall": wall, "cold": cold, "ok": ok, "platform": platform}),
+    flush=True)
 """
 
 
@@ -75,6 +90,7 @@ def _attempt(env: dict, deadline: int):
     repo = os.path.dirname(os.path.abspath(__file__))
     env["PYTHONPATH"] = repo + (os.pathsep + env["PYTHONPATH"]
                                 if env.get("PYTHONPATH") else "")
+    t0 = time.time()
     try:
         proc = subprocess.run([sys.executable, "-u", "-c", _CHILD],
                               env=env, timeout=deadline,
@@ -83,7 +99,9 @@ def _attempt(env: dict, deadline: int):
         return None
     for line in proc.stdout.splitlines():
         if line.startswith("BENCH_RESULT "):
-            return json.loads(line[len("BENCH_RESULT "):])
+            res = json.loads(line[len("BENCH_RESULT "):])
+            res["proc_wall"] = time.time() - t0
+            return res
     sys.stderr.write(proc.stderr[-2000:] + "\n")
     return None
 
@@ -98,25 +116,38 @@ def main() -> int:
     tpu_deadline = TPU_DEADLINE_S if res_cpu is None \
         else min(TPU_DEADLINE_S, 900)
     res_tpu = _attempt(dict(os.environ), tpu_deadline)
+    if res_tpu is not None and res_tpu.get("platform") != "tpu":
+        # the dead-tunnel fallback ran this child on CPU; attribute it so
+        sys.stderr.write("[bench] TPU attempt fell back to %s\n"
+                         % res_tpu.get("platform"))
+        res_tpu = None
     if res_tpu is None:
         sys.stderr.write("[bench] TPU attempt failed/timed out; "
                          "reporting the host-CPU backend\n")
-    candidates = [r for r in (res_cpu, res_tpu) if r is not None and r["ok"]]
-    result = min(candidates, key=lambda r: r["wall"]) if candidates else (
-        res_tpu or res_cpu)
-    if result is None:
+    candidates = [(name, r) for name, r in (("cpu", res_cpu), ("tpu", res_tpu))
+                  if r is not None and r["ok"]]
+    if not candidates:
+        fallback = res_tpu or res_cpu
         print(json.dumps({"metric": "mhc4_chm13_e2e_wall_clock", "value": -1.0,
-                          "unit": "s", "vs_baseline": 0.0}))
+                          "unit": "s", "vs_baseline": 0.0,
+                          "backend": None if fallback is None
+                          else fallback.get("platform")}))
         return 1
-    ok = result["ok"]
+    backend, result = min(candidates, key=lambda nr: nr[1]["wall"])
     wall = result["wall"]
+    cold = result.get("cold")
     print(json.dumps({
         "metric": "mhc4_chm13_e2e_wall_clock",
-        "value": round(wall, 3) if ok else -1.0,
+        "value": round(wall, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_S / wall, 2) if ok else 0.0,
+        "vs_baseline": round(BASELINE_S / wall, 2),
+        "backend": backend,
+        "tpu_wall": None if res_tpu is None else round(res_tpu["wall"], 3),
+        "cpu_wall": None if res_cpu is None else round(res_cpu["wall"], 3),
+        "cold_wall": None if cold is None else round(cold, 3),
+        "vs_baseline_cold": None if not cold else round(BASELINE_S / cold, 2),
     }))
-    return 0 if ok else 1
+    return 0
 
 
 if __name__ == "__main__":

@@ -32,4 +32,12 @@ def _tune_malloc() -> None:
 
 _tune_malloc()
 
+# Backend hardening: only when the remote-TPU plugin env is present (then
+# sitecustomize already imported jax, so this costs nothing; elsewhere the
+# gate keeps `import phi_tpu` jax-free).
+import os as _os  # noqa: E402
+if _os.environ.get("PALLAS_AXON_POOL_IPS"):
+    from phi_tpu.backend import configure_backend as _configure_backend
+    _configure_backend()
+
 from phi_tpu.config import Options  # noqa: F401,E402
