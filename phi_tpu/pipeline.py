@@ -201,6 +201,15 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
     plog.log("ILP_function",
              "Using Mixed Integer Programming" if opt.is_mixed
              else "Using Integer Programming")
+    # Runtime deviation banner: in the reference -q/-m/-N pick among four
+    # Gurobi formulations of one objective (main.cpp:79-95); the DP solver
+    # reaches that shared optimum directly, so here they select logging
+    # only. -c (max_occ) is likewise accepted for compatibility (the
+    # reference parses but never applies it in the solve path either).
+    plog.log("ILP_function",
+             f"Compat: -q{opt.is_qclp} -m{opt.is_mixed} -N{opt.is_naive_exp} "
+             f"select equivalent formulations (DP solves the shared optimum "
+             f"directly); -c {opt.max_occ} accepted, unused")
     t1 = time.time()
     result = _solve_with_refinement(graph, anchors, opt)
     from phi_tpu.solve.dp import LAST_TIMINGS

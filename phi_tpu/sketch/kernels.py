@@ -429,9 +429,12 @@ def _pallas_join_rows(words, nvalid, cont, init_carry, sp_m, sp_lo, sp_perm,
 
 
 def _pack_rows_2bit(seqs, rows, row_lanes: int) -> np.ndarray:
-    """Host-side 2-bit packing of superchunk rows (ACGT-only sequences;
-    N-containing haplotypes take the host join path). Pad value 0 is safe:
-    windows past n_valid are masked in-kernel."""
+    """Host-side 2-bit packing of superchunk rows.
+
+    Contract: base codes MUST be < 4 (ACGT-only; callers route N-containing
+    sequences to the exact host join — pallas_join_many filters them before
+    packing). Codes >= 4 would carry into neighboring 2-bit fields. Pad
+    value 0 is safe: windows past n_valid are masked in-kernel."""
     R = len(rows)
     W = row_lanes // 16
     buf = np.zeros((R, row_lanes), np.uint8)
@@ -440,11 +443,16 @@ def _pack_rows_2bit(seqs, rows, row_lanes: int) -> np.ndarray:
             continue  # dummy pad row
         seg = seqs[si][start:start + row_lanes]
         buf[j, :len(seg)] = seg
-    # 2-bit fields are disjoint, so a sum over the 16 shifted base planes
-    # equals the OR — one vectorized pass over the whole batch
-    c = buf.reshape(R, W, 16).astype(np.uint32)
-    shifts = np.arange(16, dtype=np.uint32) * 2
-    return (c << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
+    assert buf.max(initial=0) < 4, \
+        "_pack_rows_2bit requires ACGT codes (<4); caller must pre-filter N"
+    # accumulate the 16 base planes into one (R, W) word in place: disjoint
+    # 2-bit fields make |= exact, and peak temporaries stay at one plane
+    # (R, W) instead of the 16x broadcast product
+    c = buf.reshape(R, W, 16)
+    out = np.zeros((R, W), np.uint32)
+    for b in range(16):
+        out |= c[:, :, b].astype(np.uint32) << np.uint32(2 * b)
+    return out
 
 
 def join_caps(w: int, super_blocks: int = SUPER_BLOCKS,
