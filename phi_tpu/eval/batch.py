@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import csv
 import dataclasses
-import time
 
 from phi_tpu import logging as plog
 from phi_tpu.config import Options
@@ -20,34 +19,65 @@ from phi_tpu.eval.edits import edit_stats
 class MatrixCell:
     read_name: str
     coverage: str
-    real_time_s: float
+    real_time_s: float          # median over n_runs
     peak_rss_gb: float
     edit_distance: int
     recombinations: int
+    n_runs: int = 1
+    time_iqr_s: float = 0.0
+    raw_times_s: list[float] = dataclasses.field(default_factory=list)
 
 
 def run_matrix(gfa_path: str,
                cells: list[tuple[str, str, str, str]],
                opt: Options | None = None,
-               out_csv: str | None = None) -> list[MatrixCell]:
-    """cells: (read_name, coverage_label, reads_path, truth_fasta_path)."""
+               out_csv: str | None = None,
+               target_runs: int = 5) -> list[MatrixCell]:
+    """cells: (read_name, coverage_label, reads_path, truth_fasta_path).
+
+    Each cell is measured median-of-N (N>=target_runs when a single run is
+    cheap; see eval/stats.py for the variance rationale)."""
+    from phi_tpu.eval.stats import run_stats
     from phi_tpu.pipeline import run_pipeline
     opt = opt or Options()
     results: list[MatrixCell] = []
     for read_name, cov, reads_path, truth_path in cells:
-        t0 = time.time()
-        res = run_pipeline(gfa_path, reads_path, None, opt)
-        wall = time.time() - t0
+        res, st_t = run_stats(
+            lambda: run_pipeline(gfa_path, reads_path, None, opt),
+            target_runs=target_runs)
         from phi_tpu.eval.edits import _read_fasta_first_seq
         truth = _read_fasta_first_seq(truth_path)
         st = edit_stats(res.sequence, truth)
         results.append(MatrixCell(
-            read_name=read_name, coverage=cov, real_time_s=wall,
+            read_name=read_name, coverage=cov,
+            real_time_s=st_t["median_s"],
             peak_rss_gb=plog.peakrss_gb(), edit_distance=st.edit_distance,
-            recombinations=res.recombination_count))
+            recombinations=res.recombination_count,
+            n_runs=st_t["n_runs"], time_iqr_s=st_t["iqr_s"],
+            raw_times_s=st_t["raw_s"]))
     if out_csv:
         write_matrix_csv(results, out_csv)
+        write_matrix_stats_csv(results, out_csv + ".stats.csv")
     return results
+
+
+def write_matrix_stats_csv(results: list[MatrixCell], path: str) -> None:
+    """Long-format companion to the data/plots-shaped grid: one row per
+    cell with the full dispersion (n_runs, median, IQR, raw runs kept)."""
+    with open(path, "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(["read", "coverage", "n_runs", "time_median_s",
+                     "time_iqr_s", "time_min_s", "time_max_s",
+                     "peak_rss_gb", "edit_distance", "recombinations",
+                     "raw_times_s"])
+        for c in results:
+            raw = c.raw_times_s or [c.real_time_s]
+            wr.writerow([c.read_name, c.coverage, c.n_runs,
+                         f"{c.real_time_s:.3f}", f"{c.time_iqr_s:.3f}",
+                         f"{min(raw):.3f}", f"{max(raw):.3f}",
+                         f"{c.peak_rss_gb:.2f}", c.edit_distance,
+                         c.recombinations,
+                         " ".join(f"{t:.3f}" for t in raw)])
 
 
 def write_matrix_csv(results: list[MatrixCell], path: str) -> None:

@@ -19,7 +19,6 @@ import gzip
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -94,21 +93,26 @@ def peak_rss_gb() -> float:
 
 
 def run_one(n_haps: int, length: int = 5_000_000, coverage: float = 2.0,
-            seed: int = 0, opt: Options | None = None, **kw) -> dict:
-    """Build/reuse the instance, run the full pipeline, score vs truth."""
+            seed: int = 0, opt: Options | None = None,
+            target_runs: int = 5, **kw) -> dict:
+    """Build/reuse the instance, run the full pipeline median-of-N
+    (eval/stats.py discipline), score vs truth."""
+    from phi_tpu.eval.stats import run_stats
     from phi_tpu.pipeline import run_pipeline
     paths = build_instance(n_haps, length, coverage, seed, **kw)
     opt = opt or Options()
     out = os.path.join(os.path.dirname(paths["gfa"]), "inferred.fa")
-    t0 = time.time()
-    res = run_pipeline(paths["gfa"], paths["reads"], out, opt)
-    wall = time.time() - t0
+    res, st_t = run_stats(
+        lambda: run_pipeline(paths["gfa"], paths["reads"], out, opt),
+        target_runs=target_runs)
     with open(paths["truth"]) as f:
         truth = "".join(l.strip() for l in f if not l.startswith(">"))
     es = edit_stats(res.sequence, truth)
     meta = json.load(open(paths["meta"]))
     return {"n_haps": n_haps, "length": length, "coverage": coverage,
-            "wall_s": round(wall, 2), "peak_rss_gb": round(peak_rss_gb(), 2),
+            "wall_s": st_t["median_s"], "n_runs": st_t["n_runs"],
+            "wall_iqr_s": st_t["iqr_s"], "wall_raw_s": st_t["raw_s"],
+            "peak_rss_gb": round(peak_rss_gb(), 2),
             "edit_distance": es.edit_distance,
             "recombinations": res.recombination_count,
             "true_breaks": len(meta["breaks"]),
@@ -119,7 +123,8 @@ def run_one(n_haps: int, length: int = 5_000_000, coverage: float = 2.0,
 
 def progressive_subsets(gfa_path: str, reads_path: str, truth_path: str,
                         counts: list[int], opt: Options | None = None,
-                        out_csv: str | None = None) -> list[dict]:
+                        out_csv: str | None = None,
+                        target_runs: int = 5) -> list[dict]:
     """The reference's increasing.csv axes done the reference's way: ONE
     graph, progressively larger panel subsets (chop_graph.sh:37-69 derives
     3/7/13/25/49-hap GBZs from the 49-hap graph via ignore-lists; here
@@ -141,11 +146,14 @@ def progressive_subsets(gfa_path: str, reads_path: str, truth_path: str,
         elif not os.path.exists(sub_path):
             write_gfa(subset_panel(g, list(range(n))), path=sub_path)
         out = os.path.join(os.path.dirname(gfa_path), f"inferred_{n}.fa")
-        t0 = time.time()
-        res = run_pipeline(sub_path, reads_path, out, opt)
-        wall = time.time() - t0
+        from phi_tpu.eval.stats import run_stats
+        res, st_t = run_stats(
+            lambda: run_pipeline(sub_path, reads_path, out, opt),
+            target_runs=target_runs)
         es = edit_stats(res.sequence, truth)
-        rows.append({"n_haps": n, "wall_s": round(wall, 2),
+        rows.append({"n_haps": n, "wall_s": st_t["median_s"],
+                     "n_runs": st_t["n_runs"], "wall_iqr_s": st_t["iqr_s"],
+                     "wall_raw_s": st_t["raw_s"],
                      "peak_rss_gb": round(peak_rss_gb(), 2),
                      "edit_distance": es.edit_distance,
                      "recombinations": res.recombination_count,
@@ -157,12 +165,17 @@ def progressive_subsets(gfa_path: str, reads_path: str, truth_path: str,
         import csv
         with open(out_csv, "w", newline="") as f:
             wtr = csv.writer(f)
-            wtr.writerow(["n_haps", "wall_s", "peak_rss_gb", "edit_distance",
-                          "recombinations", "gap"])
+            wtr.writerow(["n_haps", "n_runs", "wall_median_s", "wall_iqr_s",
+                          "wall_min_s", "wall_max_s", "peak_rss_gb",
+                          "edit_distance", "recombinations", "gap",
+                          "raw_times_s"])
             for r in rows:
-                wtr.writerow([r["n_haps"], r["wall_s"], r["peak_rss_gb"],
-                              r["edit_distance"], r["recombinations"],
-                              r["gap"]])
+                raw = r["wall_raw_s"]
+                wtr.writerow([r["n_haps"], r["n_runs"], r["wall_s"],
+                              r["wall_iqr_s"], min(raw), max(raw),
+                              r["peak_rss_gb"], r["edit_distance"],
+                              r["recombinations"], r["gap"],
+                              " ".join(map(str, raw))])
     return rows
 
 
@@ -231,7 +244,7 @@ def build_heldout_instance(n_haps: int, length: int, coverages: list[float],
 def heldout_sweep(n_haps: int = 8, length: int = 500_000,
                   coverages: list[float] | None = None, seed: int = 0,
                   out_csv: str | None = None, opt: Options | None = None,
-                  with_baseline: bool = False):
+                  with_baseline: bool = False, target_runs: int = 5):
     """Coverage sweep over the held-out-target panel; emits the
     data/plots-shaped CSV (cells '(time, rss, edit)'). with_baseline adds a
     best-single-panel-haplotype comparison row (the VG/PanGenie stand-in —
@@ -241,7 +254,8 @@ def heldout_sweep(n_haps: int = 8, length: int = 500_000,
     inst = build_heldout_instance(n_haps, length, coverages, seed)
     cells = [("heldout", f"{c:g}x", inst["reads"][c], inst["truth"])
              for c in coverages]
-    res = run_matrix(inst["gfa"], cells, opt or Options(), None)
+    res = run_matrix(inst["gfa"], cells, opt or Options(), None,
+                     target_runs=target_runs)
     if with_baseline:
         from phi_tpu.eval.baselines import run_best_hap_baseline
         o = opt or Options()
@@ -265,6 +279,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out-csv", default=None)
     ap.add_argument("--lagrangian", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=5,
+                    help="repeat each measurement up to N times and report "
+                         "median/IQR (cheap runs only; see eval/stats.py)")
     ap.add_argument("--heldout", action="store_true",
                     help="leave-target-out coverage sweep instead of the "
                          "hap-count scaling run")
@@ -277,7 +294,8 @@ def main(argv=None) -> int:
         n = int(args.haps.split(",")[0])
         res = heldout_sweep(n, args.length, seed=args.seed,
                             out_csv=args.out_csv,
-                            opt=Options(lagrangian_rounds=args.lagrangian))
+                            opt=Options(lagrangian_rounds=args.lagrangian),
+                            target_runs=args.runs)
         for c in res:
             print(json.dumps(dataclasses.asdict(c)), flush=True)
         return 0
@@ -288,26 +306,30 @@ def main(argv=None) -> int:
         rows = progressive_subsets(
             paths["gfa"], paths["reads"], paths["truth"], counts,
             opt=Options(lagrangian_rounds=args.lagrangian),
-            out_csv=args.out_csv)
+            out_csv=args.out_csv, target_runs=args.runs)
         for r in rows:
             print(json.dumps(r), flush=True)
         return 0
     rows = []
     for n in counts:
         r = run_one(n, args.length, args.coverage, args.seed,
-                    opt=Options(lagrangian_rounds=args.lagrangian))
+                    opt=Options(lagrangian_rounds=args.lagrangian),
+                    target_runs=args.runs)
         print(json.dumps(r), flush=True)
         rows.append(r)
     if args.out_csv:
         import csv
         with open(args.out_csv, "w", newline="") as f:
             wtr = csv.writer(f)
-            wtr.writerow(["n_haps", "wall_s", "peak_rss_gb", "edit_distance",
-                          "recombinations", "true_breaks", "gap"])
+            wtr.writerow(["n_haps", "n_runs", "wall_median_s", "wall_iqr_s",
+                          "peak_rss_gb", "edit_distance", "recombinations",
+                          "true_breaks", "gap", "raw_times_s"])
             for r in rows:
-                wtr.writerow([r["n_haps"], r["wall_s"], r["peak_rss_gb"],
+                wtr.writerow([r["n_haps"], r["n_runs"], r["wall_s"],
+                              r["wall_iqr_s"], r["peak_rss_gb"],
                               r["edit_distance"], r["recombinations"],
-                              r["true_breaks"], r["gap"]])
+                              r["true_breaks"], r["gap"],
+                              " ".join(map(str, r["wall_raw_s"]))])
     return 0
 
 

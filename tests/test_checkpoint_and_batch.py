@@ -30,7 +30,7 @@ def test_run_matrix_toy(tmp_path):
     opt = Options(k=4, w=2, recombination=1.0)
     cells = [("toy", "1x", str(reads), str(truth))]
     res = run_matrix("/root/reference/test/test.gfa", cells, opt,
-                     out_csv=str(tmp_path / "out.csv"))
+                     out_csv=str(tmp_path / "out.csv"), target_runs=2)
     assert len(res) == 1
     assert res[0].edit_distance == 0
     csv_text = (tmp_path / "out.csv").read_text()

@@ -72,7 +72,7 @@ def test_progressive_subsets_sweep(tmp_path, monkeypatch):
     rows = scale.progressive_subsets(
         paths["gfa"], paths["reads"], paths["truth"], [2, 4],
         opt=Options(k=15, w=5, lagrangian_rounds=1),
-        out_csv=str(tmp_path / "inc.csv"))
+        out_csv=str(tmp_path / "inc.csv"), target_runs=1)
     assert [r["n_haps"] for r in rows] == [2, 4]
     assert rows[1]["edit_distance"] <= rows[0]["edit_distance"]
     assert (tmp_path / "inc.csv").exists()
