@@ -26,9 +26,10 @@ def summarize(times: list[float]) -> dict[str, Any]:
     n = len(s)
     q1 = s[max(0, (n - 1) // 4)]
     q3 = s[min(n - 1, (3 * (n - 1) + 2) // 4)]
+    # raw_s stays in RUN order (the first observation is the cold one)
     return {"n_runs": n, "median_s": round(median(s), 3),
             "iqr_s": round(q3 - q1, 3), "min_s": round(s[0], 3),
-            "max_s": round(s[-1], 3), "raw_s": [round(t, 3) for t in s]}
+            "max_s": round(s[-1], 3), "raw_s": [round(t, 3) for t in times]}
 
 
 def run_stats(fn: Callable[[], Any], *, target_runs: int = 5,
