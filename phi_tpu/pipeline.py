@@ -343,6 +343,20 @@ def _solve_and_decode(graph, tables, anchors, opt: Options) -> DecodeResult:
     return best
 
 
+
+def gap_tol(R: float) -> float:
+    """Certification tolerance for the duality gap. Objective differences
+    are a*R + b with integer a (switch count delta) and integer b (distinct
+    k-mer delta), so with integer R any two distinct objective values
+    differ by >= 1 and a gap < 1 proves optimality (0.5 for margin). With
+    fractional R < 1 the smallest step is R itself — a 0.5 tolerance would
+    admit a path with one extra cheap switch (measured on the frontier
+    sweep: excess exactly R at R in {0.1, 0.25, 0.5}). Scale the tolerance
+    down accordingly. Fractional R >= 1 keeps 0.5: steps can be as small
+    as frac(R) there, a documented residual (eval/frontier.py)."""
+    return 0.5 * min(1.0, R) if R > 0 else 0.0
+
+
 def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
                            opt: Options) -> DecodeResult:
     """One DP solve; if the decoded path's exact objective is above the DP
@@ -366,7 +380,8 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
     best = _solve_and_decode(graph, tables, anchors, opt)
     best_bound = best.dp_objective
     rounds = opt.lagrangian_rounds
-    if best.true_objective - best_bound <= 0.5 or rounds <= 0:
+    tol = gap_tol(opt.recombination)
+    if best.true_objective - best_bound <= tol or rounds <= 0:
         best.dp_objective = best_bound
         return best
 
@@ -374,7 +389,10 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
     mu = np.ones(n_kmer_ids, np.float32)
     relax_path = best  # the relaxation argmin path under the current mu
     stall = 0
-    for it in range(rounds):
+    escalated = False
+    it = -1
+    while it + 1 < rounds:
+        it += 1
         # covered-occurrence multiplicity per k-mer on the relaxation path
         covered = np.zeros(len(anchors.occ_hap), bool)
         for (sh, sq, sp) in relax_path.segments:
@@ -406,10 +424,60 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
         if cand.true_objective < best.true_objective - 1e-6:
             best = cand
             improved = True
-        if best.true_objective - best_bound <= 0.5:
+        if best.true_objective - best_bound <= tol:
             break
         stall = 0 if improved else stall + 1
         if stall >= 3:
-            break
+            if escalated or best.true_objective - best_bound <= tol:
+                break
+            # escalation 1: the gap is still open — double the multiplier
+            # budget once and keep ascending (stalls are often plateaus
+            # between release/re-cover phases, not true fixpoints)
+            escalated = True
+            rounds += max(rounds, 4)
+            stall = 0
+            plog.log("ILP_function",
+                     f"Gap {best.true_objective - best_bound:.3f} > "
+                     f"{tol:g} after {it + 1} rounds; escalating to {rounds}")
+    if best.true_objective - best_bound > tol:
+        # escalation 2: exact enumeration when the expanded graph is small
+        # (the reference would hand this to Gurobi, which is exact at any
+        # size, ILP_index.cpp:1413-1418; here small cases get the oracle)
+        cand = _exact_small_case(graph, anchors, opt)
+        if cand is not None:
+            exact_obj, exact_res = cand
+            if exact_res.true_objective < best.true_objective:
+                best = exact_res
+            best_bound = max(best_bound, exact_obj)
+            plog.log("ILP_function",
+                     f"Exact small-case enumeration closed the gap: "
+                     f"optimum {exact_obj:.3f}")
     best.dp_objective = best_bound
     return best
+
+
+# expanded-graph size caps under which exhaustive enumeration is cheap
+# (<~1 s; path count is bounded by states * branching along switch edges)
+_EXACT_MAX_STATES = 3000
+_EXACT_MAX_EDGES = 6000
+
+
+def _exact_small_case(graph: PangenomeGraph, anchors: AnchorTables,
+                      opt: Options):
+    """Brute-force the expanded graph when it is small enough; returns
+    (exact objective, DecodeResult-shaped path) or None if infeasible."""
+    from phi_tpu.solve.exact import brute_force_optimum
+    from phi_tpu.solve.prep import solver_layers
+    tables = build_solver_tables(graph, anchors, opt.recombination,
+                                 solver_layers(graph, opt.k))
+    H, P = tables.state_vertex.shape
+    if H * P > _EXACT_MAX_STATES or len(tables.esrc_h) > _EXACT_MAX_EDGES:
+        return None
+    try:
+        exact, segs = brute_force_optimum(graph, tables, anchors)
+    except RuntimeError:  # too many paths
+        return None
+    if segs is None:
+        return None
+    from phi_tpu.solve.decode import result_from_segments
+    return exact, result_from_segments(graph, tables, anchors, segs, exact)

@@ -216,6 +216,33 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     )
 
 
+def result_from_segments(graph: PangenomeGraph, t: SolverTables,
+                         anchors: AnchorTables,
+                         segments: list[tuple[int, int, int]],
+                         dp_objective: float) -> DecodeResult:
+    """DecodeResult from an externally supplied expanded-graph path (the
+    exact small-case enumeration); same edge verification and exact
+    scoring as the backtrace path."""
+    vparts, hparts = [], []
+    for (sh, sq, sp) in segments:
+        vparts.append(t.state_vertex[sh, sq:sp + 1])
+        hparts.append(np.full(sp - sq + 1, sh, dtype=np.int32))
+    vertices = np.concatenate(vparts).astype(np.int32)
+    vertex_hap = np.concatenate(hparts)
+    _verify_edges(graph, vertices)
+    n_switches = len(segments) - 1
+    matched_distinct, matched_total = _score_matches(t, anchors, segments)
+    true_obj = t.R * n_switches + (anchors.n_model_kmers - matched_distinct)
+    return DecodeResult(
+        segments=list(segments), vertices=vertices, vertex_hap=vertex_hap,
+        n_switches=n_switches,
+        recombination_count=int((vertex_hap[1:] != vertex_hap[:-1]).sum()),
+        matched_distinct=matched_distinct, matched_total=matched_total,
+        dp_objective=dp_objective, true_objective=float(true_obj),
+        n_sweeps=0,
+    )
+
+
 def _b_at_esrc(t: SolverTables, graph: PangenomeGraph, eh: np.ndarray,
                ep: np.ndarray) -> np.ndarray:
     """t.B_at over the switch-source points, which are graph-static: the
