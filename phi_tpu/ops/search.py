@@ -78,6 +78,16 @@ MIX_C2 = 0x85EBCA77
 MIXED_BUCKET_BITS = 16
 
 
+def mixed_bits_for(bucket: int) -> int:
+    """Adaptive first-probe width for a pow2 spectrum bucket: one bucket
+    per key (load <= 1), so the per-bucket binary search needs only
+    ~log2(max ball-in-bin occupancy) ~ 4 gather rounds instead of the 7
+    that 64-deep buckets cost at the fixed 16-bit width. Bounded at 22
+    bits (16 MB offsets table) — beyond that the offsets upload would
+    rival the key tables themselves."""
+    return min(22, max(MIXED_BUCKET_BITS, (max(bucket, 2) - 1).bit_length()))
+
+
 def mix_key_np(hi, lo):
     import numpy as np
     return (hi.astype(np.uint32) * np.uint32(MIX_C1)

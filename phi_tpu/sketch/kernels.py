@@ -374,11 +374,11 @@ def _pallas_sketch_rows(codes2d, nvalid, cont, init_carry, k: int, w: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "w", "n_rows", "n_blocks", "emitcap", "cap_total", "rounds",
-    "interpret"))
+    "bits", "interpret"))
 def _pallas_join_rows(words, nvalid, cont, init_carry, sp_m, sp_lo, sp_perm,
                       sp_off, k: int, w: int, n_rows: int, n_blocks: int,
                       emitcap: int, cap_total: int, rounds: int,
-                      interpret: bool = False):
+                      bits: int = 16, interpret: bool = False):
     """Batched fused sketch+join: 2-bit packed rows in, per-row minimizer and
     hit counts plus ONE flattened hit array out (row-major by hit order).
     The spectrum arrives as the mixed-key table of prepare_spectrum_bucket.
@@ -412,7 +412,7 @@ def _pallas_join_rows(words, nvalid, cont, init_carry, sp_m, sp_lo, sp_perm,
     epos = jnp.take_along_axis(jnp.concatenate([pos, sent_i], 1), eidx, 1)
 
     found, idx = pair_isin_mixed(sp_m, sp_lo, sp_perm, sp_off, ehi, elo,
-                                 rounds)
+                                 rounds, bits)
     hit = found & (epos >= 0)
     n_hit = hit.sum(axis=1)
 
@@ -460,7 +460,9 @@ def join_caps(w: int, super_blocks: int = SUPER_BLOCKS,
     """(emitcap, cap_total) for the batched join at a given window size —
     static per (k, w), so the compiled program is prewarmable."""
     sup = super_blocks * BLK
-    emitcap = max(1024, 4 * sup // (w + 1) + 64)
+    # 1.5x headroom over the ~2/(w+1) expected minimizer density; rare
+    # overflows are retried exactly (n_min stays exact under truncation)
+    emitcap = max(1024, 3 * sup // (w + 1) + 64)
     cap_total = 1 << max(15, (2 * rows_per_call * sup // (w + 1))
                          .bit_length())
     return emitcap, cap_total
@@ -503,7 +505,7 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     # XLA join path — one program per (k, w, bucket) family)
     from phi_tpu.execache import cached_call
     from phi_tpu.sketch.minimizer import _next_pow2, prepare_spectrum_bucket
-    sp_m_np, sp_lo_np, sp_perm_np, sp_off_np, Sb, rounds = \
+    sp_m_np, sp_lo_np, sp_perm_np, sp_off_np, Sb, rounds, bits = \
         prepare_spectrum_bucket(sp_hi, sp_lo)
     sp_m_d = jnp.asarray(sp_m_np)
     sp_lo_d = jnp.asarray(sp_lo_np)
@@ -535,7 +537,7 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
             (words, nv, ct, carry, sp_m_d, sp_lo_d, sp_perm_d, sp_off_d),
             {"k": k, "w": w, "n_rows": R, "n_blocks": super_blocks,
              "emitcap": emitcap, "cap_total": cap_total, "rounds": rounds,
-             "interpret": interpret})
+             "bits": bits, "interpret": interpret})
         for a in (out[0], out[1]):
             try:
                 a.copy_to_host_async()
@@ -564,7 +566,7 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
             ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
             out = _pallas_join_rows(words, nv, ct, carry_in, sp_m_d,
                                     sp_lo_d, sp_perm_d, sp_off_d, k, w, R,
-                                    super_blocks, ec, ctot, rounds,
+                                    super_blocks, ec, ctot, rounds, bits,
                                     interpret)  # rare retry: no cache
             pend[b][2] = out
             nm = np.asarray(out[0]).astype(np.int64)

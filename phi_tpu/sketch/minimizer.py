@@ -155,24 +155,25 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _join_rounds(spectrum_bucket: int, actual: int) -> int:
+def _join_rounds(spectrum_bucket: int, actual: int,
+                 bits: int | None = None) -> int:
     """Binary-search rounds for the bucketed join, derived from the spectrum
     BUCKET (not the data) — extra rounds are inert, and a bucket-derived
     static argument keeps the compiled join program identical across
-    datasets (and guessable for compile prewarm). The mixed-key table
-    (ops/search.py) keeps buckets near-uniform, so the +3 slop over the
-    average occupancy holds with wide margin; a spectrum that still
-    overflows it gets full-array depth, also a function of the bucket alone
-    so prewarm and real join agree."""
+    datasets (and guessable for compile prewarm). With the adaptive
+    first-probe width (ops/search.mixed_bits_for: load <= 1 key/bucket up
+    to 22 bits) the mixed keys put a ball-in-bins bound (~12) on bucket
+    depth, so 4 rounds typically suffice; the measured `actual` guards
+    pathological skew — such a spectrum gets actual-depth search (exact,
+    recompiles once)."""
     import math
 
-    from phi_tpu.ops.search import MIXED_BUCKET_BITS
-    f = math.ceil(math.log2(spectrum_bucket / (1 << MIXED_BUCKET_BITS) + 2)) + 3
-    if actual <= f:
-        return f
-    # pathological skew: any bucket may be as deep as the whole array;
-    # log2(bucket) rounds always suffice (occupancy <= size <= bucket)
-    return math.ceil(math.log2(spectrum_bucket + 1))
+    from phi_tpu.ops.search import mixed_bits_for
+    if bits is None:
+        bits = mixed_bits_for(spectrum_bucket)
+    load = max(1, spectrum_bucket >> bits)  # average keys per bucket
+    f = math.ceil(math.log2(load + 12))
+    return f if actual <= f else actual
 
 
 # Spectrum buckets whose join program a prewarm thread has compiled (or is
@@ -209,8 +210,8 @@ def prepare_spectrum_bucket(sp_hi, sp_lo):
     real keys; appended pads only extend the top mixed bucket, which maps
     through perm = -1.
 
-    Returns (m_np, lo_np, perm_np, off_np, bucket, rounds)."""
-    from phi_tpu.ops.search import make_mixed_buckets
+    Returns (m_np, lo_np, perm_np, off_np, bucket, rounds, bits)."""
+    from phi_tpu.ops.search import make_mixed_buckets, mixed_bits_for
     sp_hi_np = np.asarray(sp_hi)
     sp_lo_np = np.asarray(sp_lo)
     S = len(sp_hi_np)
@@ -221,8 +222,9 @@ def prepare_spectrum_bucket(sp_hi, sp_lo):
         if Sb <= b <= 8 * Sb:
             Sb = b
             break
-    m_np, lo_np, perm_np, off_np, actual = make_mixed_buckets(sp_hi_np,
-                                                              sp_lo_np)
+    bits = mixed_bits_for(Sb)
+    m_np, lo_np, perm_np, off_np, actual = make_mixed_buckets(
+        sp_hi_np, sp_lo_np, bits)
     if Sb != S:
         pad = np.full(Sb - S, 0xFFFFFFFF, np.uint32)
         m_np = np.concatenate([m_np, pad])
@@ -233,8 +235,8 @@ def prepare_spectrum_bucket(sp_hi, sp_lo):
         # bucket offset moves
         off_np = off_np.copy()
         off_np[-1] = Sb
-    rounds = _join_rounds(Sb, actual)
-    return m_np, lo_np, perm_np, off_np, Sb, rounds
+    rounds = _join_rounds(Sb, actual, bits)
+    return m_np, lo_np, perm_np, off_np, Sb, rounds, bits
 
 
 def fetch_prefix(arr, n: int) -> np.ndarray:
@@ -355,12 +357,13 @@ def _sketch_padded(codes: np.ndarray, k: int, w: int, cap: int | None,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "emitcap", "hitcap",
-                                             "rounds"))
+                                             "rounds", "bits"))
 def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
                      prev_hi: jnp.ndarray, prev_lo: jnp.ndarray,
                      sp_m: jnp.ndarray, sp_lo: jnp.ndarray,
                      sp_perm: jnp.ndarray, sp_off: jnp.ndarray,
-                     k: int, w: int, emitcap: int, hitcap: int, rounds: int):
+                     k: int, w: int, emitcap: int, hitcap: int, rounds: int,
+                     bits: int = 16):
     """Sketch one chunk AND join against the mixed-key spectrum table
     (prepare_spectrum_bucket) on device; only the joined hits leave the
     device. Exact for sequences without non-ACGT bases (the pipeline falls
@@ -393,7 +396,7 @@ def _sketch_join_jit(codes: jnp.ndarray, n_valid: jnp.ndarray,
     evalid = epos >= 0
 
     found, idx = pair_isin_mixed(sp_m, sp_lo, sp_perm, sp_off, ehi, elo,
-                                 rounds)
+                                 rounds, bits)
     hit = found & evalid
     n_hit = hit.sum()
     hidx = jnp.nonzero(hit, size=hitcap, fill_value=ehi.shape[0])[0]
@@ -429,7 +432,7 @@ def sketch_join_sequence(codes: np.ndarray, k: int, w: int,
 
 def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_m, sp_lo,
                           sp_perm, sp_off, rounds: int, emitcap: int,
-                          hitcap: int, device=None):
+                          hitcap: int, device=None, bits: int = 16):
     """Dispatch every chunk of one sequence asynchronously (the dedup carry
     is a device scalar, so no host sync is needed between chunks)."""
     import jax.numpy as jnp
@@ -456,7 +459,7 @@ def _dispatch_join_chunks(codes: np.ndarray, k: int, w: int, sp_m, sp_lo,
             (chunk_dev, jnp.int32(n_valid), prev_hi, prev_lo, sp_m, sp_lo,
              sp_perm, sp_off),
             {"k": k, "w": w, "emitcap": emitcap, "hitcap": hitcap,
-             "rounds": rounds})
+             "rounds": rounds, "bits": bits})
         prev_hi, prev_lo = out[4], out[5]
         pending.append((start, n_valid, chunk, out))
     return pending
@@ -543,7 +546,7 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     # pow2-bucket the spectrum shape: the join program then depends only on
     # (k, w, bucket), so one compiled executable covers every dataset in the
     # bucket and the shape is guessable for compile prewarm.
-    sp_m_np, sp_lo_np, sp_perm_np, sp_off_np, Sb, rounds = \
+    sp_m_np, sp_lo_np, sp_perm_np, sp_off_np, Sb, rounds, bits = \
         prepare_spectrum_bucket(sp_hi, sp_lo)
     sp_m = jnp.asarray(sp_m_np)
     sp_lo = jnp.asarray(sp_lo_np)
@@ -562,12 +565,12 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
             dm, dl, dperm, doff = sp_dev[j % len(devices)]
             pendings[i] = _dispatch_join_chunks(
                 seqs[i], k, w, dm, dl, dperm, doff, rounds, emitcap, hitcap,
-                device=d)
+                device=d, bits=bits)
     else:
         sp_off = jnp.asarray(sp_off_np)
         pendings = {i: _dispatch_join_chunks(seqs[i], k, w, sp_m, sp_lo,
                                              sp_perm, sp_off, rounds,
-                                             emitcap, hitcap)
+                                             emitcap, hitcap, bits=bits)
                     for i in device_idx}
 
     # one round trip for ALL counts across all sequences (per device when
@@ -605,7 +608,7 @@ def sketch_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
         ec = _next_pow2(max(emitcap, int(counts[fidx, 0])))
         out2 = _sketch_join_jit(jnp.asarray(chunk), jnp.int32(n_valid),
                                 prev[0], prev[1], r_m, r_lo, r_perm, r_off,
-                                k, w, ec, ec, rounds)
+                                k, w, ec, ec, rounds, bits)
         pendings[i][j] = (start, n_valid, chunk, out2)
         counts[fidx, 1] = int(out2[1])
 
@@ -711,7 +714,7 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
     PHI_TPU_PALLAS_JOIN=0."""
     import os
 
-    from phi_tpu.ops.search import make_mixed_buckets
+    from phi_tpu.ops.search import make_mixed_buckets, mixed_bits_for
     Sb = spectrum_bucket
     # registered up-front so a join racing this compile waits on the
     # execache per-key lock and reuses it; rolled back on failure (an
@@ -724,8 +727,10 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
     hi_np = ((np.arange(Sb, dtype=np.uint64) << np.uint64(hi_bits))
              // np.uint64(Sb)).astype(np.uint32)
     lo_np = np.arange(Sb, dtype=np.uint32)
-    m_np, lo_s, perm_np, off_np, actual = make_mixed_buckets(hi_np, lo_np)
-    rounds = _join_rounds(Sb, actual)
+    bits = mixed_bits_for(Sb)
+    m_np, lo_s, perm_np, off_np, actual = make_mixed_buckets(hi_np, lo_np,
+                                                             bits)
+    rounds = _join_rounds(Sb, actual, bits)
     halo = k + w - 2
     if os.environ.get("PHI_TPU_PALLAS_JOIN") != "0" and halo <= 128:
         from phi_tpu.execache import cached_call
@@ -741,7 +746,7 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
              jnp.asarray(lo_s), jnp.asarray(perm_np), jnp.asarray(off_np)),
             {"k": k, "w": w, "n_rows": ROWS, "n_blocks": SUPER_BLOCKS,
              "emitcap": emitcap, "cap_total": cap_total, "rounds": rounds,
-             "interpret": False})
+             "bits": bits, "interpret": False})
         jax.block_until_ready(out)
         return
     emitcap = max(1024, 4 * (CHUNK + halo) // (w + 1) + 64)
@@ -749,7 +754,7 @@ def prewarm_join(k: int, w: int, spectrum_bucket: int,
         jnp.zeros(CHUNK + halo, jnp.uint8), jnp.int32(1),
         UMAX, UMAX, jnp.asarray(m_np), jnp.asarray(lo_s),
         jnp.asarray(perm_np), jnp.asarray(off_np), k, w, emitcap, hitcap,
-        rounds)
+        rounds, bits)
     jax.block_until_ready(out)
 
 

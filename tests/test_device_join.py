@@ -72,7 +72,7 @@ def test_inflated_prewarm_bucket_identical_results(monkeypatch):
     monkeypatch.setattr(m, "_PREWARMED_JOIN_BUCKETS", set())
     want = run()
     monkeypatch.setattr(m, "_PREWARMED_JOIN_BUCKETS", {base_bucket * 8})
-    m_np, lo_np, perm_np, _, Sb, _ = m.prepare_spectrum_bucket(
+    m_np, lo_np, perm_np, _, Sb, _, _ = m.prepare_spectrum_bucket(
         spectrum[0], spectrum[1])
     assert Sb == base_bucket * 8 and len(m_np) == Sb
     assert (perm_np[S:] == -1).all() and len(np.unique(perm_np[:S])) == S
