@@ -85,6 +85,30 @@ def leave_one_out(gfa_path: str, coverage: float = 1.0,
     return rows
 
 
+def leave_one_out_grid(gfa_path: str, coverages: list[float],
+                       error_rate: float = 0.003, read_len: int = 150,
+                       seed: int = 0, targets: list[str] | None = None,
+                       opt=None, target_runs: int = 3) -> list[dict]:
+    """Full (held-out hap) x (coverage) grid with the variance discipline:
+    per cell the pipeline is repeated target_runs times (median/IQR/raw
+    walls reported); edit metrics are deterministic given the read set."""
+    from phi_tpu.eval.stats import run_stats
+    rows = []
+    for cov in coverages:
+        # timing: repeat the whole per-coverage leave-one-out row-set
+        per_cov, st_t = run_stats(
+            lambda c=cov: leave_one_out(gfa_path, c, error_rate, read_len,
+                                        seed, targets, opt),
+            target_runs=target_runs)
+        n = max(len(per_cov), 1)
+        for r in per_cov:
+            r["wall_median_s"] = round(st_t["median_s"] / n, 3)
+            r["wall_iqr_s"] = round(st_t["iqr_s"] / n, 3)
+            r["n_runs"] = st_t["n_runs"]
+        rows.extend(per_cov)
+    return rows
+
+
 def main(argv=None) -> int:
     import argparse
     import json
@@ -92,16 +116,25 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="Leave-one-out cross-validation over a panel GFA")
     ap.add_argument("-g", required=True, help="panel GFA")
-    ap.add_argument("-c", type=float, default=1.0, help="read coverage")
+    ap.add_argument("-c", default="1.0",
+                    help="read coverage, or comma grid (e.g. 0.1,0.5,1)")
     ap.add_argument("-e", type=float, default=0.003, help="read error rate")
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--targets", default=None,
                     help="comma list of walk names (default: all)")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="timing repeats per coverage (median/IQR)")
     ap.add_argument("--out-csv", default=None)
     a = ap.parse_args(argv)
     targets = a.targets.split(",") if a.targets else None
-    rows = leave_one_out(a.g, a.c, a.e, a.read_len, a.seed, targets)
+    coverages = [float(x) for x in str(a.c).split(",")]
+    if len(coverages) == 1 and a.runs <= 1:
+        rows = leave_one_out(a.g, coverages[0], a.e, a.read_len, a.seed,
+                             targets)
+    else:
+        rows = leave_one_out_grid(a.g, coverages, a.e, a.read_len, a.seed,
+                                  targets, target_runs=a.runs)
     for r in rows:
         print(json.dumps(r))
     if a.out_csv:
