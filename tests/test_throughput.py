@@ -23,3 +23,13 @@ def test_cli_json_lines(capsys):
     for l in lines:
         row = json.loads(l)
         assert {"metric", "bases_per_s", "kmers_per_s", "backend"} <= set(row)
+
+
+def test_hbm_budget_model():
+    from phi_tpu.eval.hbm_budget import budget
+    b1 = budget(49, 1_600_000, 16, 4_000_000, 25_000_000)
+    assert b1["fits_v5e"] and 5 < b1["total_gb"] < 10
+    b8 = budget(49, 1_600_000, 16, 4_000_000, 25_000_000, sp_shards=8)
+    # sp sharding divides the [*, P] planes (plus an L-column halo)
+    assert b8["total_gb"] < b1["total_gb"] / 2
+    assert b8["dims"]["P_per_device"] == -(-1_600_000 // 8) + 16
