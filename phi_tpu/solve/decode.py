@@ -42,7 +42,12 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     H, P = t.state_vertex.shape
     walk_len = t.walk_len
     INF = np.float32(np.inf)
-    M = np.asarray(M)
+    # device-resident mode (dp.DeviceSolution, duck-typed): ent comes
+    # precomputed from the chip and switch-source exit values are fetched
+    # lazily per visited vertex — the full M plane never crosses the tunnel
+    dev_sol = hasattr(M, "sv_at")
+    if not dev_sol:
+        M = np.asarray(M)
 
     # entry values (replay one numpy sweep from the fixpoint). Switch-source
     # exit values D[h,p] = M[h,p] - B[h,p] are gathered at the esrc states
@@ -51,11 +56,8 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     # sort + reduceat instead of np.minimum.at (which is unbuffered and
     # orders of magnitude slower at tens of millions of source states).
     ent = np.full(t.n_vtx, INF, np.float32)
+    sv = None
     if len(t.esrc_h):
-        eh = t.esrc_h.astype(np.int64)
-        ep = t.esrc_p.astype(np.int64)
-        sv = np.where(ep < walk_len[t.esrc_h],
-                      M[eh, ep] - _b_at_esrc(t, graph, eh, ep), INF)
         # esrc_target is graph-static: cache its sort across decode calls
         # (Lagrangian rounds re-decode with identical switch sources)
         tcache = getattr(graph, "_esrc_torder", None)
@@ -65,9 +67,17 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
             graph._esrc_torder = tcache
         order = tcache[1]
         tgt_s = t.esrc_target[order]
-        sv_s = sv[order]
-        starts = np.flatnonzero(np.concatenate([[True], tgt_s[1:] != tgt_s[:-1]]))
-        ent[tgt_s[starts]] = np.minimum.reduceat(sv_s, starts)
+        if dev_sol:
+            ent = M.ent
+        else:
+            eh = t.esrc_h.astype(np.int64)
+            ep = t.esrc_p.astype(np.int64)
+            sv = np.where(ep < walk_len[t.esrc_h],
+                          M[eh, ep] - _b_at_esrc(t, graph, eh, ep), INF)
+            sv_s = sv[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], tgt_s[1:] != tgt_s[:-1]]))
+            ent[tgt_s[starts]] = np.minimum.reduceat(sv_s, starts)
 
     # lane arrays (A, running minimum, rightmost-argmin, start entry) are
     # built lazily per visited lane: the backtrace touches n_switches+1
@@ -149,7 +159,7 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
 
     # CSR over esrc_target for switch-source lookup (reuses the sort above)
     if len(t.esrc_h):
-        tgt_sorted = t.esrc_target[order]
+        tgt_sorted = tgt_s
     else:
         order = np.zeros(0, np.int64)
         tgt_sorted = np.zeros(0, np.int32)
@@ -174,7 +184,7 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         lo = np.searchsorted(tgt_sorted, v, side="left")
         hi_i = np.searchsorted(tgt_sorted, v, side="right")
         cand = order[lo:hi_i]
-        vals = sv[cand]
+        vals = M.sv_at(cand) if dev_sol else sv[cand]
         j = int(np.argmin(vals))
         if not vals[j] <= ent[v] + _EPS:
             raise RuntimeError(

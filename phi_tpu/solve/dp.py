@@ -309,6 +309,48 @@ def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
     return M, ends, sweeps
 
 
+@functools.partial(jax.jit, static_argnames=("n_vtx",))
+def _esrc_ent_jit(M, B, esrc_h, esrc_p, esrc_target, walk_len, n_vtx: int):
+    """Per-vertex entry minima from the fixpoint M — the only dense thing
+    decode needs. Fetching ent ([n_vtx] floats) instead of the full
+    [Hb, Pb] M plane cuts the device->host transfer ~30x on tunnel-attached
+    chips (padded esrc rows carry esrc_p = Pb-1 >= walk_len -> INF)."""
+    valid = esrc_p < walk_len[esrc_h]
+    sv = jnp.where(valid, M[esrc_h, esrc_p] - B[esrc_h, esrc_p], _INF)
+    return jax.ops.segment_min(sv, esrc_target, num_segments=n_vtx,
+                               indices_are_sorted=False)
+
+
+@jax.jit
+def _sv_gather_jit(M, B, esrc_h, esrc_p, walk_len, idx):
+    e = esrc_h[idx]
+    p = esrc_p[idx]
+    return jnp.where(p < walk_len[e], M[e, p] - B[e, p], _INF)
+
+
+class DeviceSolution:
+    """Solver output kept device-resident. decode_path duck-types on
+    sv_at: it reads the precomputed per-vertex entry minima (ent) and
+    fetches switch-source exit values lazily, one tiny gather per visited
+    switch vertex, instead of the whole M plane."""
+
+    def __init__(self, M_dev, B_dev, eh_d, ep_d, wl_d, ent: np.ndarray):
+        self._dev = (M_dev, B_dev, eh_d, ep_d, wl_d)
+        self.ent = ent
+
+    def sv_at(self, idx: np.ndarray) -> np.ndarray:
+        n = len(idx)
+        if n == 0:
+            return np.zeros(0, np.float32)
+        nb = 1 << max(8, int(n - 1).bit_length())
+        pad = np.zeros(nb, np.int64)
+        pad[:n] = idx
+        M_dev, B_dev, eh_d, ep_d, wl_d = self._dev
+        out = _sv_gather_jit(M_dev, B_dev, eh_d, ep_d, wl_d,
+                             jnp.asarray(pad.astype(np.int32)))
+        return np.asarray(out)[:n]
+
+
 def _warn_cap(n_sweeps: int, max_sweeps: int) -> None:
     if n_sweeps >= max_sweeps:
         import sys
@@ -367,7 +409,9 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
         return M, ends, n_sweeps, lb
     import time
 
-    if jax.default_backend() == "cpu":
+    import os
+    if jax.default_backend() == "cpu" \
+            and os.environ.get("PHI_TPU_FORCE_DEVICE_SOLVE") != "1":
         # fully-native exact solve: no padding, no XLA compile, W reads
         # skipped outside each layer's touched range — bit-identical to
         # _solve_exact_jit (tests/test_native.py::test_native_solver_parity)
@@ -384,8 +428,25 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
                                   (S_dev, B_dev, W_dev) + common, statics)
     jax.block_until_ready(ends)
     t2 = time.time()
-    # full-matrix fetch, sliced on host: a device-side slice would mint one
-    # more per-process remote compile for a ~25% byte saving
+    if jax.default_backend() != "cpu" \
+            or os.environ.get("PHI_TPU_FORCE_DEVICE_SOLVE") == "1":
+        # M stays on device: decode needs only the per-vertex entry minima
+        # (fetched here) plus a few lazy switch-source gathers — the full
+        # [Hb, Pb] plane fetch was ~40 MB through the tunnel at flagship
+        # scale. CPU-jit fallback below keeps the plain-ndarray contract.
+        eh_d, ep_d, et_d, sv_d, wl_d, _R = common
+        ent_dev = cached_call(_esrc_ent_jit, "esrc_ent",
+                              (M, B_dev, eh_d, ep_d, et_d, wl_d),
+                              {"n_vtx": statics["n_vtx"]})
+        ent = np.asarray(ent_dev)[:t.n_vtx]
+        ends = np.asarray(ends)[:H]
+        sol = DeviceSolution(M, B_dev, eh_d, ep_d, wl_d, ent)
+        LAST_TIMINGS.update(tables=round(t1 - t0, 3), exec=round(t2 - t1, 3),
+                            fetch=round(time.time() - t2, 3))
+        n_sweeps = int(sweeps)
+        _warn_cap(n_sweeps, max_sweeps)
+        lb = float(t.const + ends.min()) if len(ends) else float(t.const)
+        return sol, ends, n_sweeps, lb
     M = np.asarray(M)[:H, :P]
     ends = np.asarray(ends)[:H]
     LAST_TIMINGS.update(tables=round(t1 - t0, 3), exec=round(t2 - t1, 3),
