@@ -32,11 +32,11 @@ def _tune_malloc() -> None:
 
 _tune_malloc()
 
-# Backend hardening: only when the remote-TPU plugin env is present (then
+# Backend hardening: only when the remote-TPU plugin is present (then
 # sitecustomize already imported jax, so this costs nothing; elsewhere the
 # gate keeps `import phi_tpu` jax-free).
-import os as _os  # noqa: E402
-if _os.environ.get("PALLAS_AXON_POOL_IPS"):
+from phi_tpu.backend import _plugin_present as _bk_plugin_present  # noqa: E402
+if _bk_plugin_present():
     from phi_tpu.backend import configure_backend as _configure_backend
     _configure_backend()
 

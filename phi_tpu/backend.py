@@ -42,6 +42,19 @@ def effective_platforms() -> str | None:
     return _effective
 
 
+def _plugin_present() -> bool:
+    """True when the remote plugin is (or will be) registered in this
+    process. The env var alone is not enough: sitecustomize runs at
+    interpreter start, so a program that clears PALLAS_AXON_POOL_IPS
+    afterwards still has the plugin registered (and AXON_COMPAT_VERSION /
+    PJRT_LIBRARY_PATH exported by register())."""
+    import sys
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS")
+                or os.environ.get("AXON_COMPAT_VERSION")
+                or ("axon" in os.environ.get("PJRT_LIBRARY_PATH", "")
+                    and "jax" in sys.modules))
+
+
 def _probe_relay() -> bool:
     """Bounded TCP connect to the tunnel relay. True = reachable."""
     host = os.environ.get("AXON_POOL_SVC_OVERRIDE") \
@@ -64,7 +77,7 @@ def configure_backend() -> str | None:
     if _configured:
         return _effective
     _configured = True
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+    if not _plugin_present():
         return None  # no remote plugin in play; nothing to fix
 
     # sitecustomize already imported jax to register the plugin, so this
