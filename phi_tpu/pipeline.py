@@ -369,11 +369,17 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
     from phi_tpu.solve.prep import _bucket_layers, solver_layers
     layers = solver_layers(graph, opt.k)
     import jax as _jax
-    if _jax.default_backend() == "cpu" and len(anchors.occ_hap):
+    import os as _os
+    if (_jax.default_backend() == "cpu"
+            or _os.environ.get("PHI_TPU_SHRINK_LAYERS") == "1") \
+            and len(anchors.occ_hap):
         # graph-derived layer count is the worst case over any read set
         # (stable program shape for TPU compile prewarm); on the CPU backend
         # compiles are cheap, so shrink to the anchors' actual max span —
-        # the W stack and every solver sweep scale with L
+        # the W stack and every solver sweep scale with L. On TPU,
+        # PHI_TPU_SHRINK_LAYERS=1 opts in (one unprewarmed compile): at
+        # chromosome scale the graph-derived W stack alone can exceed a
+        # 16 GB chip, while the anchors' actual span fits easily
         actual = int((anchors.occ_end - anchors.occ_start).max())
         layers = min(layers, _bucket_layers(actual - 1))
     tables = build_solver_tables(graph, anchors, opt.recombination, layers)
