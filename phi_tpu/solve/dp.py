@@ -95,6 +95,11 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
         # compiles are cheap on CPU: keep the lane axis exact (49 -> 64
         # bucketing wastes ~23% of every [H, P] sweep pass)
         Hb = max(H, 1)
+    elif (t.n_layers or 0) * Hb * Pb * 4 > (2 << 30):
+        # chromosome scale: the W stack alone is GBs — lane-axis padding
+        # (49 -> 64) costs ~23% of a 16 GB chip for a prewarm benefit that
+        # cannot apply to such one-off program shapes anyway
+        Hb = max(H, 1)
 
     def build_sv():
         sv = np.full((Hb, Pb), -1, np.int32)
