@@ -42,6 +42,11 @@ def bucket_size(n: int, minimum: int = 8) -> int:
     program set must stay tiny and predictable (prewarmable)."""
     if n <= minimum:
         return minimum
+    if n > (1 << 20):
+        # chromosome scale: prewarm can't anticipate these one-off shapes
+        # anyway, and a 33%-waste bucket of a multi-GB W stack is the
+        # difference between fitting one chip and OOM — pad to 64k instead
+        return -(-n // (1 << 16)) * (1 << 16)
     p = minimum
     while True:
         if n <= p:
@@ -258,7 +263,11 @@ def _build_sbw_jit(occ_hap, occ_start, occ_end, occ_w, H: int, P: int,
     return S, B, W
 
 
-@functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps"))
+@functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps"),
+                   donate_argnums=(2,))  # W: GBs at chromosome scale — let
+                                         # XLA alias instead of copying it
+                                         # into the while_loop (callers
+                                         # never reuse the W buffer)
 def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
                      walk_len, R, n_vtx: int, max_sweeps: int):
     """Exact-credit fixpoint: per-visit credit corrected by the straddle
