@@ -286,8 +286,11 @@ def _verify_edges(graph: PangenomeGraph, vertices: np.ndarray) -> None:
     against the sorted packed edge list."""
     if len(vertices) < 2:
         return
-    packed_edges = graph.edge_u.astype(np.int64) << 32 | graph.edge_v.astype(np.int64)
-    packed_edges = np.sort(packed_edges)
+    packed_edges = getattr(graph, "_packed_edges_sorted", None)
+    if packed_edges is None:  # graph-static: sort once across decode calls
+        packed_edges = np.sort(graph.edge_u.astype(np.int64) << 32
+                               | graph.edge_v.astype(np.int64))
+        graph._packed_edges_sorted = packed_edges
     pairs = vertices[:-1].astype(np.int64) << 32 | vertices[1:].astype(np.int64)
     idx = np.searchsorted(packed_edges, pairs)
     idx_c = np.minimum(idx, len(packed_edges) - 1)
