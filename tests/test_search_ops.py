@@ -116,3 +116,39 @@ def test_pair_isin_mixed_sentinel_padding():
     f = np.asarray(found)
     assert f[:4].all() and not f[4]
     assert sorted(np.asarray(ids)[:4].tolist()) == [0, 1, 2, 3]
+
+
+def test_pair_isin_mixed_adaptive_bits_property():
+    """Adaptive first-probe width (round 3): for spectra large enough that
+    mixed_bits_for picks > 16 bits, the bucketed probe with the
+    bucket-derived rounds must agree with the plain full-array search on
+    randomized present/absent query mixes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from phi_tpu.ops.search import (make_mixed_buckets, mixed_bits_for,
+                                    pair_isin, pair_isin_mixed)
+    from phi_tpu.sketch.minimizer import _join_rounds, _next_pow2
+
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 1 << 62, 200_000, dtype=np.uint64))
+    sp_hi = (keys >> np.uint64(32)).astype(np.uint32)
+    sp_lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    Sb = _next_pow2(len(keys))
+    bits = mixed_bits_for(Sb)
+    assert bits > 16  # the property under test: the adaptive regime
+    m_np, lo_np, perm_np, off_np, actual = make_mixed_buckets(sp_hi, sp_lo,
+                                                              bits)
+    rounds = _join_rounds(Sb, actual, bits)
+    q = np.concatenate([keys[rng.integers(0, len(keys), 5000)],
+                        rng.integers(0, 1 << 62, 5000, dtype=np.uint64)])
+    q_hi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+    q_lo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    want_found, want_idx = pair_isin(jnp.asarray(sp_hi), jnp.asarray(sp_lo),
+                                     q_hi, q_lo)
+    got_found, got_id = pair_isin_mixed(
+        jnp.asarray(m_np), jnp.asarray(lo_np), jnp.asarray(perm_np),
+        jnp.asarray(off_np), q_hi, q_lo, rounds=rounds, bits=bits)
+    assert np.array_equal(np.asarray(got_found), np.asarray(want_found))
+    f = np.asarray(want_found)
+    assert np.array_equal(np.asarray(got_id)[f], np.asarray(want_idx)[f])
