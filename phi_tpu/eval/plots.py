@@ -68,10 +68,18 @@ def plot_scaling(csv_path: str, out_png: str,
     with open(csv_path, newline="") as f:
         rows = list(csv.DictReader(f))
     n = [int(r["n_haps"]) for r in rows]
-    wall = [float(r["wall_s"]) for r in rows]
+    # r3 CSVs carry the variance discipline (wall_median_s + IQR); older
+    # single-observation CSVs keep wall_s
+    key = "wall_median_s" if rows and "wall_median_s" in rows[0] else "wall_s"
+    wall = [float(r[key]) for r in rows]
+    iqr = [float(r.get("wall_iqr_s", 0) or 0) for r in rows]
     rss = [float(r["peak_rss_gb"]) for r in rows]
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 4))
-    ax1.plot(n, wall, marker="o", label="PHI-TPU")
+    if any(iqr):
+        ax1.errorbar(n, wall, yerr=[x / 2 for x in iqr], marker="o",
+                     capsize=3, label="PHI-TPU (median, IQR)")
+    else:
+        ax1.plot(n, wall, marker="o", label="PHI-TPU")
     ax2.plot(n, rss, marker="o", label="PHI-TPU")
     if reference:
         rn = sorted(reference)
