@@ -513,6 +513,13 @@ def prewarm_solver(graph, R: float, max_sweeps: int = 256,
     esrc_h, _, _, _ = switch_sources_cached(graph)
     H, P = graph.walk_mat.shape
     Hb, Pb, Eb, Vb = bucket_shapes(H, P, len(esrc_h), graph.n_vtx)
+    L_est = solver_layers(graph, k) if k is not None else 1
+    if L_est * Hb * Pb * 4 > (2 << 30):
+        # chromosome scale: executing the prewarm would pin a multi-GB
+        # zeros-W program on the chip concurrently with the real pipeline
+        # (observed OOM driver), for a shape the real solve won't even use
+        # (it takes the exact lane axis / shrunk layers there)
+        return
     S = jnp.zeros((Hb, Pb), jnp.float32)
     sv = jnp.full((Hb, Pb), -1, jnp.int32)
     wl = jnp.zeros((Hb,), jnp.int32)
