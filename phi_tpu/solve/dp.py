@@ -146,11 +146,16 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
         Nb = bucket_size(max(len(t.occ_hap), 1), 1024)
 
         def build_occ():
-            oh = _pad1(t.occ_hap.astype(np.int32), Nb, 0)
+            # narrow uploads, widened in-program: hap int8 when it fits
+            # (panels beyond 127 haps keep int32), span uint8 (exact mode
+            # implies span <= MAX_LAYERS + 1 <= 65)
+            hap_dt = np.int8 if H <= 127 else np.int32
+            oh = _pad1(t.occ_hap.astype(hap_dt), Nb, 0)
             os_ = _pad1(t.occ_start.astype(np.int32), Nb, 0)
             # pad rows get start == end == 0: zero span, and weight 0 below
-            oe = _pad1(t.occ_end.astype(np.int32), Nb, 0)
-            return (jnp.asarray(oh), jnp.asarray(os_), jnp.asarray(oe))
+            span = (t.occ_end - t.occ_start).astype(np.uint8)
+            osp = _pad1(span, Nb, 0)
+            return (jnp.asarray(oh), jnp.asarray(os_), jnp.asarray(osp))
 
         oh_d, os_d, oe_d = _dev_cached(t.occ_hap, (Nb, "occ"), build_occ)
         ow = _pad1(t.occ_weight.astype(np.float32), Nb, 0.0)
@@ -231,13 +236,18 @@ def _build_w_jit(occ_hap, occ_start, occ_end, occ_w, H: int, P: int, L: int):
 
 
 @functools.partial(jax.jit, static_argnames=("H", "P", "L"))
-def _build_sbw_jit(occ_hap, occ_start, occ_end, occ_w, H: int, P: int,
+def _build_sbw_jit(occ_hap, occ_start, occ_span, occ_w, H: int, P: int,
                    L: int):
     """Device-side build of ALL weight-dependent solver inputs — S, B
     (anchors.credit_arrays semantics) and the W straddle stack — from the
     occurrence arrays. The static occ index arrays are device-cached, so a
-    Lagrangian refinement round uploads only the new occ_weight."""
-    span = occ_end - occ_start
+    Lagrangian refinement round uploads only the new occ_weight. occ_hap
+    and occ_span arrive narrow (int8/uint8 — H <= 127, span <= 255 by the
+    MAX_LAYERS contract) and widen on device: the tunnel upload of tens of
+    millions of occurrences is the dominant tables cost on remote chips."""
+    occ_hap = occ_hap.astype(jnp.int32)
+    span = occ_span.astype(jnp.int32)
+    occ_end = occ_start + span
     flat_end = occ_hap * P + occ_end
     lo_base = occ_hap * P + occ_start + 1
     size = H * P + L + 2

@@ -286,9 +286,10 @@ def test_device_sbw_build_matches_host():
     Nb = bucket_size(len(anchors.occ_hap), 8)
     pad = lambda x, v: np.pad(x, (0, Nb - len(x)), constant_values=v)
     S_dev, B_dev, W_dev = _build_sbw_jit(
-        jnp.asarray(pad(anchors.occ_hap, 0)),
+        jnp.asarray(pad(anchors.occ_hap, 0).astype(np.int8)),
         jnp.asarray(pad(anchors.occ_start, 0)),
-        jnp.asarray(pad(anchors.occ_end, 0)),
+        jnp.asarray(pad(anchors.occ_end - anchors.occ_start, 0)
+                    .astype(np.uint8)),
         jnp.asarray(pad(anchors.occ_weight, 0.0)), H, P, L)
     assert np.allclose(np.asarray(S_dev), S_host)
     assert np.allclose(np.asarray(B_dev), B_host)
@@ -300,9 +301,10 @@ def test_device_sbw_build_matches_host():
         occ_s = np.array([P - 1], np.int32)
         occ_e = np.array([P - 1], np.int32)
         occ_w = np.array([1.0], np.float32)
-        S2, B2, _ = _build_sbw_jit(jnp.asarray(pad(occ_h, 0)),
+        S2, B2, _ = _build_sbw_jit(jnp.asarray(pad(occ_h, 0).astype(np.int8)),
                                    jnp.asarray(pad(occ_s, 0)),
-                                   jnp.asarray(pad(occ_e, 0)),
+                                   jnp.asarray(pad(occ_e - occ_s, 0)
+                                               .astype(np.uint8)),
                                    jnp.asarray(pad(occ_w, 0.0)), H, P, L)
         assert float(np.asarray(S2)[1:].sum()) == 0.0
         assert float(np.asarray(S2)[0].sum()) == 0.0
