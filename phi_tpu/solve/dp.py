@@ -274,17 +274,21 @@ def _build_sbw_jit(occ_hap, occ_start, occ_span, occ_w, H: int, P: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps"),
-                   donate_argnums=(2,))  # W: GBs at chromosome scale — let
-                                         # XLA alias instead of copying it
-                                         # into the while_loop (callers
-                                         # never reuse the W buffer)
+                   donate_argnums=(2,))
 def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
                      walk_len, R, n_vtx: int, max_sweeps: int):
     """Exact-credit fixpoint: per-visit credit corrected by the straddle
     layers W (straddle_layers semantics), so M is the true local-credit
     relaxation. L = W.shape[0] is static but the correction branch is a
-    fori_loop with dynamic rolls — program size stays O(1) in L (remote
-    compile cost scales with program size, DESIGN.md)."""
+    fori_loop with dynamic slices — program size stays O(1) in L (remote
+    compile cost scales with program size, DESIGN.md).
+
+    W is donated AND returned (aliased, unchanged): without a same-shaped
+    output the donation is unusable and XLA copies the multi-GB W stack
+    into the while_loop's writable temp space — at chromosome scale that
+    one copy (7.4 GB at [16,49,2.2M]) was the difference between fitting
+    a 16 GB v5e and RESOURCE_EXHAUSTED. Callers must not reuse their W
+    handle after the call."""
     H, P = S.shape
     L = W.shape[0]
     cols = jnp.arange(P)[None, :]
@@ -307,9 +311,16 @@ def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
         if L == 0:
             return Mn
 
-        # recent entries q = p - j, j < L: subtract still-open straddlers
+        # recent entries q = p - j, j < L: subtract still-open straddlers.
+        # The right-shift-by-traced-j is a pad-once + dynamic_slice: a
+        # jnp.roll with a traced shift lowers to concatenate(A, A) — a
+        # [H, 2P] temp (952 MB at chromosome scale) alive across the
+        # fori_loop. Padding L columns of +inf on the left costs H*L.
+        Apad = jnp.concatenate(
+            [jnp.full((H, L), _INF, A.dtype), A], axis=1)
+
         def body(j, Mn):
-            aj = jnp.where(cols >= j, jnp.roll(A, j, axis=1), _INF)
+            aj = jax.lax.dynamic_slice(Apad, (0, L - j), (H, P))
             Wj = jax.lax.dynamic_index_in_dim(W, j, 0, keepdims=False)
             return jnp.minimum(Mn, aj - Wj)
 
@@ -330,7 +341,9 @@ def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
     D = jnp.where(valid, M - B, _INF)
     ends = D[jnp.arange(H), jnp.maximum(walk_len - 1, 0)]
     ends = jnp.where(walk_len > 0, ends, _INF)
-    return M, ends, sweeps
+    # W returned untouched purely so the donation has an aliasable output
+    # (see docstring); callers drop it.
+    return M, ends, sweeps, W
 
 
 @functools.partial(jax.jit, static_argnames=("n_vtx",))
@@ -448,8 +461,9 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
     (S_dev, B_dev, W_dev), common, (H, P), statics = _bucketed_args(t, max_sweeps)
     jax.block_until_ready(S_dev)
     t1 = time.time()
-    M, ends, sweeps = cached_call(_solve_exact_jit, "solve_exact",
-                                  (S_dev, B_dev, W_dev) + common, statics)
+    M, ends, sweeps, _ = cached_call(_solve_exact_jit, "solve_exact",
+                                     (S_dev, B_dev, W_dev) + common, statics)
+    del W_dev  # donated into the solve; the handle is dead
     jax.block_until_ready(ends)
     t2 = time.time()
     if jax.default_backend() != "cpu" \

@@ -18,6 +18,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(extra_env: dict, code: str, deadline: float = 60.0):
     env = dict(os.environ)
+    # Plugin-registration artifacts describe THIS (pytest) process, which
+    # registered the remote plugin at interpreter start; a fresh child with
+    # POOL_IPS cleared never registers, so inheriting them would make
+    # backend._plugin_present() false-positive in the subprocess.
+    env.pop("AXON_COMPAT_VERSION", None)
+    env.pop("PJRT_LIBRARY_PATH", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.update(extra_env)
     t0 = time.time()

@@ -317,8 +317,8 @@ def test_native_solver_parity():
             t.state_vertex, t.walk_len, t.R, t.n_vtx, 256)
         # reference: the XLA program on the same (unpadded via bucket) args
         (S_d, B_d, W_d), common, (H0, P0), statics = _bucketed_args(t, 256)
-        M_x, ends_x, sweeps_x = _solve_exact_jit(S_d, B_d, W_d, *common,
-                                                 **statics)
+        M_x, ends_x, sweeps_x, _ = _solve_exact_jit(S_d, B_d, W_d, *common,
+                                                    **statics)
         M_x = np.asarray(M_x)[:H, :P]
         ends_x = np.asarray(ends_x)[:H]
         assert int(sweeps_x) == sweeps_n
