@@ -93,6 +93,24 @@ def _dev_cached(src_arr, shape_key, build):
     return val
 
 
+def _stream_w(L: int, Hb: int, Pb: int) -> bool:
+    """Stream the W straddle layers instead of materializing [L, Hb, Pb]?
+    Forced by PHI_TPU_STREAM_W=1/0; auto-on when the stack would exceed
+    PHI_TPU_STREAM_W_GB (default 3 GB) on a non-CPU backend. XLA's while
+    loop copies a materialized W into writable temp space (buffer
+    assignment cannot alias a parameter into loop state even when donated
+    and passed through), so the stack effectively costs 2x its size —
+    7 GB -> 14.9 GB demand at 46 Mbp, an observed v5e OOM."""
+    import os
+    forced = os.environ.get("PHI_TPU_STREAM_W")
+    if forced in ("0", "1"):
+        return forced == "1"
+    if jax.default_backend() == "cpu":
+        return False
+    cap_gb = float(os.environ.get("PHI_TPU_STREAM_W_GB", "3"))
+    return L * Hb * Pb * 4 > cap_gb * (1 << 30)
+
+
 def _bucketed_args(t: SolverTables, max_sweeps: int):
     H, P = t.state_vertex.shape
     Hb, Pb, Eb, Vb = bucket_shapes(H, P, len(t.esrc_h), t.n_vtx)
@@ -132,7 +150,7 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
         # 25M occurrences x [64, 3M]); the threaded native builder does the
         # same planes in seconds, and "upload" is a memcpy there.
         L = t.n_layers
-        if jax.default_backend() == "cpu":
+        if jax.default_backend() == "cpu" and not _stream_w(L, Hb, Pb):
             try:
                 from phi_tpu.native import build_sbw_native
                 built = build_sbw_native(t.occ_hap, t.occ_start, t.occ_end,
@@ -160,6 +178,18 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
         oh_d, os_d, oe_d = _dev_cached(t.occ_hap, (Nb, "occ"), build_occ)
         ow = _pad1(t.occ_weight.astype(np.float32), Nb, 0.0)
         from phi_tpu.execache import cached_call
+        if _stream_w(L, Hb, Pb):
+            # chromosome scale: don't materialize the [L, Hb, Pb] stack at
+            # all — the streaming solver rebuilds each layer per sweep from
+            # these occurrence arrays (S/B still built once, via the L=0
+            # builder).
+            S_dev, B_dev, _ = cached_call(
+                _build_sbw_jit, "build_sbw",
+                (oh_d, os_d, oe_d, jnp.asarray(ow)),
+                {"H": Hb, "P": Pb, "L": 0})
+            occ_dev = (oh_d, os_d, oe_d, jnp.asarray(ow), L)
+            return (S_dev, B_dev, occ_dev), common, (H, P), \
+                dict(statics, stream=True)
         S_dev, B_dev, W_dev = cached_call(
             _build_sbw_jit, "build_sbw", (oh_d, os_d, oe_d, jnp.asarray(ow)),
             {"H": Hb, "P": Pb, "L": L})
@@ -346,6 +376,79 @@ def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
     return M, ends, sweeps, W
 
 
+@functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps", "L"))
+def _solve_exact_stream_jit(S, B, occ_hap, occ_start, occ_span, occ_w,
+                            esrc_h, esrc_p, esrc_target, state_vertex,
+                            walk_len, R, n_vtx: int, max_sweeps: int,
+                            L: int):
+    """Exact-credit fixpoint with STREAMED straddle layers: W[j] is
+    recomputed inside the correction loop from the occurrence arrays
+    (the same scatter+cumsum as _build_sbw_jit's layer(), so the values
+    are bit-identical to the materialized stack) instead of holding the
+    [L, H, P] tensor in HBM. At chromosome scale the stack is the HBM
+    budget: 16x49x2.2M f32 = 7 GB at 46 Mbp, 15+ GB at 100 Mbp — beyond
+    any single 16 GB v5e no matter how it is aliased. Streaming trades
+    n_sweeps extra layer builds (each ~2 scatter-adds + a row cumsum)
+    for O(H*P) memory, putting chr1-scale instances on one chip."""
+    H, P = S.shape
+    cols = jnp.arange(P)[None, :]
+    valid = cols < walk_len[:, None]
+    vtx_clip = jnp.maximum(state_vertex, 0)
+    has_vtx = state_vertex >= 0
+
+    occ_hap = occ_hap.astype(jnp.int32)
+    span = occ_span.astype(jnp.int32)
+    flat_end = occ_hap * P + occ_start + span
+    lo_base = occ_hap * P + occ_start + 1
+    size = H * P + L + 2
+
+    def w_layer(j):
+        wsel = jnp.where(span >= j + 2, occ_w, jnp.float32(0))
+        diff = jnp.zeros(size, jnp.float32)
+        diff = diff.at[jnp.minimum(lo_base + j, size - 1)].add(wsel)
+        diff = diff.at[flat_end].add(-wsel)
+        return jnp.cumsum(diff[:H * P].reshape(H, P), axis=1)
+
+    def sweep(M):
+        D = jnp.where(valid, M - B, _INF)
+        sv = D[esrc_h, esrc_p]
+        ent = jax.ops.segment_min(sv, esrc_target, num_segments=n_vtx,
+                                  indices_are_sorted=False)
+        e_state = jnp.where(has_vtx, ent[vtx_clip] + R, _INF)
+        e_state = e_state.at[:, 0].set(jnp.minimum(e_state[:, 0], 0.0))
+        A = jnp.where(valid, e_state + S, _INF)
+        scan = jax.lax.cummin(A, axis=1)
+        Mn = jnp.where(cols >= L, jnp.roll(scan, L, axis=1), _INF)
+
+        if L == 0:
+            return Mn
+
+        Apad = jnp.concatenate(
+            [jnp.full((H, L), _INF, A.dtype), A], axis=1)
+
+        def body(j, Mn):
+            aj = jax.lax.dynamic_slice(Apad, (0, L - j), (H, P))
+            return jnp.minimum(Mn, aj - w_layer(j))
+
+        return jax.lax.fori_loop(0, L, body, Mn)
+
+    def cond(carry):
+        M, M_prev, it = carry
+        changed = jnp.any(M < M_prev - 1e-4)
+        return (it < max(max_sweeps, 2)) & ((it < 2) | changed)
+
+    def body(carry):
+        M, _, it = carry
+        return sweep(M), M, it + 1
+
+    M0 = jnp.full((H, P), _INF)
+    M, _, sweeps = jax.lax.while_loop(cond, body, (M0, M0, jnp.int32(0)))
+    D = jnp.where(valid, M - B, _INF)
+    ends = D[jnp.arange(H), jnp.maximum(walk_len - 1, 0)]
+    ends = jnp.where(walk_len > 0, ends, _INF)
+    return M, ends, sweeps
+
+
 @functools.partial(jax.jit, static_argnames=("n_vtx",))
 def _esrc_ent_jit(M, B, esrc_h, esrc_p, esrc_target, walk_len, n_vtx: int):
     """Per-vertex entry minima from the fixpoint M — the only dense thing
@@ -461,9 +564,17 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
     (S_dev, B_dev, W_dev), common, (H, P), statics = _bucketed_args(t, max_sweeps)
     jax.block_until_ready(S_dev)
     t1 = time.time()
-    M, ends, sweeps, _ = cached_call(_solve_exact_jit, "solve_exact",
-                                     (S_dev, B_dev, W_dev) + common, statics)
-    del W_dev  # donated into the solve; the handle is dead
+    if statics.pop("stream", False):
+        oh_d, os_d, osp_d, ow_d, L = W_dev
+        M, ends, sweeps = cached_call(
+            _solve_exact_stream_jit, "solve_exact_stream",
+            (S_dev, B_dev, oh_d, os_d, osp_d, ow_d) + common,
+            dict(statics, L=L))
+    else:
+        M, ends, sweeps, _ = cached_call(_solve_exact_jit, "solve_exact",
+                                         (S_dev, B_dev, W_dev) + common,
+                                         statics)
+        del W_dev  # donated into the solve; the handle is dead
     jax.block_until_ready(ends)
     t2 = time.time()
     if jax.default_backend() != "cpu" \

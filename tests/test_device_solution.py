@@ -23,13 +23,15 @@ print("OUT " + json.dumps({
 """
 
 
-def _run(force: bool):
+def _run(force: bool, stream: bool = False):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
     if force:
         env["PHI_TPU_FORCE_DEVICE_SOLVE"] = "1"
+    if stream:
+        env["PHI_TPU_STREAM_W"] = "1"
     proc = subprocess.run([sys.executable, "-c", CODE], env=env,
                           capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -41,4 +43,13 @@ def _run(force: bool):
 def test_device_solution_matches_native_decode():
     a = _run(force=False)   # native full-M path
     b = _run(force=True)    # jit solve + DeviceSolution decode
+    assert a == b
+
+
+def test_streamed_w_solve_matches_native_decode():
+    """PHI_TPU_STREAM_W=1: the chromosome-scale streaming solver (W layers
+    rebuilt per sweep from occurrence arrays, never materialized) must
+    reproduce the materialized path end-to-end through the real pipeline."""
+    a = _run(force=False)                # native full-M path
+    b = _run(force=True, stream=True)    # streamed-W jit solve
     assert a == b

@@ -331,6 +331,25 @@ def test_native_solver_parity():
         M2, ends2, sw2, lb2 = solve_dp(t, 256)
         assert np.array_equal(np.asarray(M2)[fin], M_n[fin])
 
+        # streaming-W solver (chromosome-scale mode): bit-identical to the
+        # materialized-W program on the same device args
+        from phi_tpu.solve.dp import _pad1, _solve_exact_stream_jit, \
+            bucket_size
+        import jax.numpy as jnp
+        Hb, Pb = S_d.shape
+        Nb = bucket_size(max(len(t.occ_hap), 1), 1024)
+        oh = jnp.asarray(_pad1(t.occ_hap.astype(np.int8), Nb, 0))
+        os_ = jnp.asarray(_pad1(t.occ_start.astype(np.int32), Nb, 0))
+        osp = jnp.asarray(_pad1((t.occ_end - t.occ_start).astype(np.uint8),
+                                Nb, 0))
+        ow = jnp.asarray(_pad1(t.occ_weight.astype(np.float32), Nb, 0.0))
+        M_s, ends_s, sweeps_s = _solve_exact_stream_jit(
+            S_d, B_d, oh, os_, osp, ow, *common,
+            **dict(statics, L=t.n_layers))
+        M_s = np.asarray(M_s)[:H, :P]
+        assert int(sweeps_s) == sweeps_n
+        assert np.array_equal(M_s[fin], M_n[fin])
+
 
 def test_hap_join_walk_matches_concat():
     """Walk-streaming hap join == join over the materialized concatenation,
