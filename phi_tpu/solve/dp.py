@@ -376,12 +376,11 @@ def _solve_exact_jit(S, B, W, esrc_h, esrc_p, esrc_target, state_vertex,
     return M, ends, sweeps, W
 
 
-@functools.partial(jax.jit, static_argnames=("n_vtx", "max_sweeps", "L"))
-def _solve_exact_stream_jit(S, B, occ_hap, occ_start, occ_span, occ_w,
-                            esrc_h, esrc_p, esrc_target, state_vertex,
-                            walk_len, R, n_vtx: int, max_sweeps: int,
-                            L: int):
-    """Exact-credit fixpoint with STREAMED straddle layers: W[j] is
+@functools.partial(jax.jit, static_argnames=("n_vtx", "L"))
+def _stream_sweep_jit(M, S, B, occ_hap, occ_start, occ_span, occ_w,
+                      esrc_h, esrc_p, esrc_target, state_vertex,
+                      walk_len, R, n_vtx: int, L: int):
+    """ONE exact-credit sweep with STREAMED straddle layers: W[j] is
     recomputed inside the correction loop from the occurrence arrays
     (the same scatter+cumsum as _build_sbw_jit's layer(), so the values
     are bit-identical to the materialized stack) instead of holding the
@@ -389,7 +388,13 @@ def _solve_exact_stream_jit(S, B, occ_hap, occ_start, occ_span, occ_w,
     budget: 16x49x2.2M f32 = 7 GB at 46 Mbp, 15+ GB at 100 Mbp — beyond
     any single 16 GB v5e no matter how it is aliased. Streaming trades
     n_sweeps extra layer builds (each ~2 scatter-adds + a row cumsum)
-    for O(H*P) memory, putting chr1-scale instances on one chip."""
+    for O(H*P) memory, putting chr1-scale instances on one chip.
+
+    One sweep per XLA execution (the fixpoint loop runs host-side in
+    _solve_exact_stream): a whole-fixpoint while_loop was a single
+    100+ s device execution at 100 Mbp, long enough to trip the remote
+    tunnel's execution deadline (observed UNAVAILABLE mid-solve).
+    Returns (M', changed) where changed = any(M' < M - 1e-4)."""
     H, P = S.shape
     cols = jnp.arange(P)[None, :]
     valid = cols < walk_len[:, None]
@@ -409,20 +414,17 @@ def _solve_exact_stream_jit(S, B, occ_hap, occ_start, occ_span, occ_w,
         diff = diff.at[flat_end].add(-wsel)
         return jnp.cumsum(diff[:H * P].reshape(H, P), axis=1)
 
-    def sweep(M):
-        D = jnp.where(valid, M - B, _INF)
-        sv = D[esrc_h, esrc_p]
-        ent = jax.ops.segment_min(sv, esrc_target, num_segments=n_vtx,
-                                  indices_are_sorted=False)
-        e_state = jnp.where(has_vtx, ent[vtx_clip] + R, _INF)
-        e_state = e_state.at[:, 0].set(jnp.minimum(e_state[:, 0], 0.0))
-        A = jnp.where(valid, e_state + S, _INF)
-        scan = jax.lax.cummin(A, axis=1)
-        Mn = jnp.where(cols >= L, jnp.roll(scan, L, axis=1), _INF)
+    D = jnp.where(valid, M - B, _INF)
+    sv = D[esrc_h, esrc_p]
+    ent = jax.ops.segment_min(sv, esrc_target, num_segments=n_vtx,
+                              indices_are_sorted=False)
+    e_state = jnp.where(has_vtx, ent[vtx_clip] + R, _INF)
+    e_state = e_state.at[:, 0].set(jnp.minimum(e_state[:, 0], 0.0))
+    A = jnp.where(valid, e_state + S, _INF)
+    scan = jax.lax.cummin(A, axis=1)
+    Mn = jnp.where(cols >= L, jnp.roll(scan, L, axis=1), _INF)
 
-        if L == 0:
-            return Mn
-
+    if L:
         Apad = jnp.concatenate(
             [jnp.full((H, L), _INF, A.dtype), A], axis=1)
 
@@ -430,23 +432,41 @@ def _solve_exact_stream_jit(S, B, occ_hap, occ_start, occ_span, occ_w,
             aj = jax.lax.dynamic_slice(Apad, (0, L - j), (H, P))
             return jnp.minimum(Mn, aj - w_layer(j))
 
-        return jax.lax.fori_loop(0, L, body, Mn)
+        Mn = jax.lax.fori_loop(0, L, body, Mn)
+    return Mn, jnp.any(Mn < M - 1e-4)
 
-    def cond(carry):
-        M, M_prev, it = carry
-        changed = jnp.any(M < M_prev - 1e-4)
-        return (it < max(max_sweeps, 2)) & ((it < 2) | changed)
 
-    def body(carry):
-        M, _, it = carry
-        return sweep(M), M, it + 1
-
-    M0 = jnp.full((H, P), _INF)
-    M, _, sweeps = jax.lax.while_loop(cond, body, (M0, M0, jnp.int32(0)))
+@jax.jit
+def _stream_ends_jit(M, B, walk_len):
+    H, P = M.shape
+    valid = jnp.arange(P)[None, :] < walk_len[:, None]
     D = jnp.where(valid, M - B, _INF)
     ends = D[jnp.arange(H), jnp.maximum(walk_len - 1, 0)]
-    ends = jnp.where(walk_len > 0, ends, _INF)
-    return M, ends, sweeps
+    return jnp.where(walk_len > 0, ends, _INF)
+
+
+def _solve_exact_stream(S, B, occ_hap, occ_start, occ_span, occ_w,
+                        esrc_h, esrc_p, esrc_target, state_vertex,
+                        walk_len, R, n_vtx: int, max_sweeps: int, L: int):
+    """Host-stepped streaming fixpoint (see _stream_sweep_jit): same sweep
+    math and same sweep-count/convergence semantics as the while_loop
+    solver, so results are bit-identical — the loop just lives on the
+    host, bounding each device execution to one sweep."""
+    from phi_tpu.execache import cached_call
+    H, P = S.shape
+    statics = {"n_vtx": n_vtx, "L": L}
+    M = jnp.full((H, P), _INF)
+    it, changed = 0, True
+    while it < max(max_sweeps, 2) and (it < 2 or changed):
+        M, chg = cached_call(
+            _stream_sweep_jit, "stream_sweep",
+            (M, S, B, occ_hap, occ_start, occ_span, occ_w,
+             esrc_h, esrc_p, esrc_target, state_vertex, walk_len, R),
+            statics)
+        changed = bool(chg)
+        it += 1
+    ends = _stream_ends_jit(M, B, walk_len)
+    return M, ends, it
 
 
 @functools.partial(jax.jit, static_argnames=("n_vtx",))
@@ -566,10 +586,9 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
     t1 = time.time()
     if statics.pop("stream", False):
         oh_d, os_d, osp_d, ow_d, L = W_dev
-        M, ends, sweeps = cached_call(
-            _solve_exact_stream_jit, "solve_exact_stream",
-            (S_dev, B_dev, oh_d, os_d, osp_d, ow_d) + common,
-            dict(statics, L=L))
+        M, ends, sweeps = _solve_exact_stream(
+            S_dev, B_dev, oh_d, os_d, osp_d, ow_d, *common,
+            n_vtx=statics["n_vtx"], max_sweeps=statics["max_sweeps"], L=L)
     else:
         M, ends, sweeps, _ = cached_call(_solve_exact_jit, "solve_exact",
                                          (S_dev, B_dev, W_dev) + common,

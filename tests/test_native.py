@@ -333,7 +333,7 @@ def test_native_solver_parity():
 
         # streaming-W solver (chromosome-scale mode): bit-identical to the
         # materialized-W program on the same device args
-        from phi_tpu.solve.dp import _pad1, _solve_exact_stream_jit, \
+        from phi_tpu.solve.dp import _pad1, _solve_exact_stream, \
             bucket_size
         import jax.numpy as jnp
         Hb, Pb = S_d.shape
@@ -343,9 +343,10 @@ def test_native_solver_parity():
         osp = jnp.asarray(_pad1((t.occ_end - t.occ_start).astype(np.uint8),
                                 Nb, 0))
         ow = jnp.asarray(_pad1(t.occ_weight.astype(np.float32), Nb, 0.0))
-        M_s, ends_s, sweeps_s = _solve_exact_stream_jit(
+        M_s, ends_s, sweeps_s = _solve_exact_stream(
             S_d, B_d, oh, os_, osp, ow, *common,
-            **dict(statics, L=t.n_layers))
+            n_vtx=statics["n_vtx"], max_sweeps=statics["max_sweeps"],
+            L=t.n_layers)
         M_s = np.asarray(M_s)[:H, :P]
         assert int(sweeps_s) == sweeps_n
         assert np.array_equal(M_s[fin], M_n[fin])
