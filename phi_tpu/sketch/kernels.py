@@ -460,9 +460,13 @@ def join_caps(w: int, super_blocks: int = SUPER_BLOCKS,
     """(emitcap, cap_total) for the batched join at a given window size —
     static per (k, w), so the compiled program is prewarmable."""
     sup = super_blocks * BLK
-    # 1.5x headroom over the ~2/(w+1) expected minimizer density; rare
-    # overflows are retried exactly (n_min stays exact under truncation)
-    emitcap = max(1024, 3 * sup // (w + 1) + 64)
+    # 1.3x headroom over the ~2/(w+1) expected minimizer density; rare
+    # overflows are retried exactly (n_min stays exact under truncation).
+    # Every downstream gather/probe runs on the fixed [R, emitcap] shape,
+    # so headroom is paid on every dispatch — measured ~30 ms per 0.2x at
+    # join shapes (1.5x -> 1.3x keeps a comfortable margin over the
+    # dedup-emission density, which repeats only ever LOWER).
+    emitcap = max(1024, 13 * sup // (5 * (w + 1)) + 64)
     cap_total = 1 << max(15, (2 * rows_per_call * sup // (w + 1))
                          .bit_length())
     return emitcap, cap_total
@@ -516,6 +520,20 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     emitcap, cap_total = join_caps(w, super_blocks, rows_per_call)
     n_batches = -(-len(rows) // R)
     padded = rows + [(-1, 0, 0, 0)] * (n_batches * R - len(rows))
+
+    # One-slot lookahead for the host-side 2-bit pack: packing batch b+1
+    # overlaps batch b's device execution. Measured on-chip: device exec is
+    # ~523 ms per 8-row batch but wall was ~950 ms — the serial pack (+ its
+    # numpy plane OR) was a large share of the gap.
+    from concurrent.futures import ThreadPoolExecutor
+    _packer = ThreadPoolExecutor(1)
+
+    def _pack(b):
+        batch = padded[b * R:(b + 1) * R]
+        return (batch,
+                _pack_rows_2bit(seqs, batch, row_lanes),
+                np.array([r[2] for r in batch], np.int32),
+                np.array([r[3] for r in batch], np.int32))
     # Windowed pipeline. The device runs programs in enqueue order, so a
     # hit-prefix fetch enqueued after every batch would only execute once
     # ALL batches finished — serializing execution then transfer. Keeping
@@ -527,11 +545,11 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     from phi_tpu.sketch.minimizer import fetch_prefix_start
     WINDOW = 3
 
-    def _dispatch(b, carry):
-        batch = padded[b * R:(b + 1) * R]
-        words = jax.device_put(_pack_rows_2bit(seqs, batch, row_lanes))
-        nv = jax.device_put(np.array([r[2] for r in batch], np.int32))
-        ct = jax.device_put(np.array([r[3] for r in batch], np.int32))
+    def _dispatch(b, carry, packed):
+        batch, words_np, nv_np, ct_np = packed
+        words = jax.device_put(words_np)
+        nv = jax.device_put(nv_np)
+        ct = jax.device_put(ct_np)
         out = cached_call(
             _pallas_join_rows, "pallas_join_rows",
             (words, nv, ct, carry, sp_m_d, sp_lo_d, sp_perm_d, sp_off_d),
@@ -579,13 +597,18 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
                                      fetch_prefix_start(out[3], tot)))
 
     carry = jnp.zeros(3, jnp.uint32)
+    fut = _packer.submit(_pack, 0)
     for b in range(n_batches):
-        pend[b] = _dispatch(b, carry)
+        packed = fut.result()
+        if b + 1 < n_batches:
+            fut = _packer.submit(_pack, b + 1)
+        pend[b] = _dispatch(b, carry, packed)
         carry = pend[b][2][4]
         if b >= WINDOW:
             _harvest(b - WINDOW)
     for b in range(max(0, n_batches - WINDOW), n_batches):
         _harvest(b)
+    _packer.shutdown(wait=False)
     acc: dict[int, tuple[int, list, list]] = {}
     for b, (batch, _, out) in enumerate(pend):
         total, dpos, did = started[b]
