@@ -579,9 +579,10 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
         if int(nm.max()) > emitcap or int(nh.sum()) > cap_total:
             ec = _next_pow2(max(emitcap, int(nm.max())))
             ctot = _next_pow2(max(cap_total, int(nh.sum())))
-            words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
-            nv = jnp.asarray(np.array([r[2] for r in batch], np.int32))
-            ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
+            _, words_np, nv_np, ct_np = _pack(b)
+            words = jnp.asarray(words_np)
+            nv = jnp.asarray(nv_np)
+            ct = jnp.asarray(ct_np)
             out = _pallas_join_rows(words, nv, ct, carry_in, sp_m_d,
                                     sp_lo_d, sp_perm_d, sp_off_d, k, w, R,
                                     super_blocks, ec, ctot, rounds, bits,
@@ -597,18 +598,20 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
                                      fetch_prefix_start(out[3], tot)))
 
     carry = jnp.zeros(3, jnp.uint32)
-    fut = _packer.submit(_pack, 0)
-    for b in range(n_batches):
-        packed = fut.result()
-        if b + 1 < n_batches:
-            fut = _packer.submit(_pack, b + 1)
-        pend[b] = _dispatch(b, carry, packed)
-        carry = pend[b][2][4]
-        if b >= WINDOW:
-            _harvest(b - WINDOW)
-    for b in range(max(0, n_batches - WINDOW), n_batches):
-        _harvest(b)
-    _packer.shutdown(wait=False)
+    try:
+        fut = _packer.submit(_pack, 0)
+        for b in range(n_batches):
+            packed = fut.result()
+            if b + 1 < n_batches:
+                fut = _packer.submit(_pack, b + 1)
+            pend[b] = _dispatch(b, carry, packed)
+            carry = pend[b][2][4]
+            if b >= WINDOW:
+                _harvest(b - WINDOW)
+        for b in range(max(0, n_batches - WINDOW), n_batches):
+            _harvest(b)
+    finally:
+        _packer.shutdown(wait=False)
     acc: dict[int, tuple[int, list, list]] = {}
     for b, (batch, _, out) in enumerate(pend):
         total, dpos, did = started[b]

@@ -182,11 +182,26 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
             # chromosome scale: don't materialize the [L, Hb, Pb] stack at
             # all — the streaming solver rebuilds each layer per sweep from
             # these occurrence arrays (S/B still built once, via the L=0
-            # builder).
-            S_dev, B_dev, _ = cached_call(
-                _build_sbw_jit, "build_sbw",
-                (oh_d, os_d, oe_d, jnp.asarray(ow)),
-                {"H": Hb, "P": Pb, "L": 0})
+            # builder; on the CPU backend the threaded native builder
+            # supplies S/B instead — XLA-CPU's scatter is serial per
+            # update, and only W must not be materialized).
+            S_dev = B_dev = None
+            if jax.default_backend() == "cpu":
+                try:
+                    from phi_tpu.native import build_sbw_native
+                    built = build_sbw_native(t.occ_hap, t.occ_start,
+                                             t.occ_end, t.occ_weight,
+                                             Hb, Pb, 0, H)
+                except Exception:
+                    built = None
+                if built is not None:
+                    S_dev = jnp.asarray(built[0])
+                    B_dev = jnp.asarray(built[1])
+            if S_dev is None:
+                S_dev, B_dev, _ = cached_call(
+                    _build_sbw_jit, "build_sbw",
+                    (oh_d, os_d, oe_d, jnp.asarray(ow)),
+                    {"H": Hb, "P": Pb, "L": 0})
             occ_dev = (oh_d, os_d, oe_d, jnp.asarray(ow), L)
             return (S_dev, B_dev, occ_dev), common, (H, P), \
                 dict(statics, stream=True)
@@ -465,7 +480,7 @@ def _solve_exact_stream(S, B, occ_hap, occ_start, occ_span, occ_w,
             statics)
         changed = bool(chg)
         it += 1
-    ends = _stream_ends_jit(M, B, walk_len)
+    ends = cached_call(_stream_ends_jit, "stream_ends", (M, B, walk_len), {})
     return M, ends, it
 
 
@@ -590,10 +605,13 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
             S_dev, B_dev, oh_d, os_d, osp_d, ow_d, *common,
             n_vtx=statics["n_vtx"], max_sweeps=statics["max_sweeps"], L=L)
     else:
-        M, ends, sweeps, _ = cached_call(_solve_exact_jit, "solve_exact",
-                                         (S_dev, B_dev, W_dev) + common,
-                                         statics)
-        del W_dev  # donated into the solve; the handle is dead
+        M, ends, sweeps, W_alias = cached_call(
+            _solve_exact_jit, "solve_exact",
+            (S_dev, B_dev, W_dev) + common, statics)
+        # free the multi-GB stack now: W_dev was donated and W_alias is the
+        # aliased output — both handles must drop for the buffer to die
+        # before the ent fetch / DeviceSolution below allocate
+        del W_dev, W_alias
     jax.block_until_ready(ends)
     t2 = time.time()
     if jax.default_backend() != "cpu" \
