@@ -158,6 +158,10 @@ def anchor_tables_from_hits(graph: PangenomeGraph, k: int,
             n_model_kmers=n_model, spectrum_size=spectrum_size,
             filtered_kmers=filtered, per_hap_minimizers=per_hap_min,
             per_hap_anchors=per_hap)
+    import sys
+    print("[W::anchors] native anchor kernel unavailable or hit order "
+          "violated; using the numpy fallback (slower at scale)",
+          file=sys.stderr)
     return _anchor_tables_from_hits_py(graph, k, hits, spectrum_size,
                                        threshold)
 
