@@ -599,40 +599,52 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
 
     # opt-in stage profile (PHI_TPU_JOIN_PROF=1): wall spent waiting on the
     # pack lookahead, enqueueing dispatches, and blocking in harvest — the
-    # three places the host can stall the device pipeline
+    # three places the host can stall the device pipeline. perf_counter
+    # (monotonic) so NTP adjustments can't skew the accumulated intervals;
+    # timer bookkeeping is gated on the flag (dead work otherwise); the
+    # report is emitted in the finally block so a mid-pipeline error (e.g.
+    # a retry OOM in _harvest) still surfaces the partial timings.
     import os as _os
     prof = _os.environ.get("PHI_TPU_JOIN_PROF") == "1"
     t_pack = t_disp = t_harv = 0.0
-    import time as _time
+    from time import perf_counter as _now
 
     carry = jnp.zeros(3, jnp.uint32)
     try:
         fut = _packer.submit(_pack, 0)
         for b in range(n_batches):
-            t0 = _time.time()
+            if prof:
+                t0 = _now()
             packed = fut.result()
-            t_pack += _time.time() - t0
+            if prof:
+                t_pack += _now() - t0
             if b + 1 < n_batches:
                 fut = _packer.submit(_pack, b + 1)
-            t0 = _time.time()
+            if prof:
+                t0 = _now()
             pend[b] = _dispatch(b, carry, packed)
             carry = pend[b][2][4]
-            t_disp += _time.time() - t0
+            if prof:
+                t_disp += _now() - t0
             if b >= WINDOW:
-                t0 = _time.time()
+                if prof:
+                    t0 = _now()
                 _harvest(b - WINDOW)
-                t_harv += _time.time() - t0
-        t0 = _time.time()
+                if prof:
+                    t_harv += _now() - t0
+        if prof:
+            t0 = _now()
         for b in range(max(0, n_batches - WINDOW), n_batches):
             _harvest(b)
-        t_harv += _time.time() - t0
+        if prof:
+            t_harv += _now() - t0
     finally:
         _packer.shutdown(wait=False)
-    if prof:
-        import sys as _sys
-        _sys.stderr.write(
-            f"[join-prof] batches={n_batches} pack_wait={t_pack:.3f} "
-            f"dispatch={t_disp:.3f} harvest={t_harv:.3f}\n")
+        if prof:
+            import sys as _sys
+            _sys.stderr.write(
+                f"[join-prof] batches={n_batches} pack_wait={t_pack:.3f} "
+                f"dispatch={t_disp:.3f} harvest={t_harv:.3f}\n")
     acc: dict[int, tuple[int, list, list]] = {}
     for b, (batch, _, out) in enumerate(pend):
         total, dpos, did = started[b]
