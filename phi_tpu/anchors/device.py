@@ -1,0 +1,463 @@
+"""Device-resident anchor pipeline: fused sketch+join -> on-device anchor
+tables, with no bulk hit fetch through the device->host link.
+
+The round-3 on-chip profile showed the haplotype join delivering ~110 MB of
+raw hits over a ~30 MB/s device->host tunnel and rebuilding anchor tables on
+the host (ILP_index.cpp:495-526 + :670-722 semantics). This module keeps the
+entire hit stream on device:
+
+  1. `_pallas_join_rows2` (sketch/kernels.py) emits per-hit walk-position
+     intervals (s, e) + spectrum ids directly from the kernel;
+  2. each batch is appended to a device accumulator (`_append_jit`,
+     donated buffers, device-chained offsets — no host sync);
+  3. `_finalize_jit` reproduces the reference's threshold filter on device:
+     group = (k-mer, vertex-run identity) via a 64-bit substring polynomial
+     hash over per-lane vertex prefix tables, per-k-mer occurrence counts,
+     a min==max uniformity test that resolves single-run k-mers, and an
+     exact ownership-table loop for the ambiguous remainder;
+  4. retained multi-vertex occurrences are compacted on device and feed the
+     solver without ever crossing the tunnel; a small async copy brings
+     them to the host for decode / Lagrangian refinement, overlapped with
+     the solve.
+
+Semantics match anchors.join.anchor_tables_from_hits exactly up to the
+internal group-hash function (both are 64-bit hashes of the same group
+identity; decisions differ only on astronomically unlikely collisions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phi_tpu.graph.pangenome import PangenomeGraph
+
+UMAX32 = jnp.uint32(0xFFFFFFFF)
+# independent odd multipliers for the two polynomial prefix-hash moduli
+_POLY1 = np.uint32(0x9E3779B1)
+_POLY2 = np.uint32(0x85EBCA77)
+_MAX_SPAN = 64            # pw table size; spans are <= k <= 31 by packing
+_OWNER_ROUNDS = 16        # ownership-loop cap (expected ~3-4 rounds)
+
+
+def _fmix32(x):
+    """murmur3 finalizer (uint32 lanes)."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("P1", "P2"))
+def _build_ph_jit(walk_mat, P1: int, P2: int):
+    """Per-lane vertex-sequence prefix hashes PH[h, p] = hash of
+    walk_mat[h, :p] under x -> x*POLY + (v+1) (u32 wraparound), PH[:, 0]=0.
+    Substring (vertex run) hash of walk[s..e] is then
+    PH[e+1] - PH[s] * POLY^(e-s+1) — exact run identity up to 2x32-bit
+    collisions, the same guarantee class as the host path's u64 mix chain."""
+    v = walk_mat.astype(jnp.uint32) + jnp.uint32(1)
+
+    def scan_mod(poly):
+        m = jnp.full(v.shape, jnp.uint32(poly))
+        a = v
+
+        def comb(left, right):
+            ml, al = left
+            mr, ar = right
+            return ml * mr, al * mr + ar
+
+        _, ph = jax.lax.associative_scan(comb, (m, a), axis=1)
+        H = v.shape[0]
+        return jnp.concatenate(
+            [jnp.zeros((H, 1), jnp.uint32), ph], axis=1)
+
+    return scan_mod(P1), scan_mod(P2)
+
+
+def _pw_tables() -> tuple[np.ndarray, np.ndarray]:
+    pw1 = np.ones(_MAX_SPAN + 2, np.uint32)
+    pw2 = np.ones(_MAX_SPAN + 2, np.uint32)
+    for i in range(1, _MAX_SPAN + 2):
+        pw1[i] = (int(pw1[i - 1]) * int(_POLY1)) & 0xFFFFFFFF
+        pw2[i] = (int(pw2[i - 1]) * int(_POLY2)) & 0xFFFFFFFF
+    return pw1, pw2
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _append_jit(buf_s, buf_span, buf_id, buf_hap, total,
+                fs, fe, fid, fhap):
+    """Append one batch's flat hit columns at the device-chained offset.
+    Buffers are donated (in-place update); `total` is the raw running count
+    (unclamped — the caller detects overflow from the final value)."""
+    cap = buf_s.shape[0]
+    ct = fs.shape[0]
+    off = jnp.minimum(total, jnp.int32(cap - ct))
+    nh = jnp.sum(fid >= 0)
+    buf_s = jax.lax.dynamic_update_slice(buf_s, fs, (off,))
+    buf_span = jax.lax.dynamic_update_slice(
+        buf_span, jnp.maximum(fe - fs, 0).astype(jnp.uint8), (off,))
+    buf_id = jax.lax.dynamic_update_slice(buf_id, fid, (off,))
+    buf_hap = jax.lax.dynamic_update_slice(
+        buf_hap, jnp.maximum(fhap, 0).astype(jnp.uint8), (off,))
+    return buf_s, buf_span, buf_id, buf_hap, total + nh.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tot_b",))
+def _slice_jit(buf_s, buf_span, buf_id, buf_hap, tot_b: int):
+    return (jax.lax.dynamic_slice(buf_s, (0,), (tot_b,)),
+            jax.lax.dynamic_slice(buf_span, (0,), (tot_b,)),
+            jax.lax.dynamic_slice(buf_id, (0,), (tot_b,)),
+            jax.lax.dynamic_slice(buf_hap, (0,), (tot_b,)))
+
+
+@functools.partial(jax.jit, static_argnames=("Ksp", "H", "amb_cap"),
+                   donate_argnums=(0, 1, 2, 3))
+def _finalize_jit(occ_s, occ_span, occ_id, occ_hap, total, ph1, ph2,
+                  pw1, pw2, th, Ksp: int, H: int, amb_cap: int):
+    """Threshold filter + retained-occurrence compaction, all on device.
+
+    Inputs are the (sliced) accumulator columns; outputs are the compacted
+    multi-vertex retained occurrences IN PLACE of the donated buffers plus
+    a stats vector. Group semantics follow ILP_index.cpp:670-722 via
+    anchors.join._anchor_tables_from_hits_py: count occurrences per
+    (k-mer, vertex-run) group; a group reaching `th` kills its k-mer."""
+    N = occ_s.shape[0]
+    Pp1 = ph1.shape[1]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = (idx < total) & (occ_id >= 0)
+    s32 = occ_s
+    span32 = occ_span.astype(jnp.int32)
+    e32 = s32 + span32
+    hap32 = occ_hap.astype(jnp.int32)
+    kid = jnp.where(valid, occ_id, Ksp)          # invalid -> overflow slot
+
+    # --- vertex-run substring hash (two independent u32 moduli) ---
+    base = hap32 * Pp1
+    ph1f = ph1.reshape(-1)
+    ph2f = ph2.reshape(-1)
+    i_lo = jnp.where(valid, base + s32, 0)
+    i_hi = jnp.where(valid, base + e32 + 1, 0)
+    sp1 = pw1[jnp.minimum(span32 + 1, pw1.shape[0] - 1)]
+    sp2 = pw2[jnp.minimum(span32 + 1, pw2.shape[0] - 1)]
+    rh1 = ph1f[i_hi] - ph1f[i_lo] * sp1
+    rh2 = ph2f[i_hi] - ph2f[i_lo] * sp2
+    idu = occ_id.astype(jnp.uint32)
+    g1 = _fmix32(rh1 ^ _fmix32(idu * jnp.uint32(0x27D4EB2F)))
+    g2 = _fmix32(rh2 ^ _fmix32(idu * jnp.uint32(0x165667B1)))
+
+    # --- per-k-mer totals + group-uniformity test ---
+    ktot = jnp.zeros(Ksp + 1, jnp.int32).at[kid].add(
+        valid.astype(jnp.int32), mode="drop")
+    u = g1 ^ g2
+    v = g1 + g2
+    big = UMAX32
+    umin = jnp.full(Ksp + 1, big, jnp.uint32).at[kid].min(
+        jnp.where(valid, u, big), mode="drop")
+    umax = jnp.zeros(Ksp + 1, jnp.uint32).at[kid].max(
+        jnp.where(valid, u, jnp.uint32(0)), mode="drop")
+    vmin = jnp.full(Ksp + 1, big, jnp.uint32).at[kid].min(
+        jnp.where(valid, v, big), mode="drop")
+    vmax = jnp.zeros(Ksp + 1, jnp.uint32).at[kid].max(
+        jnp.where(valid, v, jnp.uint32(0)), mode="drop")
+    uniform = (umin == umax) & (vmin == vmax)
+    hot = ktot.astype(jnp.float32) >= th
+    hot = hot.at[Ksp].set(False)       # the invalid-occ overflow slot
+    kbad_uni = (uniform & hot)[:Ksp]
+    k_amb = (~uniform) & hot           # [Ksp+1], slot Ksp always False
+
+    # --- exact ownership-loop count for ambiguous k-mers ---
+    occ_amb = valid & k_amb[kid]
+    n_amb = occ_amb.sum()
+    aorder = jnp.cumsum(occ_amb.astype(jnp.int32)) - 1
+    adst = jnp.where(occ_amb, jnp.minimum(aorder, amb_cap), amb_cap)
+    asrc = jnp.full(amb_cap + 1, N, jnp.int32).at[adst].set(
+        idx, mode="drop")[:amb_cap]
+    pad_u = jnp.zeros(1, jnp.uint32)
+    pad_i = jnp.full(1, Ksp, jnp.int32)
+    ag1 = jnp.concatenate([g1, pad_u])[asrc]
+    ag2 = jnp.concatenate([g2, pad_u])[asrc]
+    aid = jnp.concatenate([kid, pad_i])[asrc]
+    a_live = asrc < N
+    AM = max(2 * amb_cap, 8)
+
+    def owner_cond(st):
+        unpl, gcnt, r = st
+        return jnp.any(unpl) & (r < _OWNER_ROUNDS)
+
+    def owner_body(st):
+        unpl, gcnt, r = st
+        slot = (_fmix32(ag1 + r.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+                ^ ag2).astype(jnp.int32) & jnp.int32(AM - 1)
+        t1 = jnp.full(AM, big, jnp.uint32).at[slot].min(
+            jnp.where(unpl, ag1, big))
+        cand = unpl & (t1[slot] == ag1)
+        t2 = jnp.full(AM, big, jnp.uint32).at[slot].min(
+            jnp.where(cand, ag2, big))
+        win = cand & (t2[slot] == ag2)
+        cnt_r = jnp.zeros(AM, jnp.int32).at[slot].add(win.astype(jnp.int32))
+        gcnt = jnp.where(win, cnt_r[slot], gcnt)
+        return unpl & ~win, gcnt, r + 1
+
+    unpl0 = a_live
+    gcnt0 = jnp.zeros(amb_cap, jnp.int32)
+    unpl, gcnt, rounds_used = jax.lax.while_loop(
+        owner_cond, owner_body, (unpl0, gcnt0, jnp.uint32(0)))
+    amb_bad = a_live & (gcnt.astype(jnp.float32) >= th)
+    kbad_amb = jnp.zeros(Ksp + 1, jnp.int32).at[aid].max(
+        amb_bad.astype(jnp.int32), mode="drop")
+    kbad = kbad_uni | (kbad_amb[:Ksp] > 0)
+    kbad_full = jnp.concatenate([kbad, jnp.zeros(1, bool)])
+
+    # --- filter + stats + retained compaction ---
+    keep = valid & ~kbad_full[kid]
+    per_hap = jnp.zeros(H, jnp.int32).at[jnp.where(keep, hap32, H - 1)].add(
+        keep.astype(jnp.int32), mode="drop")
+    multi = keep & (span32 > 0)
+    kmulti = jnp.zeros(Ksp + 1, jnp.int32).at[kid].max(
+        multi.astype(jnp.int32), mode="drop")
+    n_model = kmulti[:Ksp].sum()
+    filtered = (kbad & (ktot[:Ksp] > 0)).sum()
+    n_occ = multi.sum()
+
+    morder = jnp.cumsum(multi.astype(jnp.int32)) - 1
+    mdst = jnp.where(multi, jnp.minimum(morder, N - 1), N - 1)
+    # compact via an index scatter + gathers (pad slots read row N -> fills)
+    msrc = jnp.full(N + 1, N, jnp.int32).at[mdst].set(
+        jnp.where(multi, idx, N), mode="drop")[:N]
+    # pad tail must be inert solver rows: hap 0, start 0, span 0, id -1
+    c_s = jnp.concatenate([s32, jnp.zeros(1, jnp.int32)])[msrc]
+    c_span = jnp.concatenate([occ_span, jnp.zeros(1, jnp.uint8)])[msrc]
+    c_id = jnp.concatenate([occ_id, jnp.full(1, -1, jnp.int32)])[msrc]
+    c_hap = jnp.concatenate([occ_hap, jnp.zeros(1, jnp.uint8)])[msrc]
+    in_range = jnp.arange(N, dtype=jnp.int32) < n_occ
+    c_w = in_range.astype(jnp.float32)
+
+    stats = jnp.stack([
+        n_occ.astype(jnp.int32),
+        n_model.astype(jnp.int32),
+        filtered.astype(jnp.int32),
+        jnp.any(unpl).astype(jnp.int32),              # unresolved flag
+        (n_amb > amb_cap).astype(jnp.int32),          # amb overflow flag
+        rounds_used.astype(jnp.int32),
+    ])
+    return c_s, c_span, c_id, c_hap, c_w, stats, per_hap
+
+
+@dataclasses.dataclass
+class DeviceOcc:
+    """Device-resident retained occurrences + pending host copies."""
+    dev_s: object            # jnp [Nb] int32 walk-position starts
+    dev_span: object         # jnp [Nb] uint8
+    dev_id: object           # jnp [Nb] int32 spectrum ids (-1 pad)
+    dev_hap: object          # jnp [Nb] uint8
+    dev_w: object            # jnp [Nb] float32 (1.0 live / 0.0 pad)
+    n_occ: int
+    n_model: int
+    filtered: int
+    per_hap_anchors: np.ndarray
+    Nb: int
+
+    def start_host_copy(self) -> None:
+        for a in (self.dev_s, self.dev_span, self.dev_id, self.dev_hap):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    def materialize(self):
+        """(occ_hap, occ_start, occ_end, occ_kmer) int32 host arrays."""
+        n = self.n_occ
+        s = np.asarray(self.dev_s)[:n].astype(np.int32)
+        span = np.asarray(self.dev_span)[:n].astype(np.int32)
+        kid = np.asarray(self.dev_id)[:n].astype(np.int32)
+        hap = np.asarray(self.dev_hap)[:n].astype(np.int32)
+        return hap, s, s + span, kid
+
+
+def bucket_pow(n: int, minimum: int = 1 << 15) -> int:
+    """{2^k, 3*2^(k-1)} bucket (same family as solve.dp.bucket_size)."""
+    from phi_tpu.solve.dp import bucket_size
+    return bucket_size(max(n, 1), minimum)
+
+
+def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
+                        k: int, w: int, sp_hi, sp_lo, threshold: float,
+                        *, rows_per_call: int | None = None,
+                        super_blocks: int | None = None,
+                        interpret: bool = False):
+    """Fused device sketch+join+anchor build over all haplotypes.
+
+    Returns (per_hap_minimizers int64 [H], DeviceOcc) or None when the
+    device path cannot run (non-ACGT walks, H > 255, overflow) — the caller
+    falls back to the host hit path."""
+    from phi_tpu.execache import cached_call
+    from phi_tpu.sketch.kernels import (BLK, HALO_PAD, ROWS, SUPER_BLOCKS,
+                                        _pack_rows_2bit, _pallas_join_rows2,
+                                        join_caps, pack_row_deltas,
+                                        row_base_nodes)
+    from phi_tpu.sketch.minimizer import prepare_spectrum_bucket
+
+    R = rows_per_call or ROWS
+    SB = super_blocks or SUPER_BLOCKS
+    H = graph.num_walks
+    if H > 255 or k + w - 2 > HALO_PAD:
+        return None
+    halo = k + w - 2
+    sup = SB * BLK
+    row_lanes = (SB + 1) * BLK
+
+    rows: list[tuple[int, int, int, int]] = []
+    per_hap_min = np.zeros(H, np.int64)
+    est_windows = 0
+    for i, codes in enumerate(seqs):
+        L = len(codes)
+        if L < w + k - 1:
+            continue
+        if (codes >= 4).any():
+            return None  # host fallback for N-containing walks
+        for start in range(0, max(1, L - halo), sup):
+            nv = min(sup, L - halo - start)
+            rows.append((i, start, nv, 1 if start else 0))
+            est_windows += nv
+    if not rows:
+        return None
+
+    sp_m_np, sp_lo_np, sp_perm_np, sp_off_np, Sb, rounds, bits = \
+        prepare_spectrum_bucket(sp_hi, sp_lo)
+    sp_args = tuple(jnp.asarray(a) for a in
+                    (sp_m_np, sp_lo_np, sp_perm_np, sp_off_np))
+
+    emitcap, cap_total = join_caps(w, SB, R)
+    # hit accumulator: hits <= emitted minimizers <= ~2.6/(w+1) windows,
+    # plus one batch of slack so a clamped append can never overwrite live
+    # data before the overflow check fires
+    CAP = bucket_pow(int(est_windows * 2.6 / (w + 1)) + cap_total, 1 << 18)
+    n_batches = -(-len(rows) // R)
+    padded = rows + [(-1, 0, 0, 0)] * (n_batches * R - len(rows))
+    cumlens = graph.walk_node_cumlen
+
+    from concurrent.futures import ThreadPoolExecutor
+    _packer = ThreadPoolExecutor(1)
+
+    def _pack(b):
+        batch = padded[b * R:(b + 1) * R]
+        return (batch,
+                _pack_rows_2bit(seqs, batch, row_lanes),
+                pack_row_deltas(cumlens, batch, row_lanes),
+                np.array([r[2] for r in batch], np.int32),
+                np.array([r[3] for r in batch], np.int32),
+                row_base_nodes(cumlens, batch),
+                np.array([max(r[0], 0) for r in batch], np.int32))
+
+    buf_s = jnp.zeros(CAP, jnp.int32)
+    buf_span = jnp.zeros(CAP, jnp.uint8)
+    buf_id = jnp.full(CAP, -1, jnp.int32)
+    buf_hap = jnp.zeros(CAP, jnp.uint8)
+    total = jnp.int32(0)
+    carry = jnp.zeros(3, jnp.uint32)
+
+    WINDOW = 3
+    counts = np.zeros((n_batches, 2, R), np.int64)
+    pend: list = [None] * n_batches
+
+    def _dispatch(b, carry, packed):
+        batch, words_np, nd_np, nv_np, ct_np, bn_np, hap_np = packed
+        words = jax.device_put(words_np)
+        nd = jax.device_put(nd_np)
+        nv = jax.device_put(nv_np)
+        ct = jax.device_put(ct_np)
+        bn = jax.device_put(bn_np)
+        hp = jax.device_put(hap_np)
+        out = cached_call(
+            _pallas_join_rows2, "pallas_join_rows2",
+            (words, nd, nv, ct, bn, hp, carry) + sp_args,
+            {"k": k, "w": w, "n_rows": R, "n_blocks": SB,
+             "emitcap": emitcap, "cap_total": cap_total, "rounds": rounds,
+             "bits": bits, "interpret": interpret})
+        for a in (out[0], out[1]):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        return [batch, out]
+
+    overflow = False
+    try:
+        fut = _packer.submit(_pack, 0)
+        for b in range(n_batches):
+            packed = fut.result()
+            if b + 1 < n_batches:
+                fut = _packer.submit(_pack, b + 1)
+            pend[b] = _dispatch(b, carry, packed)
+            out = pend[b][1]
+            carry = out[6]
+            buf_s, buf_span, buf_id, buf_hap, total = cached_call(
+                _append_jit, "anchor_append",
+                (buf_s, buf_span, buf_id, buf_hap, total,
+                 out[2], out[3], out[4], out[5]), {})
+            if b >= WINDOW:
+                _harvest(b - WINDOW, counts, pend, emitcap, cap_total)
+        for b in range(max(0, n_batches - WINDOW), n_batches):
+            _harvest(b, counts, pend, emitcap, cap_total)
+    finally:
+        _packer.shutdown(wait=False)
+
+    # exact per-row overflow check (counts now on host): a batch whose
+    # emit or hit counts exceeded the static caps truncated its flat
+    # arrays — rare; the caller reruns via the host path
+    if (counts[:, 0].max(initial=0) > emitcap
+            or counts[:, 1].sum() > CAP - cap_total):
+        return None
+    for b, (batch, _) in enumerate(pend):
+        if int(counts[b, 1].sum()) > cap_total:
+            return None
+        for j, (si, start, nv, cont) in enumerate(batch):
+            if si >= 0:
+                per_hap_min[si] += int(counts[b, 0, j])
+
+    total_hits = int(counts[:, 1].sum())
+    TOT = bucket_pow(total_hits + 1, 1 << 15)
+    if TOT < CAP:
+        buf_s, buf_span, buf_id, buf_hap = cached_call(
+            _slice_jit, "anchor_slice",
+            (buf_s, buf_span, buf_id, buf_hap), {"tot_b": TOT})
+
+    # prefix-hash tables (graph-static, device-cached)
+    from phi_tpu.solve.dp import _dev_cached
+    Hb_, Pb_ = graph.walk_mat.shape
+    wm_dev = _dev_cached(graph.walk_mat, (Hb_, Pb_, "wm_ph"),
+                         lambda: jnp.asarray(graph.walk_mat))
+    ph1, ph2 = cached_call(_build_ph_jit, "build_ph", (wm_dev,),
+                           {"P1": int(_POLY1), "P2": int(_POLY2)})
+    pw1, pw2 = _pw_tables()
+
+    Ksp = len(sp_hi)
+    amb_cap = max(TOT // 4, 1 << 15)
+    c_s, c_span, c_id, c_hap, c_w, stats, per_hap = cached_call(
+        _finalize_jit, "anchor_finalize",
+        (buf_s, buf_span, buf_id, buf_hap, jnp.int32(total_hits),
+         ph1, ph2, jnp.asarray(pw1), jnp.asarray(pw2),
+         jnp.float32(threshold * H)),
+        {"Ksp": Ksp, "H": H, "amb_cap": amb_cap})
+    stats_np = np.asarray(stats)
+    if stats_np[3] or stats_np[4]:
+        return None  # unresolved ownership / ambiguous overflow: host path
+    occ = DeviceOcc(
+        dev_s=c_s, dev_span=c_span, dev_id=c_id, dev_hap=c_hap, dev_w=c_w,
+        n_occ=int(stats_np[0]), n_model=int(stats_np[1]),
+        filtered=int(stats_np[2]),
+        per_hap_anchors=np.asarray(per_hap).astype(np.int64),
+        Nb=TOT)
+    return per_hap_min, occ
+
+
+def _harvest(b, counts, pend, emitcap, cap_total):
+    batch, out = pend[b]
+    counts[b, 0] = np.asarray(out[0]).astype(np.int64)
+    counts[b, 1] = np.asarray(out[1]).astype(np.int64)

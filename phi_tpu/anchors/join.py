@@ -28,7 +28,11 @@ from phi_tpu.sketch.minimizer import sketch_sequence
 class AnchorTables:
     """Everything the solver needs, plus the log-contract stats."""
 
-    # Retained multi-vertex occurrences (solver credit intervals):
+    # Retained multi-vertex occurrences (solver credit intervals). On the
+    # device-resident anchor path (anchors/device.py) these start as None
+    # with `device_occ` holding the on-chip columns; materialize_device()
+    # fills them from the (async, solve-overlapped) host copies before
+    # decode or refinement touches them.
     occ_hap: np.ndarray        # int32 [n_occ]
     occ_start: np.ndarray      # int32 [n_occ]  walk position of first vertex
     occ_end: np.ndarray        # int32 [n_occ]  walk position of last vertex (> start)
@@ -40,6 +44,17 @@ class AnchorTables:
     filtered_kmers: int        # spectrum k-mers dropped by the threshold filter
     per_hap_minimizers: np.ndarray  # int64 [H]
     per_hap_anchors: np.ndarray     # int64 [H] retained occurrence counts (incl. span-0)
+    device_occ: object | None = None  # anchors.device.DeviceOcc
+
+    def materialize_device(self) -> None:
+        if self.device_occ is None or self.occ_hap is not None:
+            return
+        hap, s, e, kid = self.device_occ.materialize()
+        self.occ_hap = hap
+        self.occ_start = s
+        self.occ_end = e
+        self.occ_kmer = kid
+        self.occ_weight = np.ones(len(hap), np.float32)
 
 
 _M1 = np.uint64(0xBF58476D1CE4E5B9)

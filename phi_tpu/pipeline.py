@@ -87,6 +87,8 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
             from phi_tpu.sketch.minimizer import start_read_sketch_prewarm_thread
             start_read_sketch_prewarm_thread(opt.k, opt.w)
 
+    hits = None
+    anchors = None
     if opt.load_index:
         # checkpoint path: spectrum + per-hap join hits were persisted by a
         # previous run (--save-index); parameter re-solves skip sketching
@@ -147,23 +149,57 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         import jax.numpy as jnp
 
         from phi_tpu.sketch.minimizer import sketch_join_many
-        sp_hi_d = jnp.asarray(spectrum[0])
-        sp_lo_d = jnp.asarray(spectrum[1])
         plog.raw("Number of Minimizers")
         hits = None
-        if _jax.default_backend() == "cpu" and mesh_devices is None:
-            # stream walks straight from the graph tensors (no per-hap
-            # concatenations); exact same join semantics
-            from phi_tpu.sketch.minimizer import sketch_join_walks
-            hits = sketch_join_walks(graph, opt.k, opt.w,
-                                     spectrum[0], spectrum[1])
-        if hits is None:
+        anchors = None
+        import os as _os
+        use_dev_anchors = (
+            (_jax.default_backend() != "cpu"
+             or _os.environ.get("PHI_TPU_FORCE_DEVICE_ANCHORS") == "1")
+            and mesh_devices is None and not opt.save_index
+            and len(spectrum[0]) > 0)
+        if use_dev_anchors:
+            # device-resident anchor pipeline: hits never cross the
+            # device->host link (anchors/device.py); falls back to the
+            # host hit path for N-containing walks / cap overflows
+            from phi_tpu.anchors.device import join_anchors_device
             hap_codes = [graph.walk_seq_codes(h)
                          for h in range(graph.num_walks)]
-            hits = sketch_join_many(hap_codes, opt.k, opt.w, sp_hi_d,
-                                    sp_lo_d, devices=mesh_devices)
-        for h in range(graph.num_walks):
-            plog.raw(f"{graph.walk_names[h]} : {hits[h][0]}")
+            dres = join_anchors_device(
+                graph, hap_codes, opt.k, opt.w, spectrum[0], spectrum[1],
+                opt.threshold,
+                interpret=_jax.default_backend() == "cpu")
+            if dres is not None:
+                from phi_tpu.anchors.join import AnchorTables
+                per_hap_min, dev_occ = dres
+                dev_occ.start_host_copy()
+                for h in range(graph.num_walks):
+                    plog.raw(f"{graph.walk_names[h]} : {per_hap_min[h]}")
+                anchors = AnchorTables(
+                    occ_hap=None, occ_start=None, occ_end=None,
+                    occ_kmer=None, occ_weight=None,
+                    n_model_kmers=dev_occ.n_model,
+                    spectrum_size=len(spectrum[0]),
+                    filtered_kmers=dev_occ.filtered,
+                    per_hap_minimizers=per_hap_min,
+                    per_hap_anchors=dev_occ.per_hap_anchors,
+                    device_occ=dev_occ)
+        if anchors is None:
+            sp_hi_d = jnp.asarray(spectrum[0])
+            sp_lo_d = jnp.asarray(spectrum[1])
+            if _jax.default_backend() == "cpu" and mesh_devices is None:
+                # stream walks straight from the graph tensors (no per-hap
+                # concatenations); exact same join semantics
+                from phi_tpu.sketch.minimizer import sketch_join_walks
+                hits = sketch_join_walks(graph, opt.k, opt.w,
+                                         spectrum[0], spectrum[1])
+            if hits is None:
+                hap_codes = [graph.walk_seq_codes(h)
+                             for h in range(graph.num_walks)]
+                hits = sketch_join_many(hap_codes, opt.k, opt.w, sp_hi_d,
+                                        sp_lo_d, devices=mesh_devices)
+            for h in range(graph.num_walks):
+                plog.raw(f"{graph.walk_names[h]} : {hits[h][0]}")
         plog.log("ILP_function", "Haplotypes sketched")
         timings["sketch_haps"] = time.time() - t1
         plog.log("ILP_function",
@@ -181,8 +217,9 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
 
     # --- anchor tables: interval conversion + threshold filter ---
     t1 = time.time()
-    anchors = anchor_tables_from_hits(graph, opt.k, hits,
-                                      len(spectrum[0]), opt.threshold)
+    if hits is not None or anchors is None:
+        anchors = anchor_tables_from_hits(graph, opt.k, hits,
+                                          len(spectrum[0]), opt.threshold)
     plog.raw("Number of Anchors")
     for h in range(graph.num_walks):
         plog.raw(f"{graph.walk_names[h]} : {anchors.per_hap_anchors[h]}")
@@ -318,6 +355,18 @@ def _solve_once(tables, opt: Options):
     return solve_dp(tables, opt.max_sweeps)
 
 
+def _hydrate_tables(tables, anchors) -> None:
+    """Fill host occurrence columns on device-anchor runs: decode's lazy
+    straddle/S_row/scoring reads them. The async copies were started right
+    after the device anchor build, so by post-solve time they have landed."""
+    anchors.materialize_device()
+    if tables.occ_hap is None and anchors.occ_hap is not None:
+        tables.occ_hap = anchors.occ_hap
+        tables.occ_start = anchors.occ_start
+        tables.occ_end = anchors.occ_end
+        tables.occ_weight = anchors.occ_weight
+
+
 def _solve_and_decode(graph, tables, anchors, opt: Options) -> DecodeResult:
     """Solve and decode. Normal case (tables.n_layers set): one exact-credit
     fixpoint — the decoded path is the optimal relaxed path and the value a
@@ -325,11 +374,14 @@ def _solve_and_decode(graph, tables, anchors, opt: Options) -> DecodeResult:
     search and the optimistic fixpoints are decoded and the better-scoring
     path kept (they bracket the non-separable credit from below/above)."""
     if opt.mesh_devices and opt.mesh_devices > 1:
+        _hydrate_tables(tables, anchors)
         M, ends, sweeps, lb = _solve_once(tables, opt)
         return decode_path(graph, tables, anchors, M, ends, sweeps, lb)
     if tables.n_layers is not None:
         M, ends, sweeps, lb = solve_dp(tables, opt.max_sweeps)
+        _hydrate_tables(tables, anchors)
         return decode_path(graph, tables, anchors, M, ends, sweeps, lb)
+    _hydrate_tables(tables, anchors)
     from phi_tpu.solve.dp import solve_dp_both
     (M, ends), (M_opt, ends_opt), sweeps, lb = solve_dp_both(tables, opt.max_sweeps)
     best = decode_path(graph, tables, anchors, M, ends, sweeps, lb)
@@ -372,7 +424,7 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
     import os as _os
     if (_jax.default_backend() == "cpu"
             or _os.environ.get("PHI_TPU_SHRINK_LAYERS") == "1") \
-            and len(anchors.occ_hap):
+            and anchors.occ_hap is not None and len(anchors.occ_hap):
         # graph-derived layer count is the worst case over any read set
         # (stable program shape for TPU compile prewarm); on the CPU backend
         # compiles are cheap, so shrink to the anchors' actual max span —

@@ -673,6 +673,281 @@ def pallas_join_many(seqs: list[np.ndarray], k: int, w: int, sp_hi, sp_lo,
     return results
 
 
+# ---------------------------------------------------------------------------
+# v2 rows kernel: same sketch + dedup as _make_kernel_rows, plus per-window
+# WALK-POSITION intervals [s, e] computed in-kernel from a per-base
+# node-index-delta plane (delta[b] = number of node starts at base b, so a
+# prefix sum reproduces searchsorted(cumlen, base, 'right') - 1 exactly,
+# including zero-length nodes). s/e ride through the window-min selection,
+# so the emitted minimizers come out anchor-ready — no host-side interval
+# conversion and no bulk hit fetch (the device-resident anchor pipeline,
+# anchors/device.py, consumes these directly).
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_rows2(k: int, w: int):
+    n_hi = max(0, k - 16)
+
+    def kernel(nvalid_ref, cont_ref, base_ref, init_ref, codes_ref, next_ref,
+               nd_ref, ndnext_ref, hi_ref, lo_ref, s_ref, e_ref,
+               emit_ref, co_ref, carry_ref):
+        row_id = pl.program_id(0)
+        blk_id = pl.program_id(1)
+
+        @pl.when(blk_id == 0)
+        def _row_start():
+            cont = cont_ref[row_id] != 0
+            k0 = jnp.where(row_id == 0, init_ref[0], carry_ref[0])
+            k1 = jnp.where(row_id == 0, init_ref[1], carry_ref[1])
+            k2 = jnp.where(row_id == 0, init_ref[2], carry_ref[2])
+            carry_ref[0] = jnp.where(cont, k0, jnp.uint32(0xFFFFFFFF))
+            carry_ref[1] = jnp.where(cont, k1, jnp.uint32(0xFFFFFFFF))
+            carry_ref[2] = jnp.where(cont, k2, jnp.uint32(0))
+            carry_ref[3] = jnp.uint32(0)  # node-count carry (per-row)
+
+        xi = jnp.concatenate(
+            [codes_ref[0].astype(jnp.int32),
+             next_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
+        rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
+        x = xi.astype(jnp.uint32)
+        fhi = jnp.zeros_like(x)
+        flo = jnp.zeros_like(x)
+        rhi = jnp.zeros_like(x)
+        rlo = jnp.zeros_like(x)
+        invalid = jnp.where(xi >= 4, jnp.int32(1), jnp.int32(0))
+        col = x
+        rcolsrc = rc_i.astype(jnp.uint32)
+        two = jnp.uint32(2)
+        for j in range(k):
+            cj = _roll_l(col, j) if j else col
+            rj = _roll_l(rcolsrc, k - 1 - j) if k - 1 - j else rcolsrc
+            if j < n_hi:
+                fhi = (fhi << two) | cj
+                rhi = (rhi << two) | rj
+            else:
+                flo = (flo << two) | cj
+                rlo = (rlo << two) | rj
+            if j:
+                invalid = jnp.maximum(invalid, jnp.where(cj >= 4, 1, 0))
+        f_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+        hi = jnp.where(f_le, fhi, rhi)
+        lo = jnp.where(f_le, flo, rlo)
+        umax = jnp.uint32(0xFFFFFFFF)
+        hi = jnp.where(invalid > 0, umax, hi)
+        lo = jnp.where(invalid > 0, umax, lo)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        gpos = blk_id * BLK + lane
+        pos = jnp.where(invalid > 0, jnp.int32(-1), gpos)
+
+        # node-index prefix sum over the block (+halo): inclusive cumsum of
+        # the delta plane via log-doubling rolls with zero shift-in
+        nd = jnp.concatenate(
+            [nd_ref[0].astype(jnp.int32),
+             ndnext_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
+        c = nd
+        step = 1
+        while step < c.shape[1]:
+            rolled = pltpu.roll(c, step, 1)  # shift right by `step`
+            c = c + jnp.where(lane >= step, rolled, 0)
+            step *= 2
+        cnt_base = base_ref[row_id] + carry_ref[3].astype(jnp.int32)
+        s_arr = cnt_base + c                      # node idx at k-mer start
+        e_arr = cnt_base + _roll_l(c, k - 1)      # node idx at k-mer end
+        carry_ref[3] = carry_ref[3] + c[0, BLK - 1].astype(jnp.uint32)
+
+        t = (hi, lo, pos, s_arr, e_arr)
+        sdl = 1
+        while sdl * 2 <= w:
+            t = _tuple_min5(t, tuple(_roll_l(v, sdl) for v in t))
+            sdl *= 2
+        t = _tuple_min5(t, tuple(_roll_l(v, w - sdl) for v in t))
+        shi, slo, spos, ss, se = t
+
+        n_valid = nvalid_ref[row_id]
+        valid = (spos >= 0) & (gpos < n_valid)
+        at0 = lane == 0
+        phi = jnp.where(at0, carry_ref[0], pltpu.roll(shi, 1, 1))
+        plo = jnp.where(at0, carry_ref[1], pltpu.roll(slo, 1, 1))
+        pvd = jnp.where(at0, carry_ref[2].astype(jnp.int32),
+                        pltpu.roll(valid.astype(jnp.int32), 1, 1))
+        differs = (shi != phi) | (slo != plo) | (pvd == 0)
+        emit = valid & differs
+
+        hi_ref[0] = shi[:, :BLK]
+        lo_ref[0] = slo[:, :BLK]
+        s_ref[0] = jnp.where(valid, ss, -1)[:, :BLK]
+        e_ref[0] = se[:, :BLK]
+        emit_ref[0] = emit[:, :BLK].astype(jnp.int32)
+        carry_ref[0] = shi[0, BLK - 1]
+        carry_ref[1] = slo[0, BLK - 1]
+        carry_ref[2] = valid.astype(jnp.uint32)[0, BLK - 1]
+        co_ref[0] = carry_ref[0]
+        co_ref[1] = carry_ref[1]
+        co_ref[2] = carry_ref[2]
+
+    return kernel
+
+
+def _tuple_min5(a, b):
+    """_tuple_min extended with passenger values (s, e) that follow the
+    (hi, lo, pos) selection."""
+    ahi, alo, apos, as_, ae = a
+    bhi, blo, bpos, bs_, be = b
+    a_lt = (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+    a_eq = (ahi == bhi) & (alo == blo)
+    take_a = a_lt | (a_eq & (apos >= bpos))
+    return (jnp.where(take_a, ahi, bhi),
+            jnp.where(take_a, alo, blo),
+            jnp.where(take_a, apos, bpos),
+            jnp.where(take_a, as_, bs_),
+            jnp.where(take_a, ae, be))
+
+
+def _pallas_sketch_rows2(codes2d, deltas2d, nvalid, cont, base_node,
+                         init_carry, k: int, w: int, n_rows: int,
+                         n_blocks: int, interpret: bool = False):
+    """v2 multi-row sketch: returns (hi, lo, s, e, emit, carry). s/e are the
+    GLOBAL walk-position interval of each selected k-mer (s == -1 where the
+    window is invalid); deltas2d is the uint8 per-base node-start-count
+    plane aligned with codes2d (first lane of each row zeroed by the
+    packer)."""
+    kernel = _make_kernel_rows2(k, w)
+    n_out = n_blocks * BLK
+    codes3d = codes2d.reshape(n_rows, 1, -1)
+    deltas3d = deltas2d.reshape(n_rows, 1, -1)
+    smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_bs = pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i),
+                          memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.uint32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.uint32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((3,), jnp.uint32),
+    ]
+    hi, lo, s, e, emit, carry = pl.pallas_call(
+        kernel,
+        grid=(n_rows, n_blocks),
+        in_specs=[
+            smem_scalar,   # nvalid [R]
+            smem_scalar,   # cont [R]
+            smem_scalar,   # base_node [R]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # init_carry (3,)
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_bs, out_bs, out_bs, out_bs, out_bs,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((4,), jnp.uint32)],
+        interpret=interpret,
+    )(nvalid, cont, base_node, init_carry, codes3d, codes3d,
+      deltas3d, deltas3d)
+    return (hi.reshape(n_rows, n_out), lo.reshape(n_rows, n_out),
+            s.reshape(n_rows, n_out), e.reshape(n_rows, n_out),
+            emit.reshape(n_rows, n_out), carry)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "w", "n_rows", "n_blocks", "emitcap", "cap_total", "rounds",
+    "bits", "interpret"))
+def _pallas_join_rows2(words, deltas, nvalid, cont, base_node, hap_of_row,
+                       init_carry, sp_m, sp_lo, sp_perm, sp_off,
+                       k: int, w: int, n_rows: int, n_blocks: int,
+                       emitcap: int, cap_total: int, rounds: int,
+                       bits: int = 16, interpret: bool = False):
+    """Batched fused sketch+join v2: flat per-hit (s, e, kmer_id, hap)
+    columns out — walk-position intervals straight from the kernel, no base
+    positions, no host interval conversion. Output stays on device; the
+    caller appends it to the device hit accumulator (anchors/device.py)."""
+    from phi_tpu.ops.search import pair_isin_mixed
+
+    R = n_rows
+    row_lanes = (n_blocks + 1) * BLK
+    n_out = n_blocks * BLK
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)
+    codes2d = ((words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
+               ).astype(jnp.uint8).reshape(R, row_lanes)
+    hi, lo, s, e, emit, carry_out = _pallas_sketch_rows2(
+        codes2d, deltas, nvalid, cont, base_node, init_carry, k, w, R,
+        n_blocks, interpret)
+    emit = emit != 0
+    n_min = emit.sum(axis=1)
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, emit.shape, 0)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, emit.shape, 1)
+    order = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+    dst = jnp.where(emit, jnp.minimum(order, emitcap), emitcap)
+    eidx = jnp.full((R, emitcap + 1), n_out, jnp.int32) \
+        .at[rowi, dst].set(lanei, mode="drop")[:, :emitcap]
+    sent_u = jnp.full((R, 1), 0xFFFFFFFF, jnp.uint32)
+    sent_i = jnp.full((R, 1), -1, jnp.int32)
+    ehi = jnp.take_along_axis(jnp.concatenate([hi, sent_u], 1), eidx, 1)
+    elo = jnp.take_along_axis(jnp.concatenate([lo, sent_u], 1), eidx, 1)
+    es = jnp.take_along_axis(jnp.concatenate([s, sent_i], 1), eidx, 1)
+    ee = jnp.take_along_axis(jnp.concatenate([e, sent_i], 1), eidx, 1)
+
+    found, idx = pair_isin_mixed(sp_m, sp_lo, sp_perm, sp_off, ehi, elo,
+                                 rounds, bits)
+    hit = found & (es >= 0)
+    n_hit = hit.sum(axis=1)
+
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(n_hit).astype(jnp.int32)[:-1]])
+    horder = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1 + base[:, None]
+    hdst = jnp.where(hit, jnp.minimum(horder, cap_total), cap_total).ravel()
+    hap_b = jnp.broadcast_to(hap_of_row[:, None], es.shape)
+
+    def flat(vals, fill):
+        return jnp.full((cap_total + 1,), fill, vals.dtype) \
+            .at[hdst].set(vals.ravel(), mode="drop")[:cap_total]
+
+    flat_s = flat(es, -1)
+    flat_e = flat(ee, -1)
+    flat_id = flat(idx.astype(jnp.int32), -1)
+    flat_hap = flat(hap_b, -1)
+    return n_min, n_hit, flat_s, flat_e, flat_id, flat_hap, carry_out
+
+
+def pack_row_deltas(cumlens, rows, row_lanes: int) -> np.ndarray:
+    """Host-side per-base node-start-count plane for the v2 kernel rows:
+    deltas[j] = number of walk_node_cumlen entries equal to (start + j),
+    with lane 0 forced to 0 (the row-start base's node is base_node).
+    uint8 saturates at 255 consecutive zero-length nodes — beyond any real
+    graph (the builder would need 255 empty nodes at one base)."""
+    R = len(rows)
+    buf = np.zeros((R, row_lanes), np.uint8)
+    for j, (si, start, nv, cont) in enumerate(rows):
+        if si < 0:
+            continue
+        cl = cumlens[si]
+        lo = np.searchsorted(cl, start, side="right")
+        hi = np.searchsorted(cl, start + row_lanes)
+        starts = (cl[lo:hi] - start).astype(np.int64)
+        if len(starts):
+            cnt = np.bincount(starts, minlength=row_lanes)[:row_lanes]
+            buf[j] = np.minimum(cnt, 255).astype(np.uint8)
+            buf[j, 0] = 0
+    return buf
+
+
+def row_base_nodes(cumlens, rows) -> np.ndarray:
+    """Global walk position (node index) at each row's start base."""
+    out = np.zeros(len(rows), np.int32)
+    for j, (si, start, nv, cont) in enumerate(rows):
+        if si < 0:
+            continue
+        out[j] = np.searchsorted(cumlens[si], start, side="right") - 1
+    return out
+
+
 def pallas_sketch_sequence(codes: np.ndarray, k: int, w: int,
                            interpret: bool = False):
     """(hi, lo, pos) minimizers via the fused kernel; same emitted stream as

@@ -150,7 +150,8 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
         # 25M occurrences x [64, 3M]); the threaded native builder does the
         # same planes in seconds, and "upload" is a memcpy there.
         L = t.n_layers
-        if jax.default_backend() == "cpu" and not _stream_w(L, Hb, Pb):
+        if jax.default_backend() == "cpu" and t.occ_dev is None \
+                and not _stream_w(L, Hb, Pb):
             try:
                 from phi_tpu.native import build_sbw_native
                 built = build_sbw_native(t.occ_hap, t.occ_start, t.occ_end,
@@ -161,6 +162,27 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
                 S_np, B_np, W_np = built
                 return ((jnp.asarray(S_np), jnp.asarray(B_np),
                          jnp.asarray(W_np)), common, (H, P), statics)
+        from phi_tpu.execache import cached_call
+        if t.occ_dev is not None:
+            # device-resident anchors: occurrence index columns are already
+            # on the chip in padded shape Nb (pad rows: hap 0, start 0,
+            # span 0, weight 0 — inert in every scatter). Refinement
+            # rounds carry fresh host weights; round 0 uses the device ones.
+            oh_d, os_d, osp_d, ow_d, Nb = t.occ_dev
+            if t.occ_weight is not None:
+                ow_d = jnp.asarray(
+                    _pad1(t.occ_weight.astype(np.float32), Nb, 0.0))
+            if _stream_w(L, Hb, Pb):
+                S_dev, B_dev, _ = cached_call(
+                    _build_sbw_jit, "build_sbw", (oh_d, os_d, osp_d, ow_d),
+                    {"H": Hb, "P": Pb, "L": 0})
+                occ_dev = (oh_d, os_d, osp_d, ow_d, L)
+                return (S_dev, B_dev, occ_dev), common, (H, P), \
+                    dict(statics, stream=True)
+            S_dev, B_dev, W_dev = cached_call(
+                _build_sbw_jit, "build_sbw", (oh_d, os_d, osp_d, ow_d),
+                {"H": Hb, "P": Pb, "L": L})
+            return (S_dev, B_dev, W_dev), common, (H, P), statics
         Nb = bucket_size(max(len(t.occ_hap), 1), 1024)
 
         def build_occ():
@@ -585,7 +607,7 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
     import time
 
     import os
-    if jax.default_backend() == "cpu" \
+    if jax.default_backend() == "cpu" and t.occ_dev is None \
             and os.environ.get("PHI_TPU_FORCE_DEVICE_SOLVE") != "1":
         # fully-native exact solve: no padding, no XLA compile, W reads
         # skipped outside each layer's touched range — bit-identical to

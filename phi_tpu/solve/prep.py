@@ -56,6 +56,10 @@ class SolverTables:
     occ_start: np.ndarray | None = None   # int32 [n_occ]
     occ_end: np.ndarray | None = None     # int32 [n_occ]
     occ_weight: np.ndarray | None = None  # float32 [n_occ]
+    # Device-resident occurrence columns (anchors/device.py): when set,
+    # the solver feeds S/B/W straight from these — no host pad, no upload.
+    # Tuple (dev_hap u8, dev_s i32, dev_span u8, dev_w f32, Nb).
+    occ_dev: tuple | None = None
 
     @property
     def H(self) -> int:
@@ -272,6 +276,21 @@ def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
     the program shape is stable across Lagrangian rounds and read sets);
     default derives it from the anchors actually present."""
     esrc_h, esrc_p, esrc_target, esrc_edge = switch_sources_cached(graph)
+    dev = getattr(anchors, "device_occ", None)
+    if anchors.occ_kmer is None and dev is not None:
+        # device-resident anchors, weights all 1.0: const = Σ_i mu_i over
+        # distinct model k-mers = n_model_kmers; occ host columns arrive
+        # later (materialize_device before decode/refinement)
+        if n_layers is not None and n_layers > MAX_LAYERS:
+            n_layers = None
+        return SolverTables(
+            S=None, B=None, esrc_h=esrc_h, esrc_p=esrc_p,
+            esrc_target=esrc_target, esrc_edge=esrc_edge,
+            state_vertex=graph.walk_mat, walk_len=graph.walk_len,
+            R=float(R), const=float(anchors.n_model_kmers),
+            n_vtx=graph.n_vtx, n_layers=n_layers,
+            occ_dev=(dev.dev_hap, dev.dev_s, dev.dev_span, dev.dev_w,
+                     dev.Nb))
     # const term: each model k-mer contributes weight mu_i (occ_weight is
     # per-occurrence but equal across occurrences of a k-mer). The first-
     # occurrence index depends only on occ_kmer, which refinement rounds
@@ -302,4 +321,9 @@ def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
         R=float(R), const=const, n_vtx=graph.n_vtx, n_layers=n_layers,
         occ_hap=anchors.occ_hap, occ_start=anchors.occ_start,
         occ_end=anchors.occ_end, occ_weight=anchors.occ_weight,
+        # refinement rounds over device-built anchors keep the device
+        # index columns (same order as the materialized host arrays) and
+        # upload only the fresh occ_weight
+        occ_dev=(dev.dev_hap, dev.dev_s, dev.dev_span, dev.dev_w, dev.Nb)
+        if dev is not None else None,
     )

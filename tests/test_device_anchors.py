@@ -1,0 +1,121 @@
+"""Device-resident anchor pipeline (anchors/device.py) parity vs the host
+hit path — same retained occurrences, same filter decisions, same stats —
+plus an end-to-end pipeline run through the device path (interpret mode).
+"""
+
+import numpy as np
+import pytest
+
+from phi_tpu.anchors.device import join_anchors_device
+from phi_tpu.anchors.join import build_anchor_tables, sketch_haplotypes
+from phi_tpu.graph import tensorize
+from phi_tpu.io.gfa import read_gfa
+from phi_tpu.sketch.minimizer import sketch_read_batch
+
+
+def _instance(tmp_path, n_haps=6, length=9000, seed=0, coverage=1.5):
+    from phi_tpu.eval.synth import sample_reads, synth_pangenome
+    from phi_tpu.io.gfa import write_gfa
+    rng = np.random.default_rng(seed)
+    gfa_path = str(tmp_path / "g.gfa")
+    gfa_data, hap_seqs = synth_pangenome(rng, length=length, n_haps=n_haps,
+                                         indel_fraction=0.1)
+    write_gfa(gfa_data, path=gfa_path)
+    reads, _ = sample_reads(rng, [hap_seqs[0]], coverage=coverage,
+                            read_len=120, error_rate=0.002)
+    return gfa_path, reads
+
+
+def _spectrum(reads, k, w):
+    rc = np.full((len(reads), max(len(r) for r in reads)), 4, np.uint8)
+    ln = np.zeros(len(reads), np.int32)
+    from phi_tpu.io.gfa import encode_seq
+    for i, r in enumerate(reads):
+        rc[i, :len(r)] = encode_seq(r)
+        ln[i] = len(r)
+    return sketch_read_batch(rc, k, w, ln)
+
+
+@pytest.mark.parametrize("threshold", [1.0, 0.5])
+def test_device_anchor_parity(tmp_path, threshold):
+    k, w = 21, 11
+    gfa_path, reads = _instance(tmp_path)
+    graph = tensorize(read_gfa(gfa_path))
+    spectrum = _spectrum(reads, k, w)
+
+    want = build_anchor_tables(graph, k, sketch_haplotypes(graph, k, w),
+                               spectrum, threshold)
+
+    seqs = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
+    res = join_anchors_device(graph, seqs, k, w, spectrum[0], spectrum[1],
+                              threshold, rows_per_call=2, super_blocks=2,
+                              interpret=True)
+    assert res is not None
+    per_hap_min, occ = res
+    assert np.array_equal(per_hap_min, want.per_hap_minimizers)
+    assert occ.n_model == want.n_model_kmers
+    assert occ.filtered == want.filtered_kmers
+    assert np.array_equal(occ.per_hap_anchors, want.per_hap_anchors)
+    hap, s, e, kid = occ.materialize()
+    assert occ.n_occ == len(want.occ_hap)
+    # device order is (hap, position)-sorted like the host path
+    assert np.array_equal(hap, want.occ_hap)
+    assert np.array_equal(s, want.occ_start)
+    assert np.array_equal(e, want.occ_end)
+    assert np.array_equal(kid, want.occ_kmer)
+
+
+def test_device_anchor_zero_len_nodes(tmp_path):
+    """Zero-length (deletion-bubble) nodes: the delta plane must reproduce
+    searchsorted(cumlen, pos, 'right') - 1 exactly."""
+    gfa = tmp_path / "z.gfa"
+    # diamond with an empty deletion arm: A -> (B | empty) -> C
+    seg_a = "ACGTACGTAGCTTACGGATC"
+    seg_b = "TTGCA"
+    seg_c = "GGATCCATTGCAAGGTCCAA"
+    gfa.write_text(
+        "H\tVN:Z:1.1\n"
+        f"S\ts1\t{seg_a}\nS\ts2\t{seg_b}\nS\ts3\t\nS\ts4\t{seg_c}\n"
+        "L\ts1\t+\ts2\t+\t0M\nL\ts1\t+\ts3\t+\t0M\n"
+        "L\ts2\t+\ts4\t+\t0M\nL\ts3\t+\ts4\t+\t0M\n"
+        "W\tsamp\t1\tchr\t0\t45\t>s1>s2>s4\n"
+        "W\tsamp\t2\tchr\t0\t40\t>s1>s3>s4\n")
+    graph = tensorize(read_gfa(str(gfa)))
+    k, w = 9, 4
+    reads = [seg_a + seg_b + seg_c, seg_a + seg_c]
+    spectrum = _spectrum(reads, k, w)
+    want = build_anchor_tables(graph, k, sketch_haplotypes(graph, k, w),
+                               spectrum, 1.0)
+    seqs = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
+    res = join_anchors_device(graph, seqs, k, w, spectrum[0], spectrum[1],
+                              1.0, rows_per_call=2, super_blocks=1,
+                              interpret=True)
+    assert res is not None
+    _, occ = res
+    hap, s, e, kid = occ.materialize()
+    assert np.array_equal(hap, want.occ_hap)
+    assert np.array_equal(s, want.occ_start)
+    assert np.array_equal(e, want.occ_end)
+    assert np.array_equal(kid, want.occ_kmer)
+
+
+def test_pipeline_device_anchor_path(tmp_path, monkeypatch):
+    """End-to-end pipeline through the device anchor + device solve path on
+    the CPU backend (interpret kernels): byte-identical to the host path."""
+    from phi_tpu.config import Options
+    from phi_tpu.pipeline import run_pipeline
+    gfa_path, reads = _instance(tmp_path, n_haps=4, length=6000)
+    reads_path = str(tmp_path / "reads.fa")
+    with open(reads_path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    out1 = str(tmp_path / "host.fa")
+    res_host = run_pipeline(gfa_path, reads_path, out1, Options())
+    monkeypatch.setenv("PHI_TPU_FORCE_DEVICE_ANCHORS", "1")
+    monkeypatch.setenv("PHI_TPU_FORCE_DEVICE_SOLVE", "1")
+    out2 = str(tmp_path / "dev.fa")
+    res_dev = run_pipeline(gfa_path, reads_path, out2, Options())
+    assert res_dev.sequence == res_host.sequence
+    assert res_dev.recombination_count == res_host.recombination_count
+    assert res_dev.anchors.n_model_kmers == res_host.anchors.n_model_kmers
+    assert res_dev.anchors.filtered_kmers == res_host.anchors.filtered_kmers
