@@ -73,6 +73,7 @@ def leave_one_out(gfa_path: str, coverage: float = 1.0,
             bh, bseq = best_panel_hap(sub, spectrum, opt.k, opt.w)
             bst = edit_stats(bseq, truth)
         rows.append({
+            "data": "real",  # real panel walks; reads simulated from them
             "target": name, "coverage": coverage,
             "edit": st.edit_distance, "identity": round(st.identity, 5),
             "recombinations": res.recombination_count,

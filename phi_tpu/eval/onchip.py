@@ -51,6 +51,7 @@ def run(n_haps: int, length: int, coverage: float, seed: int,
     es = edit_stats(res.sequence, truth)
     meta = json.load(open(paths["meta"]))
     return {
+        "data": "synthetic",
         "backend": dev.platform,
         "device": str(dev),
         "n_devices": jax.device_count(),
@@ -69,8 +70,11 @@ def run(n_haps: int, length: int, coverage: float, seed: int,
                              for k, v in res.timings.items()},
         "reference_point": {"source": "data/plots/increasing.csv:2",
                             "haps": 49, "wall_s": 4828, "rss_gb": 133.3,
-                            "note": "real MHC; this instance is synthetic "
-                                    "at the same scale"},
+                            "note": "real MHC; this instance is SYNTHETIC "
+                                    "at the same shape — compare wall-clock"
+                                    " and RSS only, never edit distance "
+                                    "(real-data accuracy artifact: "
+                                    "bench_results/groundtruth_*)"},
     }
 
 

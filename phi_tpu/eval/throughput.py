@@ -68,7 +68,7 @@ def bench_sketch(total_bases: int, k: int = 31, w: int = 25,
         times.append(time.time() - t0)
     st = summarize(times)
     n_windows = len(concat) - (len(off) - 1) * (k + w - 2)  # evaluated k-mers
-    return {"metric": "sketch" if devices is None
+    return {"data": "synthetic", "metric": "sketch" if devices is None
             else f"sketch@{len(devices)}dev",
             "bases_per_s": round(len(concat) / st["median_s"]),
             "kmers_per_s": round(max(n_windows, 0) / st["median_s"]),
@@ -95,7 +95,7 @@ def bench_join(total_bases: int, k: int = 31, w: int = 25,
         times.append(time.time() - t0)
         n_hits = int(len(out[0][1]))
     st = summarize(times)
-    return {"metric": "join",
+    return {"data": "synthetic", "metric": "join",
             "bases_per_s": round(total_bases / st["median_s"]),
             "kmers_per_s": round((total_bases - k - w + 2) / st["median_s"]),
             "hits": n_hits, **st}

@@ -445,6 +445,7 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
 
     n_kmer_ids = int(anchors.occ_kmer.max()) + 1 if len(anchors.occ_kmer) else 0
     mu = np.ones(n_kmer_ids, np.float32)
+    best_mu = mu  # multipliers achieving best_bound (branch-and-bound root)
     relax_path = best  # the relaxation argmin path under the current mu
     stall = 0
     escalated = False
@@ -478,6 +479,8 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
         cand = _solve_and_decode(graph, tables, anchors_w, opt)
         relax_path = cand
         improved = cand.dp_objective > best_bound + 1e-6
+        if improved:
+            best_mu = mu.copy()
         best_bound = max(best_bound, cand.dp_objective)
         if cand.true_objective < best.true_objective - 1e-6:
             best = cand
@@ -510,8 +513,85 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
             plog.log("ILP_function",
                      f"Exact small-case enumeration closed the gap: "
                      f"optimum {exact_obj:.3f}")
+    if best.true_objective - best_bound > tol and n_kmer_ids:
+        # escalation 2.5: projected Polyak subgradient ascent on the full
+        # dual (all coordinates, g_i = 1 - covered multiplicity) — the
+        # jump/release heuristic above moves in {0, 1} steps and stalls on
+        # fractional dual optima; this phase converges toward max_mu L(mu)
+        best_mu, best_bound, best = _subgradient_phase(
+            graph, anchors, opt, layers, best_mu, best_bound, best, tol)
+    if best.true_objective - best_bound > tol:
+        # escalation 3: exact Lagrangian branch-and-bound on duplicate
+        # k-mer credit (solve/bnb.py), rooted at the refined multipliers —
+        # works at any scale, one DP solve per node
+        import os as _os2
+        from phi_tpu.solve.bnb import branch_and_bound
+        bb_best, bb_bound = branch_and_bound(
+            graph, anchors, opt, tol,
+            mu=best_mu if n_kmer_ids else None, incumbent=best,
+            max_nodes=int(_os2.environ.get("PHI_TPU_BNB_NODES", "48")),
+            max_seconds=float(_os2.environ.get("PHI_TPU_BNB_SECS", "120")),
+            layers=layers)
+        if bb_best.true_objective < best.true_objective:
+            best = bb_best
+        best_bound = max(best_bound, bb_bound)
+        plog.log("ILP_function",
+                 f"Branch-and-bound: bound {bb_bound:.3f}, incumbent "
+                 f"{best.true_objective:.3f}, gap "
+                 f"{max(0.0, best.true_objective - best_bound):.3f}")
     best.dp_objective = best_bound
     return best
+
+
+def _subgradient_phase(graph: PangenomeGraph, anchors, opt: Options,
+                       layers, mu0: np.ndarray, best_bound: float, best,
+                       tol: float, max_iters: int = 40):
+    """Projected subgradient ascent on the Lagrangian dual from mu0:
+    g_i = 1 - (covered multiplicity of k-mer i on the relaxation argmin),
+    Polyak step (UB - L)/||g||^2 with backoff on stall. Returns
+    (best_mu, best_bound, best incumbent)."""
+    import os
+    max_iters = int(os.environ.get("PHI_TPU_SUBGRAD_ITERS", max_iters))
+    mu = mu0.astype(np.float64).copy()
+    best_mu = mu0
+    lam = 1.0
+    stall = 0
+    n_kmer_ids = len(mu)
+    for _ in range(max_iters):
+        anchors_w = dataclasses.replace(
+            anchors, occ_weight=mu.astype(np.float32)[anchors.occ_kmer])
+        tables = build_solver_tables(graph, anchors_w, opt.recombination,
+                                     layers)
+        cand = _solve_and_decode(graph, tables, anchors_w, opt)
+        improved = cand.dp_objective > best_bound + 1e-6
+        if improved:
+            best_bound = cand.dp_objective
+            best_mu = mu.astype(np.float32).copy()
+        if cand.true_objective < best.true_objective - 1e-6:
+            best = cand
+        if best.true_objective - best_bound <= tol:
+            break
+        covered = np.zeros(len(anchors.occ_hap), bool)
+        for (sh, sq, sp) in cand.segments:
+            covered |= ((anchors.occ_hap == sh)
+                        & (anchors.occ_start >= sq)
+                        & (anchors.occ_end <= sp))
+        mult = np.bincount(anchors.occ_kmer[covered],
+                           minlength=n_kmer_ids)
+        g = 1.0 - mult.astype(np.float64)
+        gnorm = float((g * g).sum())
+        if gnorm <= 0:
+            break
+        step = lam * max(best.true_objective - cand.dp_objective, 0.05) \
+            / gnorm
+        mu = np.clip(mu + step * g, 0.0, 1.0)
+        stall = 0 if improved else stall + 1
+        if stall >= 6:
+            lam *= 0.5
+            stall = 0
+            if lam < 1e-3:
+                break
+    return best_mu, best_bound, best
 
 
 # expanded-graph size caps under which exhaustive enumeration is cheap

@@ -271,10 +271,13 @@ def solver_layers(graph: PangenomeGraph, k: int) -> int:
 
 
 def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
-                        R: float, n_layers: int | None = None) -> SolverTables:
+                        R: float, n_layers: int | None = None,
+                        const_override: float | None = None) -> SolverTables:
     """n_layers: W-layer count override (pipeline passes solver_layers() so
     the program shape is stable across Lagrangian rounds and read sets);
-    default derives it from the anchors actually present."""
+    default derives it from the anchors actually present. const_override:
+    explicit Σ_i mu_i constant — the branch-and-bound zeroes individual
+    occurrence weights, which must not perturb the per-k-mer constant."""
     esrc_h, esrc_p, esrc_target, esrc_edge = switch_sources_cached(graph)
     dev = getattr(anchors, "device_occ", None)
     if anchors.occ_kmer is None and dev is not None:
@@ -295,7 +298,9 @@ def build_solver_tables(graph: PangenomeGraph, anchors: AnchorTables,
     # per-occurrence but equal across occurrences of a k-mer). The first-
     # occurrence index depends only on occ_kmer, which refinement rounds
     # share by identity — cache it
-    if len(anchors.occ_kmer):
+    if const_override is not None:
+        const = float(const_override)
+    elif len(anchors.occ_kmer):
         global _first_occ_cache
         if _first_occ_cache is None or _first_occ_cache[0] is not anchors.occ_kmer:
             _, first = np.unique(anchors.occ_kmer, return_index=True)
