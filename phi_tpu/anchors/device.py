@@ -116,6 +116,15 @@ def _slice_jit(buf_s, buf_span, buf_id, buf_hap, tot_b: int):
             jax.lax.dynamic_slice(buf_hap, (0,), (tot_b,)))
 
 
+@functools.partial(jax.jit, static_argnames=("tot_b",))
+def _slice5_jit(c_s, c_span, c_id, c_hap, c_w, tot_b: int):
+    return (jax.lax.dynamic_slice(c_s, (0,), (tot_b,)),
+            jax.lax.dynamic_slice(c_span, (0,), (tot_b,)),
+            jax.lax.dynamic_slice(c_id, (0,), (tot_b,)),
+            jax.lax.dynamic_slice(c_hap, (0,), (tot_b,)),
+            jax.lax.dynamic_slice(c_w, (0,), (tot_b,)))
+
+
 @functools.partial(jax.jit, static_argnames=("Ksp", "H", "amb_cap"),
                    donate_argnums=(0, 1, 2, 3))
 def _finalize_jit(occ_s, occ_span, occ_id, occ_hap, total, ph1, ph2,
@@ -376,10 +385,11 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
         hp = jax.device_put(hap_np)
         out = cached_call(
             _pallas_join_rows2, "pallas_join_rows2",
-            (words, nd, nv, ct, bn, hp, carry) + sp_args,
+            (words, nd, nv, ct, bn, hp, carry) + sp_args
+            + (jnp.int32(rounds),),
             {"k": k, "w": w, "n_rows": R, "n_blocks": SB,
-             "emitcap": emitcap, "cap_total": cap_total, "rounds": rounds,
-             "bits": bits, "interpret": interpret})
+             "emitcap": emitcap, "cap_total": cap_total,
+             "interpret": interpret})
         for a in (out[0], out[1]):
             try:
                 a.copy_to_host_async()
@@ -387,13 +397,22 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
                 pass
         return [batch, out]
 
-    overflow = False
+    import os as _os
+    prof = _os.environ.get("PHI_TPU_JOIN_PROF") == "1"
+    from time import perf_counter as _now
+    t_pack = t_disp = t_harv = 0.0
     try:
         fut = _packer.submit(_pack, 0)
         for b in range(n_batches):
+            if prof:
+                t0 = _now()
             packed = fut.result()
+            if prof:
+                t_pack += _now() - t0
             if b + 1 < n_batches:
                 fut = _packer.submit(_pack, b + 1)
+            if prof:
+                t0 = _now()
             pend[b] = _dispatch(b, carry, packed)
             out = pend[b][1]
             carry = out[6]
@@ -401,12 +420,27 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
                 _append_jit, "anchor_append",
                 (buf_s, buf_span, buf_id, buf_hap, total,
                  out[2], out[3], out[4], out[5]), {})
+            if prof:
+                t_disp += _now() - t0
             if b >= WINDOW:
+                if prof:
+                    t0 = _now()
                 _harvest(b - WINDOW, counts, pend, emitcap, cap_total)
+                if prof:
+                    t_harv += _now() - t0
+        if prof:
+            t0 = _now()
         for b in range(max(0, n_batches - WINDOW), n_batches):
             _harvest(b, counts, pend, emitcap, cap_total)
+        if prof:
+            t_harv += _now() - t0
     finally:
         _packer.shutdown(wait=False)
+        if prof:
+            import sys as _sys
+            _sys.stderr.write(
+                f"[danchor-prof] batches={n_batches} pack_wait={t_pack:.3f}"
+                f" dispatch={t_disp:.3f} harvest={t_harv:.3f}\n")
 
     # exact per-row overflow check (counts now on host): a batch whose
     # emit or hit counts exceeded the static caps truncated its flat
@@ -439,6 +473,8 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
 
     Ksp = len(sp_hi)
     amb_cap = max(TOT // 4, 1 << 15)
+    if prof:
+        t0 = _now()
     c_s, c_span, c_id, c_hap, c_w, stats, per_hap = cached_call(
         _finalize_jit, "anchor_finalize",
         (buf_s, buf_span, buf_id, buf_hap, jnp.int32(total_hits),
@@ -446,14 +482,27 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
          jnp.float32(threshold * H)),
         {"Ksp": Ksp, "H": H, "amb_cap": amb_cap})
     stats_np = np.asarray(stats)
+    if prof:
+        import sys as _sys
+        _sys.stderr.write(f"[danchor-prof] finalize+stats={_now() - t0:.3f}"
+                          f" total_hits={total_hits} TOT={TOT}\n")
     if stats_np[3] or stats_np[4]:
         return None  # unresolved ownership / ambiguous overflow: host path
+    n_occ = int(stats_np[0])
+    # shrink the compacted columns to the retained-occurrence bucket: the
+    # solver's scatter programs and the decode-side host fetch both scale
+    # with this length (TOT is the raw-hit bucket, typically ~6x larger)
+    Nb_occ = bucket_pow(n_occ + 1, 1 << 15)
+    if Nb_occ < TOT:
+        c_s, c_span, c_id, c_hap, c_w = cached_call(
+            _slice5_jit, "anchor_slice5",
+            (c_s, c_span, c_id, c_hap, c_w), {"tot_b": Nb_occ})
     occ = DeviceOcc(
         dev_s=c_s, dev_span=c_span, dev_id=c_id, dev_hap=c_hap, dev_w=c_w,
-        n_occ=int(stats_np[0]), n_model=int(stats_np[1]),
+        n_occ=n_occ, n_model=int(stats_np[1]),
         filtered=int(stats_np[2]),
         per_hap_anchors=np.asarray(per_hap).astype(np.int64),
-        Nb=TOT)
+        Nb=min(Nb_occ, TOT))
     return per_hap_min, occ
 
 

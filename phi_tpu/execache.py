@@ -207,6 +207,38 @@ def cached_call(jitted, name: str, dyn_args: tuple, static_kw: dict):
         return jitted(*dyn_args, **static_kw)
 
 
+def ensure_compiled(jitted, name: str, dyn_args: tuple,
+                    static_kw: dict) -> bool:
+    """Compile-only prewarm: make sure the serialized executable for this
+    (program, signature) exists on disk WITHOUT executing anything on the
+    device. Returns True if it was already cached (nothing to do). Used by
+    background prewarm threads — a dummy *execution* would contend with
+    the pipeline's own device work (observed: a concurrent prewarm solve
+    inflating the first join loop by minutes through the shared tunnel)."""
+    cdir = _cache_dir()
+    if _disabled or cdir is None:
+        return True
+    import jax
+    if jax.default_backend() == "cpu" \
+            and os.environ.get("PHI_TPU_EXEC_CACHE_CPU") != "1":
+        return True
+    try:
+        key = _key(name, jitted, dyn_args, static_kw)
+    except Exception:
+        return True
+    path = os.path.join(cdir, key + ".jex")
+    if os.path.exists(path) or key in _loaded:
+        return True
+    with _lock_for(key):
+        if os.path.exists(path):
+            return True
+        fn = _load_or_compile(jitted, key, dyn_args, static_kw)
+        if fn is not None:
+            with _lock:
+                _loaded[key] = fn
+    return False
+
+
 def _load_or_compile(jitted, key: str, dyn_args: tuple, static_kw: dict):
     global _disabled
     import time

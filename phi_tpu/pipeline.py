@@ -117,8 +117,11 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         plog.log("ILP_function",
                  f"Graph has {graph.n_vtx} vertices, {graph.num_walks} walks "
                  f"and read has {reads.n_reads} reads")
-        if _jax.default_backend() != "cpu":
-            # overlap the join-program compile with the read-spectrum phase
+        if _jax.default_backend() != "cpu" \
+                and (opt.save_index or (opt.mesh_devices or 0) > 1):
+            # v1 join prewarm — only for the paths that still use it (the
+            # device-anchor default compiles its own programs, and a
+            # concurrent prewarm execution contends for the chip)
             from phi_tpu.sketch.minimizer import (estimate_spectrum_bucket,
                                                   start_join_prewarm_thread)
             start_join_prewarm_thread(

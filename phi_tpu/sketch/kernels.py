@@ -856,18 +856,21 @@ def _pallas_sketch_rows2(codes2d, deltas2d, nvalid, cont, base_node,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "w", "n_rows", "n_blocks", "emitcap", "cap_total", "rounds",
-    "bits", "interpret"))
+    "k", "w", "n_rows", "n_blocks", "emitcap", "cap_total", "interpret"))
 def _pallas_join_rows2(words, deltas, nvalid, cont, base_node, hap_of_row,
-                       init_carry, sp_m, sp_lo, sp_perm, sp_off,
+                       init_carry, sp_m, sp_lo, sp_perm, sp_off, rounds,
                        k: int, w: int, n_rows: int, n_blocks: int,
-                       emitcap: int, cap_total: int, rounds: int,
-                       bits: int = 16, interpret: bool = False):
+                       emitcap: int, cap_total: int,
+                       interpret: bool = False):
     """Batched fused sketch+join v2: flat per-hit (s, e, kmer_id, hap)
     columns out — walk-position intervals straight from the kernel, no base
     positions, no host interval conversion. Output stays on device; the
-    caller appends it to the device hit accumulator (anchors/device.py)."""
+    caller appends it to the device hit accumulator (anchors/device.py).
+    `rounds` is a TRACED scalar and the first-probe width derives from
+    sp_off's shape, so the compiled program depends only on the spectrum's
+    pow2 bucket family — stable across datasets and prewarmable."""
     from phi_tpu.ops.search import pair_isin_mixed
+    bits = (sp_off.shape[0] - 1).bit_length() - 1
 
     R = n_rows
     row_lanes = (n_blocks + 1) * BLK

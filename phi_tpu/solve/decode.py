@@ -37,8 +37,16 @@ class DecodeResult:
 def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
                 M: np.ndarray, ends: np.ndarray, n_sweeps: int,
                 dp_objective: float) -> DecodeResult:
+    import os as _os
     import time as _time
+    _prof = _os.environ.get("PHI_TPU_DECODE_PROF") == "1"
+    _marks: list[tuple[str, float]] = []
+
+    def _mark(label):
+        if _prof:
+            _marks.append((label, _time.perf_counter()))
     _t0 = _time.time()
+    _mark("start")
     H, P = t.state_vertex.shape
     walk_len = t.walk_len
     INF = np.float32(np.inf)
@@ -165,6 +173,7 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         tgt_sorted = np.zeros(0, np.int32)
         sv = np.zeros(0, np.float32)
 
+    _mark("ent+caches")
     h = int(np.argmin(ends))
     p = int(walk_len[h]) - 1
     segments: list[tuple[int, int, int]] = []
@@ -195,6 +204,7 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
         h, p = int(t.esrc_h[sel]), int(t.esrc_p[sel])
     else:
         raise RuntimeError("backtrace did not terminate")
+    _mark("backtrace")
     segments.reverse()
     edges_used.reverse()
 
@@ -206,13 +216,21 @@ def decode_path(graph: PangenomeGraph, t: SolverTables, anchors: AnchorTables,
     vertices = np.concatenate(vparts).astype(np.int32)
     vertex_hap = np.concatenate(hparts)
 
+    _mark("path-build")
     _verify_edges(graph, vertices)
+    _mark("verify")
 
     n_switches = len(segments) - 1
     recomb = int((vertex_hap[1:] != vertex_hap[:-1]).sum())
 
     matched_distinct, matched_total = _score_matches(t, anchors, segments)
     true_obj = t.R * n_switches + (anchors.n_model_kmers - matched_distinct)
+    _mark("score")
+    if _prof and _marks:
+        import sys as _sys
+        parts = [f"{lbl}={t1 - t0:.3f}" for (_, t0), (lbl, t1)
+                 in zip(_marks, _marks[1:])]
+        _sys.stderr.write("[decode-prof] " + " ".join(parts) + "\n")
 
     from phi_tpu.solve.dp import LAST_TIMINGS
     LAST_TIMINGS["decode"] = round(

@@ -714,23 +714,28 @@ def prewarm_solver(graph, R: float, max_sweeps: int = 256,
         # (observed OOM driver), for a shape the real solve won't even use
         # (it takes the exact lane axis / shrunk layers there)
         return
-    S = jnp.zeros((Hb, Pb), jnp.float32)
-    sv = jnp.full((Hb, Pb), -1, jnp.int32)
-    wl = jnp.zeros((Hb,), jnp.int32)
-    eh = jnp.zeros((Eb,), jnp.int32)
-    ep = jnp.full((Eb,), Pb - 1, jnp.int32)
-    et = jnp.full((Eb,), Vb - 1, jnp.int32)
-    from phi_tpu.execache import cached_call
-    args = (eh, ep, et, sv, wl, jnp.float32(R))
+    # COMPILE-ONLY: ShapeDtypeStruct specs, no device execution — a dummy
+    # solve running concurrently with the join loop contends for the chip
+    # (observed: minutes of added first-run wall through the shared tunnel)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    sd = jax.ShapeDtypeStruct
+    S = sd((Hb, Pb), f32)
+    sv = sd((Hb, Pb), i32)
+    wl = sd((Hb,), i32)
+    eh = sd((Eb,), i32)
+    ep = sd((Eb,), i32)
+    et = sd((Eb,), i32)
+    from phi_tpu.execache import ensure_compiled
+    args = (eh, ep, et, sv, wl, sd((), f32))
     statics = {"n_vtx": Vb, "max_sweeps": max_sweeps}
     L = solver_layers(graph, k) if k is not None else 1
     if L <= MAX_LAYERS:
-        W = jnp.zeros((L, Hb, Pb), jnp.float32)
-        out = cached_call(_solve_exact_jit, "solve_exact",
-                          (S, S, W) + args, statics)
+        W = sd((L, Hb, Pb), f32)
+        ensure_compiled(_solve_exact_jit, "solve_exact", (S, S, W) + args,
+                        statics)
     else:
-        out = cached_call(_solve_jit, "solve", (S, S) + args, statics)
-    jax.block_until_ready(out)
+        ensure_compiled(_solve_jit, "solve", (S, S) + args, statics)
 
 
 def start_prewarm_thread(graph, R: float, max_sweeps: int = 256,
