@@ -89,29 +89,26 @@ def _pw_tables() -> tuple[np.ndarray, np.ndarray]:
     return pw1, pw2
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def _append_jit(buf_s, buf_span, buf_id, buf_hap, total,
-                fs, fe, fid, fhap):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _append_jit(buf_se, buf_id, buf_hap, total, fse, fid, fhap):
     """Append one batch's flat hit columns at the device-chained offset.
     Buffers are donated (in-place update); `total` is the raw running count
-    (unclamped — the caller detects overflow from the final value)."""
-    cap = buf_s.shape[0]
-    ct = fs.shape[0]
+    (unclamped — the caller detects overflow from the final value).
+    buf_se holds the kernel's packed (walk_pos << 6) | span intervals."""
+    cap = buf_se.shape[0]
+    ct = fse.shape[0]
     off = jnp.minimum(total, jnp.int32(cap - ct))
     nh = jnp.sum(fid >= 0)
-    buf_s = jax.lax.dynamic_update_slice(buf_s, fs, (off,))
-    buf_span = jax.lax.dynamic_update_slice(
-        buf_span, jnp.maximum(fe - fs, 0).astype(jnp.uint8), (off,))
+    buf_se = jax.lax.dynamic_update_slice(buf_se, fse, (off,))
     buf_id = jax.lax.dynamic_update_slice(buf_id, fid, (off,))
     buf_hap = jax.lax.dynamic_update_slice(
         buf_hap, jnp.maximum(fhap, 0).astype(jnp.uint8), (off,))
-    return buf_s, buf_span, buf_id, buf_hap, total + nh.astype(jnp.int32)
+    return buf_se, buf_id, buf_hap, total + nh.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tot_b",))
-def _slice_jit(buf_s, buf_span, buf_id, buf_hap, tot_b: int):
-    return (jax.lax.dynamic_slice(buf_s, (0,), (tot_b,)),
-            jax.lax.dynamic_slice(buf_span, (0,), (tot_b,)),
+def _slice_jit(buf_se, buf_id, buf_hap, tot_b: int):
+    return (jax.lax.dynamic_slice(buf_se, (0,), (tot_b,)),
             jax.lax.dynamic_slice(buf_id, (0,), (tot_b,)),
             jax.lax.dynamic_slice(buf_hap, (0,), (tot_b,)))
 
@@ -126,22 +123,25 @@ def _slice5_jit(c_s, c_span, c_id, c_hap, c_w, tot_b: int):
 
 
 @functools.partial(jax.jit, static_argnames=("Ksp", "H", "amb_cap"),
-                   donate_argnums=(0, 1, 2, 3))
-def _finalize_jit(occ_s, occ_span, occ_id, occ_hap, total, ph1, ph2,
+                   donate_argnums=(0, 1, 2))
+def _finalize_jit(occ_se, occ_id, occ_hap, total, ph1, ph2,
                   pw1, pw2, th, Ksp: int, H: int, amb_cap: int):
     """Threshold filter + retained-occurrence compaction, all on device.
 
-    Inputs are the (sliced) accumulator columns; outputs are the compacted
-    multi-vertex retained occurrences IN PLACE of the donated buffers plus
-    a stats vector. Group semantics follow ILP_index.cpp:670-722 via
-    anchors.join._anchor_tables_from_hits_py: count occurrences per
-    (k-mer, vertex-run) group; a group reaching `th` kills its k-mer."""
-    N = occ_s.shape[0]
+    Inputs are the (sliced) accumulator columns (occ_se packs
+    (walk_pos << 6) | span); outputs are the compacted multi-vertex
+    retained occurrences plus a stats vector. Group semantics follow
+    ILP_index.cpp:670-722 via anchors.join._anchor_tables_from_hits_py:
+    count occurrences per (k-mer, vertex-run) group; a group reaching `th`
+    kills its k-mer."""
+    N = occ_se.shape[0]
     Pp1 = ph1.shape[1]
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = (idx < total) & (occ_id >= 0)
-    s32 = occ_s
-    span32 = occ_span.astype(jnp.int32)
+    s32 = (occ_se >> jnp.uint32(6)).astype(jnp.int32)
+    span32 = (occ_se & jnp.uint32(63)).astype(jnp.int32)
+    s32 = jnp.where(valid, s32, 0)
+    span32 = jnp.where(valid, span32, 0)
     e32 = s32 + span32
     hap32 = occ_hap.astype(jnp.int32)
     kid = jnp.where(valid, occ_id, Ksp)          # invalid -> overflow slot
@@ -241,7 +241,8 @@ def _finalize_jit(occ_s, occ_span, occ_id, occ_hap, total, ph1, ph2,
         jnp.where(multi, idx, N), mode="drop")[:N]
     # pad tail must be inert solver rows: hap 0, start 0, span 0, id -1
     c_s = jnp.concatenate([s32, jnp.zeros(1, jnp.int32)])[msrc]
-    c_span = jnp.concatenate([occ_span, jnp.zeros(1, jnp.uint8)])[msrc]
+    c_span = jnp.concatenate([span32.astype(jnp.uint8),
+                              jnp.zeros(1, jnp.uint8)])[msrc]
     c_id = jnp.concatenate([occ_id, jnp.full(1, -1, jnp.int32)])[msrc]
     c_hap = jnp.concatenate([occ_hap, jnp.zeros(1, jnp.uint8)])[msrc]
     in_range = jnp.arange(N, dtype=jnp.int32) < n_occ
@@ -254,6 +255,8 @@ def _finalize_jit(occ_s, occ_span, occ_id, occ_hap, total, ph1, ph2,
         jnp.any(unpl).astype(jnp.int32),              # unresolved flag
         (n_amb > amb_cap).astype(jnp.int32),          # amb overflow flag
         rounds_used.astype(jnp.int32),
+        jnp.where(multi, span32, 0).max(),            # retained max span
+        n_amb.astype(jnp.int32),
     ])
     return c_s, c_span, c_id, c_hap, c_w, stats, per_hap
 
@@ -271,6 +274,7 @@ class DeviceOcc:
     filtered: int
     per_hap_anchors: np.ndarray
     Nb: int
+    max_span: int = 0       # max occ_end - occ_start among retained occ
 
     def start_host_copy(self) -> None:
         for a in (self.dev_s, self.dev_span, self.dev_id, self.dev_hap):
@@ -364,8 +368,7 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
                 row_base_nodes(cumlens, batch),
                 np.array([max(r[0], 0) for r in batch], np.int32))
 
-    buf_s = jnp.zeros(CAP, jnp.int32)
-    buf_span = jnp.zeros(CAP, jnp.uint8)
+    buf_se = jnp.zeros(CAP, jnp.uint32)
     buf_id = jnp.full(CAP, -1, jnp.int32)
     buf_hap = jnp.zeros(CAP, jnp.uint8)
     total = jnp.int32(0)
@@ -398,7 +401,9 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
         return [batch, out]
 
     import os as _os
-    prof = _os.environ.get("PHI_TPU_JOIN_PROF") == "1"
+    prof_lvl = _os.environ.get("PHI_TPU_JOIN_PROF", "0")
+    prof = prof_lvl in ("1", "2")
+    prof_batches = prof_lvl == "2"
     from time import perf_counter as _now
     t_pack = t_disp = t_harv = 0.0
     try:
@@ -415,11 +420,11 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
                 t0 = _now()
             pend[b] = _dispatch(b, carry, packed)
             out = pend[b][1]
-            carry = out[6]
-            buf_s, buf_span, buf_id, buf_hap, total = cached_call(
+            carry = out[5]
+            buf_se, buf_id, buf_hap, total = cached_call(
                 _append_jit, "anchor_append",
-                (buf_s, buf_span, buf_id, buf_hap, total,
-                 out[2], out[3], out[4], out[5]), {})
+                (buf_se, buf_id, buf_hap, total,
+                 out[2], out[3], out[4]), {})
             if prof:
                 t_disp += _now() - t0
             if b >= WINDOW:
@@ -427,7 +432,13 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
                     t0 = _now()
                 _harvest(b - WINDOW, counts, pend, emitcap, cap_total)
                 if prof:
-                    t_harv += _now() - t0
+                    dt = _now() - t0
+                    t_harv += dt
+                    if prof_batches:
+                        import sys as _sys
+                        _sys.stderr.write(
+                            f"[danchor-prof] batch {b - WINDOW} "
+                            f"harvest {dt:.3f}\n")
         if prof:
             t0 = _now()
         for b in range(max(0, n_batches - WINDOW), n_batches):
@@ -458,9 +469,9 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     total_hits = int(counts[:, 1].sum())
     TOT = bucket_pow(total_hits + 1, 1 << 15)
     if TOT < CAP:
-        buf_s, buf_span, buf_id, buf_hap = cached_call(
+        buf_se, buf_id, buf_hap = cached_call(
             _slice_jit, "anchor_slice",
-            (buf_s, buf_span, buf_id, buf_hap), {"tot_b": TOT})
+            (buf_se, buf_id, buf_hap), {"tot_b": TOT})
 
     # prefix-hash tables (graph-static, device-cached)
     from phi_tpu.solve.dp import _dev_cached
@@ -472,12 +483,15 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     pw1, pw2 = _pw_tables()
 
     Ksp = len(sp_hi)
-    amb_cap = max(TOT // 4, 1 << 15)
+    # ambiguous k-mers (hot AND multi-run) are rare — measured 6k of 14M
+    # occurrences at the 49-hap flagship; the cap is generous headroom and
+    # overflow falls back to the host path exactly
+    amb_cap = max(TOT // 16, 1 << 16)
     if prof:
         t0 = _now()
     c_s, c_span, c_id, c_hap, c_w, stats, per_hap = cached_call(
         _finalize_jit, "anchor_finalize",
-        (buf_s, buf_span, buf_id, buf_hap, jnp.int32(total_hits),
+        (buf_se, buf_id, buf_hap, jnp.int32(total_hits),
          ph1, ph2, jnp.asarray(pw1), jnp.asarray(pw2),
          jnp.float32(threshold * H)),
         {"Ksp": Ksp, "H": H, "amb_cap": amb_cap})
@@ -502,7 +516,12 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
         n_occ=n_occ, n_model=int(stats_np[1]),
         filtered=int(stats_np[2]),
         per_hap_anchors=np.asarray(per_hap).astype(np.int64),
-        Nb=min(Nb_occ, TOT))
+        Nb=min(Nb_occ, TOT), max_span=int(stats_np[6]))
+    if prof:
+        import sys as _sys
+        _sys.stderr.write(
+            f"[danchor-prof] n_occ={n_occ} max_span={int(stats_np[6])} "
+            f"n_amb={int(stats_np[7])} owner_rounds={int(stats_np[5])}\n")
     return per_hap_min, occ
 
 

@@ -49,10 +49,31 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _start_d2h_warmup() -> None:
+    """First device->host fetch of a fresh process through the remote
+    tunnel stalls for minutes (measured 84-436 s on an 8-float fetch;
+    every later fetch is ~0.3 s). Pay it on a daemon thread from t=0 so it
+    overlaps graph/read ingest instead of the first join harvest."""
+    import threading
+
+    def work():
+        try:
+            import jax.numpy as jnp
+            np.asarray(jnp.zeros(8))
+        except Exception:
+            pass
+
+    threading.Thread(target=work, daemon=True,
+                     name="phi-d2h-warmup").start()
+
+
 def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
                  opt: Options) -> PipelineResult:
     import time
     _enable_compile_cache()
+    import jax as _jax0
+    if _jax0.default_backend() != "cpu":
+        _start_d2h_warmup()
     if opt.num_threads:
         from phi_tpu.native import set_threads
         set_threads(opt.num_threads)
@@ -437,6 +458,13 @@ def _solve_with_refinement(graph: PangenomeGraph, anchors: AnchorTables,
         # 16 GB chip, while the anchors' actual span fits easily
         actual = int((anchors.occ_end - anchors.occ_start).max())
         layers = min(layers, _bucket_layers(actual - 1))
+    elif anchors.device_occ is not None and anchors.device_occ.max_span > 0:
+        # device-anchor path exports the retained max span in its stats:
+        # shrink the W stack to the spans actually present (the solver's
+        # S/B/W build and every sweep scale with L; layer buckets are few
+        # {1,2,4,8,...} so the compiled-program family stays tiny)
+        layers = min(layers,
+                     _bucket_layers(anchors.device_occ.max_span - 1))
     tables = build_solver_tables(graph, anchors, opt.recombination, layers)
     best = _solve_and_decode(graph, tables, anchors, opt)
     best_bound = best.dp_objective

@@ -689,7 +689,7 @@ def _make_kernel_rows2(k: int, w: int):
     n_hi = max(0, k - 16)
 
     def kernel(nvalid_ref, cont_ref, base_ref, init_ref, codes_ref, next_ref,
-               nd_ref, ndnext_ref, hi_ref, lo_ref, s_ref, e_ref,
+               nd_ref, ndnext_ref, hi_ref, lo_ref, se_ref,
                emit_ref, co_ref, carry_ref):
         row_id = pl.program_id(0)
         blk_id = pl.program_id(1)
@@ -754,14 +754,18 @@ def _make_kernel_rows2(k: int, w: int):
         s_arr = cnt_base + c                      # node idx at k-mer start
         e_arr = cnt_base + _roll_l(c, k - 1)      # node idx at k-mer end
         carry_ref[3] = carry_ref[3] + c[0, BLK - 1].astype(jnp.uint32)
+        # pack before the window-min so a single passenger array rides
+        # through the doubling steps: (walk_pos << 6) | span, span <= k <= 31
+        packed_arr = ((s_arr.astype(jnp.uint32) << jnp.uint32(6))
+                      | jnp.minimum(e_arr - s_arr, 63).astype(jnp.uint32))
 
-        t = (hi, lo, pos, s_arr, e_arr)
+        t = (hi, lo, pos, packed_arr)
         sdl = 1
         while sdl * 2 <= w:
-            t = _tuple_min5(t, tuple(_roll_l(v, sdl) for v in t))
+            t = _tuple_min4(t, tuple(_roll_l(v, sdl) for v in t))
             sdl *= 2
-        t = _tuple_min5(t, tuple(_roll_l(v, w - sdl) for v in t))
-        shi, slo, spos, ss, se = t
+        t = _tuple_min4(t, tuple(_roll_l(v, w - sdl) for v in t))
+        shi, slo, spos, spacked = t
 
         n_valid = nvalid_ref[row_id]
         valid = (spos >= 0) & (gpos < n_valid)
@@ -775,8 +779,7 @@ def _make_kernel_rows2(k: int, w: int):
 
         hi_ref[0] = shi[:, :BLK]
         lo_ref[0] = slo[:, :BLK]
-        s_ref[0] = jnp.where(valid, ss, -1)[:, :BLK]
-        e_ref[0] = se[:, :BLK]
+        se_ref[0] = jnp.where(valid, spacked, umax)[:, :BLK]
         emit_ref[0] = emit[:, :BLK].astype(jnp.int32)
         carry_ref[0] = shi[0, BLK - 1]
         carry_ref[1] = slo[0, BLK - 1]
@@ -788,29 +791,28 @@ def _make_kernel_rows2(k: int, w: int):
     return kernel
 
 
-def _tuple_min5(a, b):
-    """_tuple_min extended with passenger values (s, e) that follow the
-    (hi, lo, pos) selection."""
-    ahi, alo, apos, as_, ae = a
-    bhi, blo, bpos, bs_, be = b
+def _tuple_min4(a, b):
+    """_tuple_min extended with a passenger value (the packed interval)
+    that follows the (hi, lo, pos) selection."""
+    ahi, alo, apos, ap = a
+    bhi, blo, bpos, bp = b
     a_lt = (ahi < bhi) | ((ahi == bhi) & (alo < blo))
     a_eq = (ahi == bhi) & (alo == blo)
     take_a = a_lt | (a_eq & (apos >= bpos))
     return (jnp.where(take_a, ahi, bhi),
             jnp.where(take_a, alo, blo),
             jnp.where(take_a, apos, bpos),
-            jnp.where(take_a, as_, bs_),
-            jnp.where(take_a, ae, be))
+            jnp.where(take_a, ap, bp))
 
 
 def _pallas_sketch_rows2(codes2d, deltas2d, nvalid, cont, base_node,
                          init_carry, k: int, w: int, n_rows: int,
                          n_blocks: int, interpret: bool = False):
-    """v2 multi-row sketch: returns (hi, lo, s, e, emit, carry). s/e are the
-    GLOBAL walk-position interval of each selected k-mer (s == -1 where the
-    window is invalid); deltas2d is the uint8 per-base node-start-count
-    plane aligned with codes2d (first lane of each row zeroed by the
-    packer)."""
+    """v2 multi-row sketch: returns (hi, lo, se, emit, carry). se packs the
+    GLOBAL walk-position interval of each selected k-mer as
+    (start << 6) | span (UMAX where the window is invalid); deltas2d is the
+    uint8 per-base node-start-count plane aligned with codes2d (first lane
+    of each row zeroed by the packer)."""
     kernel = _make_kernel_rows2(k, w)
     n_out = n_blocks * BLK
     codes3d = codes2d.reshape(n_rows, 1, -1)
@@ -821,12 +823,11 @@ def _pallas_sketch_rows2(codes2d, deltas2d, nvalid, cont, base_node,
     out_shape = [
         jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.uint32),
         jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.uint32),
-        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.int32),
-        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.uint32),
         jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.int32),
         jax.ShapeDtypeStruct((3,), jnp.uint32),
     ]
-    hi, lo, s, e, emit, carry = pl.pallas_call(
+    hi, lo, se, emit, carry = pl.pallas_call(
         kernel,
         grid=(n_rows, n_blocks),
         in_specs=[
@@ -843,7 +844,7 @@ def _pallas_sketch_rows2(codes2d, deltas2d, nvalid, cont, base_node,
             pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i + 1),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_bs, out_bs, out_bs, out_bs, out_bs,
+        out_specs=[out_bs, out_bs, out_bs, out_bs,
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((4,), jnp.uint32)],
@@ -851,7 +852,7 @@ def _pallas_sketch_rows2(codes2d, deltas2d, nvalid, cont, base_node,
     )(nvalid, cont, base_node, init_carry, codes3d, codes3d,
       deltas3d, deltas3d)
     return (hi.reshape(n_rows, n_out), lo.reshape(n_rows, n_out),
-            s.reshape(n_rows, n_out), e.reshape(n_rows, n_out),
+            se.reshape(n_rows, n_out),
             emit.reshape(n_rows, n_out), carry)
 
 
@@ -878,7 +879,7 @@ def _pallas_join_rows2(words, deltas, nvalid, cont, base_node, hap_of_row,
     shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)
     codes2d = ((words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
                ).astype(jnp.uint8).reshape(R, row_lanes)
-    hi, lo, s, e, emit, carry_out = _pallas_sketch_rows2(
+    hi, lo, se, emit, carry_out = _pallas_sketch_rows2(
         codes2d, deltas, nvalid, cont, base_node, init_carry, k, w, R,
         n_blocks, interpret)
     emit = emit != 0
@@ -891,32 +892,29 @@ def _pallas_join_rows2(words, deltas, nvalid, cont, base_node, hap_of_row,
     eidx = jnp.full((R, emitcap + 1), n_out, jnp.int32) \
         .at[rowi, dst].set(lanei, mode="drop")[:, :emitcap]
     sent_u = jnp.full((R, 1), 0xFFFFFFFF, jnp.uint32)
-    sent_i = jnp.full((R, 1), -1, jnp.int32)
     ehi = jnp.take_along_axis(jnp.concatenate([hi, sent_u], 1), eidx, 1)
     elo = jnp.take_along_axis(jnp.concatenate([lo, sent_u], 1), eidx, 1)
-    es = jnp.take_along_axis(jnp.concatenate([s, sent_i], 1), eidx, 1)
-    ee = jnp.take_along_axis(jnp.concatenate([e, sent_i], 1), eidx, 1)
+    ese = jnp.take_along_axis(jnp.concatenate([se, sent_u], 1), eidx, 1)
 
     found, idx = pair_isin_mixed(sp_m, sp_lo, sp_perm, sp_off, ehi, elo,
                                  rounds, bits)
-    hit = found & (es >= 0)
+    hit = found & (ese != jnp.uint32(0xFFFFFFFF))
     n_hit = hit.sum(axis=1)
 
     base = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(n_hit).astype(jnp.int32)[:-1]])
     horder = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1 + base[:, None]
     hdst = jnp.where(hit, jnp.minimum(horder, cap_total), cap_total).ravel()
-    hap_b = jnp.broadcast_to(hap_of_row[:, None], es.shape)
+    hap_b = jnp.broadcast_to(hap_of_row[:, None], ese.shape)
 
     def flat(vals, fill):
         return jnp.full((cap_total + 1,), fill, vals.dtype) \
             .at[hdst].set(vals.ravel(), mode="drop")[:cap_total]
 
-    flat_s = flat(es, -1)
-    flat_e = flat(ee, -1)
+    flat_se = flat(ese, jnp.uint32(0xFFFFFFFF))
     flat_id = flat(idx.astype(jnp.int32), -1)
     flat_hap = flat(hap_b, -1)
-    return n_min, n_hit, flat_s, flat_e, flat_id, flat_hap, carry_out
+    return n_min, n_hit, flat_se, flat_id, flat_hap, carry_out
 
 
 def pack_row_deltas(cumlens, rows, row_lanes: int) -> np.ndarray:

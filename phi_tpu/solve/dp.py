@@ -617,6 +617,7 @@ def solve_dp(t: SolverTables, max_sweeps: int = 256):
             return out
 
     from phi_tpu.execache import cached_call
+    LAST_TIMINGS.clear()  # per-solve numbers; decode re-accumulates below
     t0 = time.time()
     (S_dev, B_dev, W_dev), common, (H, P), statics = _bucketed_args(t, max_sweeps)
     jax.block_until_ready(S_dev)
