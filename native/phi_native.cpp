@@ -567,24 +567,31 @@ int phi_toposort(int64_t n, int64_t m, const int32_t* eu, const int32_t* ev,
 // Feed-based minimizer scan state machine: callers push base codes one at
 // a time (contiguous arrays, or walks streamed straight from graph
 // tensors). Exact reference semantics (see phi_minimizers note below).
-template <class Emit>
+// Value type V is uint64_t for k <= 31 (collision-free 2-bit packing) or
+// unsigned __int128 for k in (31, 63] — selection and consecutive-dup
+// removal compare the FULL canonical packing (== the reference's
+// lexicographic string order for ACGT), and only the emitted JOIN KEY is
+// folded to 64 bits (fold128_64 below; the reference itself joins on a
+// folded 128-bit MurmurHash, ILP_index.cpp:10-18).
+template <class V, class Emit>
 struct MinScan {
   const int k, w;
-  const uint64_t mask;
+  const V mask;
   const int rc_shift;
   Emit emit;
-  uint64_t fwd = 0, rc = 0;
+  V fwd = 0, rc = 0;
   int valid_run = 0;
-  std::vector<uint64_t> dqv;
+  std::vector<V> dqv;
   std::vector<int64_t> dqp;
   size_t rmask, head = 0, tail = 0;  // [head, tail)
-  uint64_t prev_val = ~0ULL;
+  V prev_val = ~(V)0;
   bool have_prev = false;
   int64_t j = 0;  // bases consumed
 
   MinScan(int k_, int w_, Emit emit_)
       : k(k_), w(w_),
-        mask((k_ < 32) ? ((1ULL << (2 * k_)) - 1) : ~0ULL),
+        mask((2 * k_ < (int)(8 * sizeof(V))) ? (((V)1 << (2 * k_)) - 1)
+                                             : ~(V)0),
         rc_shift(2 * (k_ - 1)), emit(emit_) {
     size_t ring = 8;
     while (ring < (size_t)(w + 1)) ring <<= 1;
@@ -596,7 +603,7 @@ struct MinScan {
   inline void feed(uint8_t c) {
     if (c < 4) {
       fwd = ((fwd << 2) | c) & mask;
-      rc = (rc >> 2) | ((uint64_t)(3 - c) << rc_shift);
+      rc = (rc >> 2) | ((V)(3 - c) << rc_shift);
       valid_run++;
     } else {
       valid_run = 0;
@@ -604,7 +611,7 @@ struct MinScan {
     int64_t i = j++ - k + 1;  // k-mer start index
     if (i < 0) return;
     if (valid_run >= k) {
-      uint64_t cur = fwd < rc ? fwd : rc;
+      V cur = fwd < rc ? fwd : rc;
       while (tail > head && dqv[(tail - 1) & rmask] >= cur) tail--;
       dqv[tail & rmask] = cur;
       dqp[tail & rmask] = i;
@@ -612,7 +619,7 @@ struct MinScan {
     }
     if (tail > head && dqp[head & rmask] <= i - w) head++;
     if (i >= w - 1 && tail > head) {
-      uint64_t best = dqv[head & rmask];
+      V best = dqv[head & rmask];
       if (!have_prev || best != prev_val) {
         prev_val = best;
         have_prev = true;
@@ -622,12 +629,39 @@ struct MinScan {
   }
 };
 
+// splitmix64 finalizer — must match the python twin
+// (phi_tpu/sketch/encode.py::fold128_64) bit for bit.
+static inline uint64_t phi_mix64(uint64_t x) {
+  x ^= x >> 30;
+  x *= 0xBF58476D1CE4E5B9ULL;
+  x ^= x >> 27;
+  x *= 0x94D049BB133111EBULL;
+  x ^= x >> 31;
+  return x;
+}
+
+static inline uint64_t fold128_64(unsigned __int128 v) {
+  return phi_mix64((uint64_t)(v >> 64) * 0x9E3779B97F4A7C15ULL
+                   ^ phi_mix64((uint64_t)v));
+}
+
+static const int PHI_MAX_K_WIDE = 63;
+
 template <class Emit>
 static inline void minimizer_scan(const uint8_t* codes, int64_t n, int k,
                                   int w, Emit emit) {
-  if (k < 1 || k > 31 || w < 1 || n < (int64_t)(k + w - 1)) return;
-  MinScan<Emit> scan(k, w, emit);
-  for (int64_t j = 0; j < n; j++) scan.feed(codes[j]);
+  if (k < 1 || k > PHI_MAX_K_WIDE || w < 1 || n < (int64_t)(k + w - 1))
+    return;
+  if (k <= 31) {
+    MinScan<uint64_t, Emit> scan(k, w, emit);
+    for (int64_t j = 0; j < n; j++) scan.feed(codes[j]);
+  } else {
+    auto wrap = [&](unsigned __int128 best, int64_t pos) {
+      emit(fold128_64(best), pos);
+    };
+    MinScan<unsigned __int128, decltype(wrap)> scan(k, w, wrap);
+    for (int64_t j = 0; j < n; j++) scan.feed(codes[j]);
+  }
 }
 
 extern "C" {
@@ -735,7 +769,7 @@ int64_t phi_hap_join_walk(const uint8_t* seq_code, const int64_t* node_off,
                           int32_t* out_pos, int32_t* out_sid, int64_t cap,
                           int64_t* n_min_out) try {
   *n_min_out = 0;
-  if (k < 1 || k > 31 || w < 1) return 0;
+  if (k < 1 || k > PHI_MAX_K_WIDE || w < 1) return 0;
   int64_t n_min = 0, n_hit = 0;
   const int shift = 64 - prefix_bits;
   // Prefetch-batched probing: at chromosome scale the join issues ~200M
@@ -785,11 +819,23 @@ int64_t phi_hap_join_walk(const uint8_t* seq_code, const int64_t* node_off,
     bp[nb] = pos;
     if (++nb == kBatch) flush();
   };
-  MinScan<decltype(emit)> scan(k, w, emit);
-  for (int64_t i = 0; i < n_walk; i++) {
-    const uint8_t* p = seq_code + node_off[walk[i]];
-    const uint8_t* e = seq_code + node_off[walk[i] + 1];
-    for (; p < e; ++p) scan.feed(*p);
+  if (k <= 31) {
+    MinScan<uint64_t, decltype(emit)> scan(k, w, emit);
+    for (int64_t i = 0; i < n_walk; i++) {
+      const uint8_t* p = seq_code + node_off[walk[i]];
+      const uint8_t* e = seq_code + node_off[walk[i] + 1];
+      for (; p < e; ++p) scan.feed(*p);
+    }
+  } else {
+    auto wrap = [&](unsigned __int128 best, int64_t pos) {
+      emit(fold128_64(best), pos);
+    };
+    MinScan<unsigned __int128, decltype(wrap)> scan(k, w, wrap);
+    for (int64_t i = 0; i < n_walk; i++) {
+      const uint8_t* p = seq_code + node_off[walk[i]];
+      const uint8_t* e = seq_code + node_off[walk[i] + 1];
+      for (; p < e; ++p) scan.feed(*p);
+    }
   }
   flush();
   *n_min_out = n_min;

@@ -31,7 +31,10 @@ class Options:
     #                                straight to anchors+solve
 
     def __post_init__(self) -> None:
-        if not (1 <= self.k <= 31):
-            raise ValueError(f"k must be in [1,31] (2-bit packed, unambiguous sentinel), got {self.k}")
+        if not (1 <= self.k <= 63):
+            raise ValueError(
+                f"k must be in [1,63], got {self.k} (k <= 31 runs 2-bit "
+                "packed everywhere; 31 < k <= 63 uses the native 128-bit "
+                "scan with 64-bit folded join keys, host join path)")
         if self.w < 1:
             raise ValueError(f"w must be >= 1, got {self.w}")

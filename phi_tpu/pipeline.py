@@ -181,7 +181,7 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
             (_jax.default_backend() != "cpu"
              or _os.environ.get("PHI_TPU_FORCE_DEVICE_ANCHORS") == "1")
             and mesh_devices is None and not opt.save_index
-            and len(spectrum[0]) > 0)
+            and opt.k <= 31 and len(spectrum[0]) > 0)
         if use_dev_anchors:
             # device-resident anchor pipeline: hits never cross the
             # device->host link (anchors/device.py); falls back to the
@@ -211,9 +211,11 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
         if anchors is None:
             sp_hi_d = jnp.asarray(spectrum[0])
             sp_lo_d = jnp.asarray(spectrum[1])
-            if _jax.default_backend() == "cpu" and mesh_devices is None:
+            if (_jax.default_backend() == "cpu" or opt.k > 31) \
+                    and mesh_devices is None:
                 # stream walks straight from the graph tensors (no per-hap
-                # concatenations); exact same join semantics
+                # concatenations); exact same join semantics. k > 31 lives
+                # only on the native 128-bit scan, any backend.
                 from phi_tpu.sketch.minimizer import sketch_join_walks
                 hits = sketch_join_walks(graph, opt.k, opt.w,
                                          spectrum[0], spectrum[1])

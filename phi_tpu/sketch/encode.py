@@ -12,6 +12,31 @@ from __future__ import annotations
 import numpy as np
 
 MAX_K = 31  # hi must stay < 2^32-1 so the invalid sentinel is unambiguous
+# 31 < k <= 63 runs on the native 128-bit scan (selection compares the full
+# canonical packing; join keys are fold128_64 of it — the reference itself
+# joins on a folded 128-bit MurmurHash, ILP_index.cpp:10-18)
+NATIVE_MAX_K = 63
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def mix64_np(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — bit-for-bit twin of phi_native.cpp::phi_mix64."""
+    x = x.astype(np.uint64)
+    x = x ^ (x >> np.uint64(30))
+    x = x * _M1
+    x = x ^ (x >> np.uint64(27))
+    x = x * _M2
+    x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def fold128_64_np(hi64: np.ndarray, lo64: np.ndarray) -> np.ndarray:
+    """64-bit join key of a 128-bit canonical k-mer packing — twin of
+    phi_native.cpp::fold128_64."""
+    return mix64_np(hi64.astype(np.uint64) * _GOLD ^ mix64_np(lo64))
 
 
 def pack_kmers_np(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -276,15 +276,17 @@ def sketch_sequence(codes: np.ndarray, k: int, w: int,
 
     Mirrors ILP_index::index_kmers / compute_hashes selection exactly.
     """
-    if k > MAX_K:
-        raise ValueError(f"k must be <= {MAX_K}")
+    from phi_tpu.sketch.encode import NATIVE_MAX_K
+    if k > NATIVE_MAX_K:
+        raise ValueError(f"k must be <= {NATIVE_MAX_K}")
     L = len(codes)
     if L < w + k - 1:
         z = np.zeros(0, np.uint32)
         return z, z.copy(), np.zeros(0, np.int32)
     # CPU backend: the native C++ scan is ~100x the XLA-on-CPU path and
-    # bit-identical (it is also the reference-semantics oracle in C++)
-    if jax.default_backend() == "cpu":
+    # bit-identical (it is also the reference-semantics oracle in C++).
+    # 31 < k <= 63 exists ONLY there (128-bit packing + folded join keys).
+    if jax.default_backend() == "cpu" or k > MAX_K:
         try:
             from phi_tpu.native import minimizers_native
             res = minimizers_native(codes, k, w)
@@ -292,6 +294,10 @@ def sketch_sequence(codes: np.ndarray, k: int, w: int,
                 return res
         except Exception:
             pass
+    if k > MAX_K:
+        raise RuntimeError(
+            f"k={k} > {MAX_K} needs the native scanner "
+            "(native/libphi_native.so failed to load or build)")
     halo = k + w - 2
     if L <= CHUNK + halo:
         return _sketch_padded(codes, k, w, cap)
@@ -886,6 +892,10 @@ def sketch_read_concat(concat: np.ndarray, off: np.ndarray, k: int,
             uniq = np.unique(keys)
             return ((uniq >> np.uint64(32)).astype(np.uint32),
                     (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    if k > MAX_K:
+        raise RuntimeError(
+            f"k={k} > {MAX_K} needs the native scanner "
+            "(native/libphi_native.so failed to load or build)")
     if devices is not None and len(devices) > 1:
         from phi_tpu.parallel.dist import read_shard_bounds
         n_reads = len(off) - 1
