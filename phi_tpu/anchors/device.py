@@ -312,8 +312,8 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     from phi_tpu.execache import cached_call
     from phi_tpu.sketch.kernels import (BLK, HALO_PAD, ROWS, SUPER_BLOCKS,
                                         _pack_rows_2bit, _pallas_join_rows2,
-                                        join_caps, pack_row_deltas,
-                                        row_base_nodes)
+                                        _pallas_join_rows2_ck, join_caps,
+                                        pack_row_deltas, row_base_nodes)
     from phi_tpu.sketch.minimizer import prepare_spectrum_bucket
 
     R = rows_per_call or ROWS
@@ -341,10 +341,20 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     if not rows:
         return None
 
-    sp_m_np, sp_lo_np, sp_perm_np, sp_off_np, Sb, rounds, bits = \
-        prepare_spectrum_bucket(sp_hi, sp_lo)
-    sp_args = tuple(jnp.asarray(a) for a in
-                    (sp_m_np, sp_lo_np, sp_perm_np, sp_off_np))
+    # cuckoo probe when the spectrum fits (6 gathers, no bisect rounds —
+    # probe was ~45% of per-batch exec); mixed-bucket scheme otherwise
+    from phi_tpu.ops.search import make_cuckoo
+    ck = make_cuckoo(np.asarray(sp_hi), np.asarray(sp_lo))
+    if ck is not None:
+        Thi, Tlo, Tid, seed, _M = ck
+        sp_args = (jnp.asarray(Thi), jnp.asarray(Tlo), jnp.asarray(Tid),
+                   jnp.uint32(seed))
+        rounds = None
+    else:
+        sp_m_np, sp_lo_np, sp_perm_np, sp_off_np, Sb, rounds, bits = \
+            prepare_spectrum_bucket(sp_hi, sp_lo)
+        sp_args = tuple(jnp.asarray(a) for a in
+                        (sp_m_np, sp_lo_np, sp_perm_np, sp_off_np))
 
     emitcap, cap_total = join_caps(w, SB, R)
     # hit accumulator: hits <= emitted minimizers <= ~2.6/(w+1) windows,
@@ -386,13 +396,18 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
         ct = jax.device_put(ct_np)
         bn = jax.device_put(bn_np)
         hp = jax.device_put(hap_np)
-        out = cached_call(
-            _pallas_join_rows2, "pallas_join_rows2",
-            (words, nd, nv, ct, bn, hp, carry) + sp_args
-            + (jnp.int32(rounds),),
-            {"k": k, "w": w, "n_rows": R, "n_blocks": SB,
-             "emitcap": emitcap, "cap_total": cap_total,
-             "interpret": interpret})
+        statics = {"k": k, "w": w, "n_rows": R, "n_blocks": SB,
+                   "emitcap": emitcap, "cap_total": cap_total,
+                   "interpret": interpret}
+        if rounds is None:
+            out = cached_call(
+                _pallas_join_rows2_ck, "pallas_join_rows2_ck",
+                (words, nd, nv, ct, bn, hp, carry) + sp_args, statics)
+        else:
+            out = cached_call(
+                _pallas_join_rows2, "pallas_join_rows2",
+                (words, nd, nv, ct, bn, hp, carry) + sp_args
+                + (jnp.int32(rounds),), statics)
         for a in (out[0], out[1]):
             try:
                 a.copy_to_host_async()

@@ -135,6 +135,123 @@ def pair_isin_mixed(sp_m, sp_lo, perm, bucket_off, q_hi, q_lo,
     return found & (ids >= 0), ids
 
 
+# ---------------------------------------------------------------- cuckoo
+# Two-choice cuckoo table: each spectrum key lives at exactly one of two
+# hash positions, so a probe is SIX gathers total (hi, lo, id at both
+# positions) with no sequential bisect rounds — measured ~2x cheaper than
+# the bucketed binary search at flagship shapes. Host build is greedy
+# batch placement + sequential eviction for stragglers; returns None on
+# (rare) failure and for oversized spectra, where the caller keeps the
+# mixed-bucket scheme.
+CUCKOO_MAX_KEYS = 8_000_000   # tables are 24 B/key at load 0.5
+_CK1 = 0x9E3779B1
+_CK2 = 0x85EBCA77
+_CK3 = 0xC2B2AE35
+_CK4 = 0x27D4EB2F
+
+
+def _ck_mix_np(x):
+    import numpy as np
+    x = x.astype(np.uint32)
+    x ^= x >> np.uint32(16)
+    x = x * np.uint32(0x7FEB352D)
+    x ^= x >> np.uint32(15)
+    x = x * np.uint32(0x846CA68B)
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def _ck_h_np(hi, lo, c1, c2, seed, M):
+    import numpy as np
+    return (_ck_mix_np(hi * np.uint32(c1) + lo * np.uint32(c2)
+                       + np.uint32(seed))
+            & np.uint32(M - 1)).astype(np.int64)
+
+
+def make_cuckoo(sp_hi_np, sp_lo_np, max_attempts: int = 3):
+    """(Thi, Tlo, Tid, seed, M) or None. Thi/Tlo hold UMAX at empty slots
+    (a canonical (UMAX, UMAX) pair is impossible for k <= 31, so empties
+    can never match a real query)."""
+    import numpy as np
+    n = len(sp_hi_np)
+    if n == 0 or n > CUCKOO_MAX_KEYS:
+        return None
+    hi = sp_hi_np.astype(np.uint32)
+    lo = sp_lo_np.astype(np.uint32)
+    M = 1 << max(10, int(np.ceil(np.log2(2 * n))))
+    for attempt in range(max_attempts):
+        seed = (0x1234ABCD + attempt * 0x9E3779B9) & 0xFFFFFFFF
+        h1 = _ck_h_np(hi, lo, _CK1, _CK2, seed, M)
+        h2 = _ck_h_np(hi, lo, _CK3, _CK4, seed ^ 0x55555555, M)
+        slot = np.full(M, -1, np.int64)
+        pend = np.arange(n)
+        use2 = np.zeros(n, bool)
+        for _ in range(48):
+            if not len(pend):
+                break
+            h = np.where(use2[pend], h2[pend], h1[pend])
+            empty = slot[h] == -1
+            cand = pend[empty]
+            hc = h[empty]
+            uh, first = np.unique(hc, return_index=True)
+            slot[uh] = cand[first]
+            placed = np.zeros(n, bool)
+            placed[cand[first]] = True
+            pend = pend[~placed[pend]]
+            use2[pend] = ~use2[pend]
+        if len(pend) > 65536:
+            M *= 2
+            continue
+        ok = True
+        for i in pend.tolist():  # sequential eviction for stragglers
+            cur, h = i, int(h1[i])
+            for _ in range(500):
+                if slot[h] == -1:
+                    slot[h] = cur
+                    break
+                slot[h], cur = cur, slot[h]
+                h = int(h2[cur]) if h == int(h1[cur]) else int(h1[cur])
+            else:
+                ok = False
+                break
+        if not ok:
+            M *= 2
+            continue
+        occ = slot >= 0
+        si = np.where(occ, slot, 0)
+        Thi = np.where(occ, hi[si], np.uint32(0xFFFFFFFF)).astype(np.uint32)
+        Tlo = np.where(occ, lo[si], np.uint32(0xFFFFFFFF)).astype(np.uint32)
+        Tid = np.where(occ, slot, -1).astype(np.int32)
+        return Thi, Tlo, Tid, np.uint32(seed), M
+    return None
+
+
+def _ck_mix(x):
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def pair_isin_cuckoo(Thi, Tlo, Tid, seed, q_hi, q_lo):
+    """(hit_mask, raw_spectrum_id) against a make_cuckoo table: six
+    gathers, no bisect rounds. Table size is static (from Thi.shape)."""
+    M = Thi.shape[0]
+    mask = jnp.uint32(M - 1)
+    qh = q_hi.astype(jnp.uint32)
+    ql = q_lo.astype(jnp.uint32)
+    p1 = (_ck_mix(qh * jnp.uint32(_CK1) + ql * jnp.uint32(_CK2) + seed)
+          & mask).astype(jnp.int32)
+    p2 = (_ck_mix(qh * jnp.uint32(_CK3) + ql * jnp.uint32(_CK4)
+                  + (seed ^ jnp.uint32(0x55555555))) & mask).astype(jnp.int32)
+    hit1 = (Thi[p1] == qh) & (Tlo[p1] == ql)
+    hit2 = (Thi[p2] == qh) & (Tlo[p2] == ql)
+    ids = jnp.where(hit1, Tid[p1], jnp.where(hit2, Tid[p2], -1))
+    return (hit1 | hit2) & (ids >= 0), ids
+
+
 def make_search_buckets(sp_hi_np, bits: int = BUCKET_BITS):
     """Host-side bucket table over the top `bits` of hi: offsets[b] = first
     spectrum index with hi >= b << (32-bits). Returns (offsets, rounds) where

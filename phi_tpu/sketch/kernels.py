@@ -898,9 +898,15 @@ def _pallas_join_rows2(words, deltas, nvalid, cont, base_node, hap_of_row,
 
     found, idx = pair_isin_mixed(sp_m, sp_lo, sp_perm, sp_off, ehi, elo,
                                  rounds, bits)
+    return _flatten_hits(n_min, found, idx, ese, hap_of_row, cap_total) \
+        + (carry_out,)
+
+
+def _flatten_hits(n_min, found, idx, ese, hap_of_row, cap_total: int):
+    """Shared tail of the join programs: row-major flattening of the hit
+    columns (packed interval, spectrum id, hap) into [cap_total] arrays."""
     hit = found & (ese != jnp.uint32(0xFFFFFFFF))
     n_hit = hit.sum(axis=1)
-
     base = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(n_hit).astype(jnp.int32)[:-1]])
     horder = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1 + base[:, None]
@@ -911,10 +917,48 @@ def _pallas_join_rows2(words, deltas, nvalid, cont, base_node, hap_of_row,
         return jnp.full((cap_total + 1,), fill, vals.dtype) \
             .at[hdst].set(vals.ravel(), mode="drop")[:cap_total]
 
-    flat_se = flat(ese, jnp.uint32(0xFFFFFFFF))
-    flat_id = flat(idx.astype(jnp.int32), -1)
-    flat_hap = flat(hap_b, -1)
-    return n_min, n_hit, flat_se, flat_id, flat_hap, carry_out
+    return (n_min, n_hit, flat(ese, jnp.uint32(0xFFFFFFFF)),
+            flat(idx.astype(jnp.int32), -1), flat(hap_b, -1))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "w", "n_rows", "n_blocks", "emitcap", "cap_total", "interpret"))
+def _pallas_join_rows2_ck(words, deltas, nvalid, cont, base_node,
+                          hap_of_row, init_carry, ck_hi, ck_lo, ck_id,
+                          ck_seed, k: int, w: int, n_rows: int,
+                          n_blocks: int, emitcap: int, cap_total: int,
+                          interpret: bool = False):
+    """_pallas_join_rows2 with the cuckoo spectrum probe (ops.search
+    .pair_isin_cuckoo): six gathers, no bisect rounds — the probe was
+    ~45% of per-batch exec with the bucketed binary search."""
+    from phi_tpu.ops.search import pair_isin_cuckoo
+
+    R = n_rows
+    row_lanes = (n_blocks + 1) * BLK
+    n_out = n_blocks * BLK
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)
+    codes2d = ((words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
+               ).astype(jnp.uint8).reshape(R, row_lanes)
+    hi, lo, se, emit, carry_out = _pallas_sketch_rows2(
+        codes2d, deltas, nvalid, cont, base_node, init_carry, k, w, R,
+        n_blocks, interpret)
+    emit = emit != 0
+    n_min = emit.sum(axis=1)
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, emit.shape, 0)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, emit.shape, 1)
+    order = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+    dst = jnp.where(emit, jnp.minimum(order, emitcap), emitcap)
+    eidx = jnp.full((R, emitcap + 1), n_out, jnp.int32) \
+        .at[rowi, dst].set(lanei, mode="drop")[:, :emitcap]
+    sent_u = jnp.full((R, 1), 0xFFFFFFFF, jnp.uint32)
+    ehi = jnp.take_along_axis(jnp.concatenate([hi, sent_u], 1), eidx, 1)
+    elo = jnp.take_along_axis(jnp.concatenate([lo, sent_u], 1), eidx, 1)
+    ese = jnp.take_along_axis(jnp.concatenate([se, sent_u], 1), eidx, 1)
+
+    found, idx = pair_isin_cuckoo(ck_hi, ck_lo, ck_id, ck_seed, ehi, elo)
+    return _flatten_hits(n_min, found, idx, ese, hap_of_row, cap_total) \
+        + (carry_out,)
 
 
 def pack_row_deltas(cumlens, rows, row_lanes: int) -> np.ndarray:

@@ -152,3 +152,30 @@ def test_pair_isin_mixed_adaptive_bits_property():
     assert np.array_equal(np.asarray(got_found), np.asarray(want_found))
     f = np.asarray(want_found)
     assert np.array_equal(np.asarray(got_id)[f], np.asarray(want_idx)[f])
+
+
+def test_cuckoo_table_roundtrip():
+    import numpy as np
+    from phi_tpu.ops.search import make_cuckoo, pair_isin_cuckoo
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(0, 2**62, 200_000, dtype=np.uint64))
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    lo = keys.astype(np.uint32)
+    ck = make_cuckoo(hi, lo)
+    assert ck is not None
+    Thi, Tlo, Tid, seed, M = ck
+    # every key found with its own id
+    f, ids = pair_isin_cuckoo(jnp.asarray(Thi), jnp.asarray(Tlo),
+                              jnp.asarray(Tid), jnp.uint32(seed),
+                              jnp.asarray(hi), jnp.asarray(lo))
+    assert bool(np.asarray(f).all())
+    assert np.array_equal(np.asarray(ids), np.arange(len(keys)))
+    # non-members miss
+    q = np.unique(rng.integers(0, 2**62, 50_000, dtype=np.uint64))
+    q = q[~np.isin(q, keys)]
+    f2, _ = pair_isin_cuckoo(jnp.asarray(Thi), jnp.asarray(Tlo),
+                             jnp.asarray(Tid), jnp.uint32(seed),
+                             jnp.asarray((q >> np.uint64(32)).astype(np.uint32)),
+                             jnp.asarray(q.astype(np.uint32)))
+    assert not bool(np.asarray(f2).any())
