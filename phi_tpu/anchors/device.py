@@ -261,6 +261,178 @@ def _finalize_jit(occ_se, occ_id, occ_hap, total, ph1, ph2,
     return c_s, c_span, c_id, c_hap, c_w, stats, per_hap
 
 
+# ---------------------------------------------------------------------------
+# Chunked finalize: at chromosome scale the single-program filter would
+# materialize ~11 occurrence-length temporaries (a compile-time
+# RESOURCE_EXHAUSTED at 100 Mbp / ~280M hits). The same math runs as
+# per-chunk passes with donated [Ksp]-sized accumulators:
+#   pass 1 (per chunk): group hashes + ktot/umin/umax/vmin/vmax updates
+#   mid    (once):      uniformity test -> kbad_uni, ambiguous k-mer set
+#   pass 2a (per chunk): collect ambiguous occurrences (chained append)
+#   owner  (once):      exact ownership-loop counts -> kbad
+#   pass 2b (per chunk): keep/multi masks, compact retained (chained
+#                        append), per-hap / model-k-mer accumulators
+# ---------------------------------------------------------------------------
+
+
+def _group_hashes(bufs, off, rem, ph1, ph2, pw1, pw2, Ksp, CH: int):
+    """Slice one CH-row chunk out of the full accumulator buffers (fused
+    into the reads by XLA — no host-side per-chunk copies) and compute the
+    per-occurrence group hashes."""
+    occ_se = jax.lax.dynamic_slice(bufs[0], (off,), (CH,))
+    occ_id = jax.lax.dynamic_slice(bufs[1], (off,), (CH,))
+    occ_hap = jax.lax.dynamic_slice(bufs[2], (off,), (CH,))
+    N = CH
+    Pp1 = ph1.shape[1]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = (idx < rem) & (occ_id >= 0)
+    s32 = jnp.where(valid, (occ_se >> jnp.uint32(6)).astype(jnp.int32), 0)
+    span32 = jnp.where(valid, (occ_se & jnp.uint32(63)).astype(jnp.int32), 0)
+    hap32 = occ_hap.astype(jnp.int32)
+    kid = jnp.where(valid, occ_id, Ksp)
+    base = hap32 * Pp1
+    i_lo = jnp.where(valid, base + s32, 0)
+    i_hi = jnp.where(valid, base + s32 + span32 + 1, 0)
+    sp1 = pw1[jnp.minimum(span32 + 1, pw1.shape[0] - 1)]
+    sp2 = pw2[jnp.minimum(span32 + 1, pw2.shape[0] - 1)]
+    rh1 = ph1.reshape(-1)[i_hi] - ph1.reshape(-1)[i_lo] * sp1
+    rh2 = ph2.reshape(-1)[i_hi] - ph2.reshape(-1)[i_lo] * sp2
+    idu = occ_id.astype(jnp.uint32)
+    g1 = _fmix32(rh1 ^ _fmix32(idu * jnp.uint32(0x27D4EB2F)))
+    g2 = _fmix32(rh2 ^ _fmix32(idu * jnp.uint32(0x165667B1)))
+    return valid, s32, span32, hap32, kid, g1, g2, occ_id, occ_hap
+
+
+@functools.partial(jax.jit, static_argnames=("Ksp", "CH"),
+                   donate_argnums=(9, 10, 11, 12, 13))
+def _fin_pass1_jit(buf_se, buf_id, buf_hap, off, rem, ph1, ph2, pw1, pw2,
+                   ktot, umin, umax, vmin, vmax, Ksp: int, CH: int):
+    valid, _, _, _, kid, g1, g2, _, _ = _group_hashes(
+        (buf_se, buf_id, buf_hap), off, rem, ph1, ph2, pw1, pw2, Ksp, CH)
+    u = g1 ^ g2
+    v = g1 + g2
+    big = UMAX32
+    ktot = ktot.at[kid].add(valid.astype(jnp.int32), mode="drop")
+    umin = umin.at[kid].min(jnp.where(valid, u, big), mode="drop")
+    umax = umax.at[kid].max(jnp.where(valid, u, jnp.uint32(0)), mode="drop")
+    vmin = vmin.at[kid].min(jnp.where(valid, v, big), mode="drop")
+    vmax = vmax.at[kid].max(jnp.where(valid, v, jnp.uint32(0)), mode="drop")
+    return ktot, umin, umax, vmin, vmax
+
+
+@functools.partial(jax.jit, static_argnames=("Ksp",))
+def _fin_mid_jit(ktot, umin, umax, vmin, vmax, th, Ksp: int):
+    uniform = (umin == umax) & (vmin == vmax)
+    hot = (ktot.astype(jnp.float32) >= th).at[Ksp].set(False)
+    kbad_uni = (uniform & hot)[:Ksp]
+    k_amb = (~uniform) & hot
+    return kbad_uni, k_amb
+
+
+@functools.partial(jax.jit, static_argnames=("Ksp", "CH"),
+                   donate_argnums=(10, 11, 12))
+def _fin_pass2a_jit(buf_se, buf_id, buf_hap, off, rem, ph1, ph2, pw1, pw2,
+                    k_amb, ag1_buf, ag2_buf, aid_buf, a_total, Ksp: int,
+                    CH: int):
+    valid, _, _, _, kid, g1, g2, _, _ = _group_hashes(
+        (buf_se, buf_id, buf_hap), off, rem, ph1, ph2, pw1, pw2, Ksp, CH)
+    amb = valid & k_amb[kid]
+    n = amb.sum().astype(jnp.int32)
+    N = CH
+    order = jnp.cumsum(amb.astype(jnp.int32)) - 1
+    dst = jnp.where(amb, jnp.minimum(order, N - 1), N - 1)
+    src = jnp.full(N + 1, N, jnp.int32).at[dst].set(
+        jnp.where(amb, jnp.arange(N, dtype=jnp.int32), N), mode="drop")[:N]
+    cg1 = jnp.concatenate([g1, jnp.zeros(1, jnp.uint32)])[src]
+    cg2 = jnp.concatenate([g2, jnp.zeros(1, jnp.uint32)])[src]
+    cid = jnp.concatenate([kid, jnp.full(1, Ksp, jnp.int32)])[src]
+    cap = ag1_buf.shape[0]
+    off = jnp.minimum(a_total, jnp.int32(max(cap - N, 0)))
+    ag1_buf = jax.lax.dynamic_update_slice(ag1_buf, cg1, (off,))
+    ag2_buf = jax.lax.dynamic_update_slice(ag2_buf, cg2, (off,))
+    aid_buf = jax.lax.dynamic_update_slice(aid_buf, cid, (off,))
+    return ag1_buf, ag2_buf, aid_buf, a_total + n
+
+
+@functools.partial(jax.jit, static_argnames=("Ksp",))
+def _fin_owner_jit(ag1, ag2, aid, a_total, th, kbad_uni, Ksp: int):
+    amb_cap = ag1.shape[0]
+    a_live = (jnp.arange(amb_cap, dtype=jnp.int32) < a_total) & (aid < Ksp)
+    AM = max(2 * amb_cap, 8)
+    big = UMAX32
+
+    def cond(st):
+        unpl, gcnt, r = st
+        return jnp.any(unpl) & (r < _OWNER_ROUNDS)
+
+    def body(st):
+        unpl, gcnt, r = st
+        slot = (_fmix32(ag1 + r.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+                ^ ag2).astype(jnp.int32) & jnp.int32(AM - 1)
+        t1 = jnp.full(AM, big, jnp.uint32).at[slot].min(
+            jnp.where(unpl, ag1, big))
+        cand = unpl & (t1[slot] == ag1)
+        t2 = jnp.full(AM, big, jnp.uint32).at[slot].min(
+            jnp.where(cand, ag2, big))
+        win = cand & (t2[slot] == ag2)
+        cnt_r = jnp.zeros(AM, jnp.int32).at[slot].add(win.astype(jnp.int32))
+        gcnt = jnp.where(win, cnt_r[slot], gcnt)
+        return unpl & ~win, gcnt, r + 1
+
+    unpl, gcnt, rounds_used = jax.lax.while_loop(
+        cond, body, (a_live, jnp.zeros(amb_cap, jnp.int32), jnp.uint32(0)))
+    amb_bad = a_live & (gcnt.astype(jnp.float32) >= th)
+    kbad_amb = jnp.zeros(Ksp + 1, jnp.int32).at[
+        jnp.where(a_live, aid, Ksp)].max(amb_bad.astype(jnp.int32),
+                                         mode="drop")
+    kbad = jnp.concatenate(
+        [kbad_uni | (kbad_amb[:Ksp] > 0), jnp.zeros(1, bool)])
+    return kbad, jnp.any(unpl), rounds_used
+
+
+@functools.partial(jax.jit, static_argnames=("Ksp", "H", "CH"),
+                   donate_argnums=(10, 11, 12, 13, 15, 16))
+def _fin_pass2b_jit(buf_se, buf_id, buf_hap, off, rem, ph1, ph2, pw1, pw2,
+                    kbad, o_s, o_span, o_id, o_hap, o_total,
+                    per_hap, kmulti, Ksp: int, H: int, CH: int):
+    """Returns the updated accumulators plus this chunk's retained max
+    span (host maxes across chunks for the solver's layer shrink)."""
+    valid, s32, span32, hap32, kid, _, _, occ_id, occ_hap = _group_hashes(
+        (buf_se, buf_id, buf_hap), off, rem, ph1, ph2, pw1, pw2, Ksp, CH)
+    keep = valid & ~kbad[kid]
+    per_hap = per_hap.at[jnp.where(keep, hap32, H - 1)].add(
+        keep.astype(jnp.int32), mode="drop")
+    multi = keep & (span32 > 0)
+    kmulti = kmulti.at[kid].max(multi.astype(jnp.int32), mode="drop")
+    N = CH
+    n = multi.sum().astype(jnp.int32)
+    order = jnp.cumsum(multi.astype(jnp.int32)) - 1
+    dst = jnp.where(multi, jnp.minimum(order, N - 1), N - 1)
+    src = jnp.full(N + 1, N, jnp.int32).at[dst].set(
+        jnp.where(multi, jnp.arange(N, dtype=jnp.int32), N),
+        mode="drop")[:N]
+    c_s = jnp.concatenate([s32, jnp.zeros(1, jnp.int32)])[src]
+    c_span = jnp.concatenate([span32.astype(jnp.uint8),
+                              jnp.zeros(1, jnp.uint8)])[src]
+    c_id = jnp.concatenate([occ_id, jnp.full(1, -1, jnp.int32)])[src]
+    c_hap = jnp.concatenate([occ_hap, jnp.zeros(1, jnp.uint8)])[src]
+    cap = o_s.shape[0]
+    off = jnp.minimum(o_total, jnp.int32(max(cap - N, 0)))
+    o_s = jax.lax.dynamic_update_slice(o_s, c_s, (off,))
+    o_span = jax.lax.dynamic_update_slice(o_span, c_span, (off,))
+    o_id = jax.lax.dynamic_update_slice(o_id, c_id, (off,))
+    o_hap = jax.lax.dynamic_update_slice(o_hap, c_hap, (off,))
+    mspan = jnp.where(multi, span32, 0).max()
+    return o_s, o_span, o_id, o_hap, o_total + n, per_hap, kmulti, mspan
+
+
+@functools.partial(jax.jit, static_argnames=("Ksp",))
+def _fin_stats_jit(ktot, kbad, kmulti, Ksp: int):
+    filtered = (kbad[:Ksp] & (ktot[:Ksp] > 0)).sum()
+    n_model = kmulti[:Ksp].sum()
+    return filtered, n_model
+
+
 @dataclasses.dataclass
 class DeviceOcc:
     """Device-resident retained occurrences + pending host copies."""
@@ -359,8 +531,14 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     emitcap, cap_total = join_caps(w, SB, R)
     # hit accumulator: hits <= emitted minimizers <= ~2.6/(w+1) windows,
     # plus one batch of slack so a clamped append can never overwrite live
-    # data before the overflow check fires
+    # data before the overflow check fires. Chromosome-scale buffers are
+    # rounded to finalize-chunk multiples so the chunked filter tiles them
+    # exactly.
+    import os as _os0
+    CH0 = int(_os0.environ.get("PHI_TPU_FIN_CHUNK", _FIN_CHUNK))
     CAP = bucket_pow(int(est_windows * 2.6 / (w + 1)) + cap_total, 1 << 18)
+    if CAP > CH0:
+        CAP = -(-CAP // CH0) * CH0
     n_batches = -(-len(rows) // R)
     padded = rows + [(-1, 0, 0, 0)] * (n_batches * R - len(rows))
     cumlens = graph.walk_node_cumlen
@@ -445,7 +623,7 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
             if b >= WINDOW:
                 if prof:
                     t0 = _now()
-                _harvest(b - WINDOW, counts, pend, emitcap, cap_total)
+                _harvest(b - WINDOW, counts, pend)
                 if prof:
                     dt = _now() - t0
                     t_harv += dt
@@ -457,7 +635,7 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
         if prof:
             t0 = _now()
         for b in range(max(0, n_batches - WINDOW), n_batches):
-            _harvest(b, counts, pend, emitcap, cap_total)
+            _harvest(b, counts, pend)
         if prof:
             t_harv += _now() - t0
     finally:
@@ -483,6 +661,8 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
 
     total_hits = int(counts[:, 1].sum())
     TOT = bucket_pow(total_hits + 1, 1 << 15)
+    if TOT > CH0:
+        TOT = -(-TOT // CH0) * CH0  # chunked finalize: tile exactly
     if TOT < CAP:
         buf_se, buf_id, buf_hap = cached_call(
             _slice_jit, "anchor_slice",
@@ -498,19 +678,26 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     pw1, pw2 = _pw_tables()
 
     Ksp = len(sp_hi)
-    # ambiguous k-mers (hot AND multi-run) are rare — measured 6k of 14M
-    # occurrences at the 49-hap flagship; the cap is generous headroom and
-    # overflow falls back to the host path exactly
-    amb_cap = max(TOT // 16, 1 << 16)
     if prof:
         t0 = _now()
-    c_s, c_span, c_id, c_hap, c_w, stats, per_hap = cached_call(
-        _finalize_jit, "anchor_finalize",
-        (buf_se, buf_id, buf_hap, jnp.int32(total_hits),
-         ph1, ph2, jnp.asarray(pw1), jnp.asarray(pw2),
-         jnp.float32(threshold * H)),
-        {"Ksp": Ksp, "H": H, "amb_cap": amb_cap})
-    stats_np = np.asarray(stats)
+    if TOT > _FIN_CHUNK:
+        fin = _finalize_chunked(buf_se, buf_id, buf_hap, total_hits, TOT,
+                                ph1, ph2, pw1, pw2, threshold, Ksp, H)
+        if fin is None:
+            return None
+        c_s, c_span, c_id, c_hap, c_w, stats_np, per_hap = fin
+    else:
+        # ambiguous k-mers (hot AND multi-run) are rare — measured 6k of
+        # 14M occurrences at the 49-hap flagship; the cap is generous
+        # headroom and overflow falls back to the host path exactly
+        amb_cap = max(TOT // 16, 1 << 16)
+        c_s, c_span, c_id, c_hap, c_w, stats, per_hap = cached_call(
+            _finalize_jit, "anchor_finalize",
+            (buf_se, buf_id, buf_hap, jnp.int32(total_hits),
+             ph1, ph2, jnp.asarray(pw1), jnp.asarray(pw2),
+             jnp.float32(threshold * H)),
+            {"Ksp": Ksp, "H": H, "amb_cap": amb_cap})
+        stats_np = np.asarray(stats)
     if prof:
         import sys as _sys
         _sys.stderr.write(f"[danchor-prof] finalize+stats={_now() - t0:.3f}"
@@ -540,7 +727,97 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     return per_hap_min, occ
 
 
-def _harvest(b, counts, pend, emitcap, cap_total):
-    batch, out = pend[b]
+def _harvest(b, counts, pend):
+    _, out = pend[b]
     counts[b, 0] = np.asarray(out[0]).astype(np.int64)
     counts[b, 1] = np.asarray(out[1]).astype(np.int64)
+
+
+# finalize chunk length (rows). Each pass materializes a handful of
+# chunk-length temporaries; 2^26 keeps that under ~2.5 GB — the
+# single-program finalize at ~280M hits was a compile-time OOM.
+_FIN_CHUNK = 1 << 26
+
+
+def _finalize_chunked(buf_se, buf_id, buf_hap, total_hits: int, TOT: int,
+                      ph1, ph2, pw1, pw2, threshold: float, Ksp: int,
+                      H: int):
+    """Chunked threshold filter (see the pass overview above). Returns the
+    same (c_s, c_span, c_id, c_hap, c_w, stats, per_hap) contract as
+    _finalize_jit with stats as a host array, or None on cap overflow."""
+    import os
+    from phi_tpu.execache import cached_call
+    CH = int(os.environ.get("PHI_TPU_FIN_CHUNK", _FIN_CHUNK))
+    n_chunks = -(-TOT // CH)
+    if n_chunks * CH > buf_se.shape[0]:
+        return None  # buffers not chunk-coverable (shouldn't happen)
+    pw1_d = jnp.asarray(pw1)
+    pw2_d = jnp.asarray(pw2)
+    th = jnp.float32(threshold * H)
+    bufs = (buf_se, buf_id, buf_hap)
+    offs = [jnp.int32(c * CH) for c in range(n_chunks)]
+    rems = [jnp.int32(max(0, min(total_hits - c * CH, CH)))
+            for c in range(n_chunks)]
+
+    ktot = jnp.zeros(Ksp + 1, jnp.int32)
+    umin = jnp.full(Ksp + 1, 0xFFFFFFFF, jnp.uint32)
+    umax = jnp.zeros(Ksp + 1, jnp.uint32)
+    vmin = jnp.full(Ksp + 1, 0xFFFFFFFF, jnp.uint32)
+    vmax = jnp.zeros(Ksp + 1, jnp.uint32)
+    for c in range(n_chunks):
+        ktot, umin, umax, vmin, vmax = cached_call(
+            _fin_pass1_jit, "fin_pass1",
+            bufs + (offs[c], rems[c], ph1, ph2, pw1_d, pw2_d,
+                    ktot, umin, umax, vmin, vmax),
+            {"Ksp": Ksp, "CH": CH})
+    kbad_uni, k_amb = cached_call(_fin_mid_jit, "fin_mid",
+                                  (ktot, umin, umax, vmin, vmax, th),
+                                  {"Ksp": Ksp})
+    amb_cap = bucket_pow(max(TOT // 16, CH // 8) + CH, 1 << 16)
+    ag1 = jnp.zeros(amb_cap, jnp.uint32)
+    ag2 = jnp.zeros(amb_cap, jnp.uint32)
+    aid = jnp.full(amb_cap, Ksp, jnp.int32)
+    a_total = jnp.int32(0)
+    for c in range(n_chunks):
+        ag1, ag2, aid, a_total = cached_call(
+            _fin_pass2a_jit, "fin_pass2a",
+            bufs + (offs[c], rems[c], ph1, ph2, pw1_d, pw2_d,
+                    k_amb, ag1, ag2, aid, a_total),
+            {"Ksp": Ksp, "CH": CH})
+    a_total_np = int(np.asarray(a_total))
+    if a_total_np > amb_cap - CH:
+        return None  # ambiguous overflow: host path
+    kbad, unresolved, _rounds = cached_call(
+        _fin_owner_jit, "fin_owner",
+        (ag1, ag2, aid, a_total, th, kbad_uni), {"Ksp": Ksp})
+    del ag1, ag2, aid
+
+    occ_cap = bucket_pow(TOT // 2 + CH, 1 << 18)
+    o_s = jnp.zeros(occ_cap, jnp.int32)
+    o_span = jnp.zeros(occ_cap, jnp.uint8)
+    o_id = jnp.full(occ_cap, -1, jnp.int32)
+    o_hap = jnp.zeros(occ_cap, jnp.uint8)
+    o_total = jnp.int32(0)
+    per_hap = jnp.zeros(H, jnp.int32)
+    kmulti = jnp.zeros(Ksp + 1, jnp.int32)
+    mspan = 0
+    for c in range(n_chunks):
+        o_s, o_span, o_id, o_hap, o_total, per_hap, kmulti, ms = \
+            cached_call(
+                _fin_pass2b_jit, "fin_pass2b",
+                bufs + (offs[c], rems[c], ph1, ph2, pw1_d, pw2_d,
+                        kbad, o_s, o_span, o_id, o_hap, o_total, per_hap,
+                        kmulti), {"Ksp": Ksp, "H": H, "CH": CH})
+        mspan = max(mspan, int(np.asarray(ms)))
+    n_occ = int(np.asarray(o_total))
+    if n_occ > occ_cap - CH:
+        return None  # retained overflow: host path
+    filtered, n_model = cached_call(_fin_stats_jit, "fin_stats",
+                                    (ktot, kbad, kmulti), {"Ksp": Ksp})
+    in_range = jnp.arange(occ_cap, dtype=jnp.int32) < jnp.int32(n_occ)
+    c_w = in_range.astype(jnp.float32)
+    stats_np = np.array([n_occ, int(np.asarray(n_model)),
+                         int(np.asarray(filtered)),
+                         int(np.asarray(unresolved)), 0, 0, mspan,
+                         a_total_np], np.int64)
+    return o_s, o_span, o_id, o_hap, c_w, stats_np, per_hap

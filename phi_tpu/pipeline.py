@@ -189,10 +189,16 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
             from phi_tpu.anchors.device import join_anchors_device
             hap_codes = [graph.walk_seq_codes(h)
                          for h in range(graph.num_walks)]
-            dres = join_anchors_device(
-                graph, hap_codes, opt.k, opt.w, spectrum[0], spectrum[1],
-                opt.threshold,
-                interpret=_jax.default_backend() == "cpu")
+            try:
+                dres = join_anchors_device(
+                    graph, hap_codes, opt.k, opt.w, spectrum[0],
+                    spectrum[1], opt.threshold,
+                    interpret=_jax.default_backend() == "cpu")
+            except Exception as e:  # e.g. RESOURCE_EXHAUSTED at scale
+                import sys as _sys
+                print(f"[W::anchors] device anchor pipeline failed "
+                      f"({type(e).__name__}); host hit path", file=_sys.stderr)
+                dres = None
             if dres is not None:
                 from phi_tpu.anchors.join import AnchorTables
                 per_hap_min, dev_occ = dres

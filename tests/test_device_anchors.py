@@ -119,3 +119,30 @@ def test_pipeline_device_anchor_path(tmp_path, monkeypatch):
     assert res_dev.recombination_count == res_host.recombination_count
     assert res_dev.anchors.n_model_kmers == res_host.anchors.n_model_kmers
     assert res_dev.anchors.filtered_kmers == res_host.anchors.filtered_kmers
+
+
+def test_device_anchor_chunked_finalize(tmp_path, monkeypatch):
+    """Chunked finalize (chromosome-scale path) must match the
+    single-program filter exactly — forced here with a tiny chunk."""
+    k, w = 21, 11
+    gfa_path, reads = _instance(tmp_path, n_haps=5, length=12000)
+    graph = tensorize(read_gfa(gfa_path))
+    spectrum = _spectrum(reads, k, w)
+    want = build_anchor_tables(graph, k, sketch_haplotypes(graph, k, w),
+                               spectrum, 1.0)
+    seqs = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
+    monkeypatch.setenv("PHI_TPU_FIN_CHUNK", str(1 << 12))  # force chunks
+    res = join_anchors_device(graph, seqs, k, w, spectrum[0], spectrum[1],
+                              1.0, rows_per_call=2, super_blocks=2,
+                              interpret=True)
+    assert res is not None
+    per_hap_min, occ = res
+    assert occ.n_model == want.n_model_kmers
+    assert occ.filtered == want.filtered_kmers
+    assert np.array_equal(occ.per_hap_anchors, want.per_hap_anchors)
+    hap, s, e, kid = occ.materialize()
+    assert np.array_equal(hap, want.occ_hap)
+    assert np.array_equal(s, want.occ_start)
+    assert np.array_equal(e, want.occ_end)
+    assert np.array_equal(kid, want.occ_kmer)
+    assert occ.max_span == int((want.occ_end - want.occ_start).max())
