@@ -97,7 +97,8 @@ def branch_and_bound(graph, anchors, opt, tol: float,
     while heap and nodes < max_nodes and time.time() - t0 < max_seconds:
         bound, _, zmask, nmu = heapq.heappop(heap)
         if bound >= ub - tol:
-            heapq.heappush(heap, (bound, tie, zmask, nmu))
+            tie += 1  # unique tie-breaker: heap tuples must never compare
+            heapq.heappush(heap, (bound, tie, zmask, nmu))  # the arrays
             break  # best-first: every open node is certified away
         nodes += 1
         node_bound = bound
