@@ -114,6 +114,17 @@ def _slice_jit(buf_se, buf_id, buf_hap, tot_b: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tot_b",))
+def _chunk1_jit(buf, tot_b: int):
+    return jax.lax.dynamic_slice(buf, (0,), (tot_b,))
+
+
+@jax.jit
+def _mkw_jit(c_s, n_occ):
+    return (jnp.arange(c_s.shape[0], dtype=jnp.int32)
+            < n_occ).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("tot_b",))
 def _slice5_jit(c_s, c_span, c_id, c_hap, c_w, tot_b: int):
     return (jax.lax.dynamic_slice(c_s, (0,), (tot_b,)),
             jax.lax.dynamic_slice(c_span, (0,), (tot_b,)),
@@ -618,6 +629,10 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
                 _append_jit, "anchor_append",
                 (buf_se, buf_id, buf_hap, total,
                  out[2], out[3], out[4]), {})
+            # keep only the counts alive: holding every batch's flat
+            # arrays was ~5.5 GB of dead HBM at 100 Mbp (the data lives
+            # on in the accumulator after the append)
+            pend[b][1] = (out[0], out[1])
             if prof:
                 t_disp += _now() - t0
             if b >= WINDOW:
@@ -708,17 +723,28 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     # shrink the compacted columns to the retained-occurrence bucket: the
     # solver's scatter programs and the decode-side host fetch both scale
     # with this length (TOT is the raw-hit bucket, typically ~6x larger)
-    Nb_occ = bucket_pow(n_occ + 1, 1 << 15)
-    if Nb_occ < TOT:
-        c_s, c_span, c_id, c_hap, c_w = cached_call(
-            _slice5_jit, "anchor_slice5",
-            (c_s, c_span, c_id, c_hap, c_w), {"tot_b": Nb_occ})
+    cur_len = int(c_s.shape[0])
+    Nb_occ = min(bucket_pow(n_occ + 1, 1 << 15), cur_len)
+    if Nb_occ < cur_len:
+        if c_w is None:
+            c_s, c_span, c_id, c_hap = cached_call(
+                _slice_jit, "anchor_slice4",
+                (c_s, c_span, c_id), {"tot_b": Nb_occ}) + \
+                (cached_call(_chunk1_jit, "anchor_slice1", (c_hap,),
+                             {"tot_b": Nb_occ}),)
+        else:
+            c_s, c_span, c_id, c_hap, c_w = cached_call(
+                _slice5_jit, "anchor_slice5",
+                (c_s, c_span, c_id, c_hap, c_w), {"tot_b": Nb_occ})
+    if c_w is None:
+        c_w = cached_call(_mkw_jit, "anchor_mkw",
+                          (c_s, jnp.int32(n_occ)), {})
     occ = DeviceOcc(
         dev_s=c_s, dev_span=c_span, dev_id=c_id, dev_hap=c_hap, dev_w=c_w,
         n_occ=n_occ, n_model=int(stats_np[1]),
         filtered=int(stats_np[2]),
         per_hap_anchors=np.asarray(per_hap).astype(np.int64),
-        Nb=min(Nb_occ, TOT), max_span=int(stats_np[6]))
+        Nb=Nb_occ, max_span=int(stats_np[6]))
     if prof:
         import sys as _sys
         _sys.stderr.write(
@@ -792,7 +818,7 @@ def _finalize_chunked(buf_se, buf_id, buf_hap, total_hits: int, TOT: int,
         (ag1, ag2, aid, a_total, th, kbad_uni), {"Ksp": Ksp})
     del ag1, ag2, aid
 
-    occ_cap = bucket_pow(TOT // 2 + CH, 1 << 18)
+    occ_cap = bucket_pow(TOT // 3 + CH, 1 << 18)
     o_s = jnp.zeros(occ_cap, jnp.int32)
     o_span = jnp.zeros(occ_cap, jnp.uint8)
     o_id = jnp.full(occ_cap, -1, jnp.int32)
@@ -814,8 +840,7 @@ def _finalize_chunked(buf_se, buf_id, buf_hap, total_hits: int, TOT: int,
         return None  # retained overflow: host path
     filtered, n_model = cached_call(_fin_stats_jit, "fin_stats",
                                     (ktot, kbad, kmulti), {"Ksp": Ksp})
-    in_range = jnp.arange(occ_cap, dtype=jnp.int32) < jnp.int32(n_occ)
-    c_w = in_range.astype(jnp.float32)
+    c_w = None  # built after the retained-bucket slice (saves occ_cap f32)
     stats_np = np.array([n_occ, int(np.asarray(n_model)),
                          int(np.asarray(filtered)),
                          int(np.asarray(unresolved)), 0, 0, mspan,
