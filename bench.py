@@ -74,6 +74,7 @@ res = run_pipeline(GFA, READS, OUT, opt)  # warmup: compiles (cached)
 cold = time.time() - t_proc  # fresh-process wall incl. imports + compiles
 wall = float("inf")
 for _ in range(3):
+    res = None  # free the previous run's device handles before re-running
     t0 = time.time()
     res = run_pipeline(GFA, READS, OUT, opt)
     wall = min(wall, time.time() - t0)

@@ -42,6 +42,9 @@ def run(n_haps: int, length: int, coverage: float, seed: int,
 
     warm_times: list[float] = []
     for _ in range(max(0, runs - 1)):
+        res = None  # free the previous run's device handles (DeviceSolution
+        # M/B planes + device occ columns) BEFORE the next run allocates —
+        # at 100 Mbp the leftovers are ~2.5 GB of HBM
         t0 = time.time()
         res = run_pipeline(paths["gfa"], paths["reads"], out, opt)
         warm_times.append(time.time() - t0)
