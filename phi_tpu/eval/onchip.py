@@ -45,6 +45,15 @@ def run(n_haps: int, length: int, coverage: float, seed: int,
         res = None  # free the previous run's device handles (DeviceSolution
         # M/B planes + device occ columns) BEFORE the next run allocates —
         # at 100 Mbp the leftovers are ~2.5 GB of HBM
+        try:
+            # also drop the cross-run device caches (graph tensors, prefix
+            # hashes, esrc tables — ~2.6 GB at 100 Mbp): re-uploading them
+            # costs seconds over the fast h2d direction and keeps the warm
+            # runs inside HBM at chromosome scale
+            from phi_tpu.solve.dp import _DEV_CACHE
+            _DEV_CACHE.clear()
+        except Exception:
+            pass
         t0 = time.time()
         res = run_pipeline(paths["gfa"], paths["reads"], out, opt)
         warm_times.append(time.time() - t0)
