@@ -62,6 +62,12 @@ def run(n_haps: int, length: int, coverage: float, seed: int,
         truth = "".join(l.strip() for l in f if not l.startswith(">"))
     es = edit_stats(res.sequence, truth)
     meta = json.load(open(paths["meta"]))
+    try:  # on-chip HBM high-water mark (bytes), where the runtime exposes it
+        mstats = dev.memory_stats() or {}
+        hbm_peak_gb = round(mstats.get(
+            "peak_bytes_in_use", mstats.get("bytes_in_use", 0)) / 2**30, 2)
+    except Exception:
+        hbm_peak_gb = None
     return {
         "data": "synthetic",
         "backend": dev.platform,
@@ -73,6 +79,7 @@ def run(n_haps: int, length: int, coverage: float, seed: int,
         "cold_wall_s": round(cold, 2),
         "warm": summarize(warm_times) if warm_times else None,
         "peak_rss_gb": round(peak_rss_gb(), 2),
+        "hbm_peak_gb": hbm_peak_gb,
         "edit_distance": es.edit_distance,
         "recombinations": res.recombination_count,
         "true_breaks": len(meta["breaks"]),
