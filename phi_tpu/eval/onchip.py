@@ -66,6 +66,8 @@ def run(n_haps: int, length: int, coverage: float, seed: int,
         mstats = dev.memory_stats() or {}
         hbm_peak_gb = round(mstats.get(
             "peak_bytes_in_use", mstats.get("bytes_in_use", 0)) / 2**30, 2)
+        if hbm_peak_gb == 0:
+            hbm_peak_gb = None  # runtime doesn't track it (e.g. axon)
     except Exception:
         hbm_peak_gb = None
     return {
