@@ -10,7 +10,8 @@ entire hit stream on device:
      intervals (s, e) + spectrum ids directly from the kernel;
   2. each batch is appended to a device accumulator (`_append_jit`,
      donated buffers, device-chained offsets — no host sync);
-  3. `_finalize_jit` reproduces the reference's threshold filter on device:
+  3. the chunked finalize reproduces the reference's threshold filter on
+     device:
      group = (k-mer, vertex-run identity) via a 64-bit substring polynomial
      hash over per-lane vertex prefix tables, per-k-mer occurrence counts,
      a min==max uniformity test that resolves single-run k-mers, and an
@@ -133,145 +134,6 @@ def _slice5_jit(c_s, c_span, c_id, c_hap, c_w, tot_b: int):
             jax.lax.dynamic_slice(c_w, (0,), (tot_b,)))
 
 
-@functools.partial(jax.jit, static_argnames=("Ksp", "H", "amb_cap"),
-                   donate_argnums=(0, 1, 2))
-def _finalize_jit(occ_se, occ_id, occ_hap, total, ph1, ph2,
-                  pw1, pw2, th, Ksp: int, H: int, amb_cap: int):
-    """Threshold filter + retained-occurrence compaction, all on device.
-
-    Inputs are the (sliced) accumulator columns (occ_se packs
-    (walk_pos << 6) | span); outputs are the compacted multi-vertex
-    retained occurrences plus a stats vector. Group semantics follow
-    ILP_index.cpp:670-722 via anchors.join._anchor_tables_from_hits_py:
-    count occurrences per (k-mer, vertex-run) group; a group reaching `th`
-    kills its k-mer."""
-    N = occ_se.shape[0]
-    Pp1 = ph1.shape[1]
-    idx = jnp.arange(N, dtype=jnp.int32)
-    valid = (idx < total) & (occ_id >= 0)
-    s32 = (occ_se >> jnp.uint32(6)).astype(jnp.int32)
-    span32 = (occ_se & jnp.uint32(63)).astype(jnp.int32)
-    s32 = jnp.where(valid, s32, 0)
-    span32 = jnp.where(valid, span32, 0)
-    e32 = s32 + span32
-    hap32 = occ_hap.astype(jnp.int32)
-    kid = jnp.where(valid, occ_id, Ksp)          # invalid -> overflow slot
-
-    # --- vertex-run substring hash (two independent u32 moduli) ---
-    base = hap32 * Pp1
-    ph1f = ph1.reshape(-1)
-    ph2f = ph2.reshape(-1)
-    i_lo = jnp.where(valid, base + s32, 0)
-    i_hi = jnp.where(valid, base + e32 + 1, 0)
-    sp1 = pw1[jnp.minimum(span32 + 1, pw1.shape[0] - 1)]
-    sp2 = pw2[jnp.minimum(span32 + 1, pw2.shape[0] - 1)]
-    rh1 = ph1f[i_hi] - ph1f[i_lo] * sp1
-    rh2 = ph2f[i_hi] - ph2f[i_lo] * sp2
-    idu = occ_id.astype(jnp.uint32)
-    g1 = _fmix32(rh1 ^ _fmix32(idu * jnp.uint32(0x27D4EB2F)))
-    g2 = _fmix32(rh2 ^ _fmix32(idu * jnp.uint32(0x165667B1)))
-
-    # --- per-k-mer totals + group-uniformity test ---
-    ktot = jnp.zeros(Ksp + 1, jnp.int32).at[kid].add(
-        valid.astype(jnp.int32), mode="drop")
-    u = g1 ^ g2
-    v = g1 + g2
-    big = UMAX32
-    umin = jnp.full(Ksp + 1, big, jnp.uint32).at[kid].min(
-        jnp.where(valid, u, big), mode="drop")
-    umax = jnp.zeros(Ksp + 1, jnp.uint32).at[kid].max(
-        jnp.where(valid, u, jnp.uint32(0)), mode="drop")
-    vmin = jnp.full(Ksp + 1, big, jnp.uint32).at[kid].min(
-        jnp.where(valid, v, big), mode="drop")
-    vmax = jnp.zeros(Ksp + 1, jnp.uint32).at[kid].max(
-        jnp.where(valid, v, jnp.uint32(0)), mode="drop")
-    uniform = (umin == umax) & (vmin == vmax)
-    hot = ktot.astype(jnp.float32) >= th
-    hot = hot.at[Ksp].set(False)       # the invalid-occ overflow slot
-    kbad_uni = (uniform & hot)[:Ksp]
-    k_amb = (~uniform) & hot           # [Ksp+1], slot Ksp always False
-
-    # --- exact ownership-loop count for ambiguous k-mers ---
-    occ_amb = valid & k_amb[kid]
-    n_amb = occ_amb.sum()
-    aorder = jnp.cumsum(occ_amb.astype(jnp.int32)) - 1
-    adst = jnp.where(occ_amb, jnp.minimum(aorder, amb_cap), amb_cap)
-    asrc = jnp.full(amb_cap + 1, N, jnp.int32).at[adst].set(
-        idx, mode="drop")[:amb_cap]
-    pad_u = jnp.zeros(1, jnp.uint32)
-    pad_i = jnp.full(1, Ksp, jnp.int32)
-    ag1 = jnp.concatenate([g1, pad_u])[asrc]
-    ag2 = jnp.concatenate([g2, pad_u])[asrc]
-    aid = jnp.concatenate([kid, pad_i])[asrc]
-    a_live = asrc < N
-    AM = max(2 * amb_cap, 8)
-
-    def owner_cond(st):
-        unpl, gcnt, r = st
-        return jnp.any(unpl) & (r < _OWNER_ROUNDS)
-
-    def owner_body(st):
-        unpl, gcnt, r = st
-        slot = (_fmix32(ag1 + r.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-                ^ ag2).astype(jnp.int32) & jnp.int32(AM - 1)
-        t1 = jnp.full(AM, big, jnp.uint32).at[slot].min(
-            jnp.where(unpl, ag1, big))
-        cand = unpl & (t1[slot] == ag1)
-        t2 = jnp.full(AM, big, jnp.uint32).at[slot].min(
-            jnp.where(cand, ag2, big))
-        win = cand & (t2[slot] == ag2)
-        cnt_r = jnp.zeros(AM, jnp.int32).at[slot].add(win.astype(jnp.int32))
-        gcnt = jnp.where(win, cnt_r[slot], gcnt)
-        return unpl & ~win, gcnt, r + 1
-
-    unpl0 = a_live
-    gcnt0 = jnp.zeros(amb_cap, jnp.int32)
-    unpl, gcnt, rounds_used = jax.lax.while_loop(
-        owner_cond, owner_body, (unpl0, gcnt0, jnp.uint32(0)))
-    amb_bad = a_live & (gcnt.astype(jnp.float32) >= th)
-    kbad_amb = jnp.zeros(Ksp + 1, jnp.int32).at[aid].max(
-        amb_bad.astype(jnp.int32), mode="drop")
-    kbad = kbad_uni | (kbad_amb[:Ksp] > 0)
-    kbad_full = jnp.concatenate([kbad, jnp.zeros(1, bool)])
-
-    # --- filter + stats + retained compaction ---
-    keep = valid & ~kbad_full[kid]
-    per_hap = jnp.zeros(H, jnp.int32).at[jnp.where(keep, hap32, H - 1)].add(
-        keep.astype(jnp.int32), mode="drop")
-    multi = keep & (span32 > 0)
-    kmulti = jnp.zeros(Ksp + 1, jnp.int32).at[kid].max(
-        multi.astype(jnp.int32), mode="drop")
-    n_model = kmulti[:Ksp].sum()
-    filtered = (kbad & (ktot[:Ksp] > 0)).sum()
-    n_occ = multi.sum()
-
-    morder = jnp.cumsum(multi.astype(jnp.int32)) - 1
-    mdst = jnp.where(multi, jnp.minimum(morder, N - 1), N - 1)
-    # compact via an index scatter + gathers (pad slots read row N -> fills)
-    msrc = jnp.full(N + 1, N, jnp.int32).at[mdst].set(
-        jnp.where(multi, idx, N), mode="drop")[:N]
-    # pad tail must be inert solver rows: hap 0, start 0, span 0, id -1
-    c_s = jnp.concatenate([s32, jnp.zeros(1, jnp.int32)])[msrc]
-    c_span = jnp.concatenate([span32.astype(jnp.uint8),
-                              jnp.zeros(1, jnp.uint8)])[msrc]
-    c_id = jnp.concatenate([occ_id, jnp.full(1, -1, jnp.int32)])[msrc]
-    c_hap = jnp.concatenate([occ_hap, jnp.zeros(1, jnp.uint8)])[msrc]
-    in_range = jnp.arange(N, dtype=jnp.int32) < n_occ
-    c_w = in_range.astype(jnp.float32)
-
-    stats = jnp.stack([
-        n_occ.astype(jnp.int32),
-        n_model.astype(jnp.int32),
-        filtered.astype(jnp.int32),
-        jnp.any(unpl).astype(jnp.int32),              # unresolved flag
-        (n_amb > amb_cap).astype(jnp.int32),          # amb overflow flag
-        rounds_used.astype(jnp.int32),
-        jnp.where(multi, span32, 0).max(),            # retained max span
-        n_amb.astype(jnp.int32),
-    ])
-    return c_s, c_span, c_id, c_hap, c_w, stats, per_hap
-
-
 # ---------------------------------------------------------------------------
 # Chunked finalize: at chromosome scale the single-program filter would
 # materialize ~11 occurrence-length temporaries (a compile-time
@@ -337,7 +199,12 @@ def _fin_mid_jit(ktot, umin, umax, vmin, vmax, th, Ksp: int):
     hot = (ktot.astype(jnp.float32) >= th).at[Ksp].set(False)
     kbad_uni = (uniform & hot)[:Ksp]
     k_amb = (~uniform) & hot
-    return kbad_uni, k_amb
+    # exact ambiguous-occurrence count: pass 2a collects precisely the
+    # occurrences of ambiguous k-mers, so its buffers can be sized exactly
+    # (the round-4 TOT//16 heuristic silently sent real-MHC runs — 18%
+    # ambiguous — to the host path on every call)
+    n_amb = jnp.where(k_amb, ktot, 0).sum()
+    return kbad_uni, k_amb, n_amb
 
 
 @functools.partial(jax.jit, static_argnames=("Ksp", "CH"),
@@ -437,11 +304,23 @@ def _fin_pass2b_jit(buf_se, buf_id, buf_hap, off, rem, ph1, ph2, pw1, pw2,
     return o_s, o_span, o_id, o_hap, o_total + n, per_hap, kmulti, mspan
 
 
+@functools.partial(jax.jit, static_argnames=("tot_b",))
+def _fin_amb_slice_jit(ag1, ag2, aid, tot_b: int):
+    return (jax.lax.dynamic_slice(ag1, (0,), (tot_b,)),
+            jax.lax.dynamic_slice(ag2, (0,), (tot_b,)),
+            jax.lax.dynamic_slice(aid, (0,), (tot_b,)))
+
+
 @functools.partial(jax.jit, static_argnames=("Ksp",))
-def _fin_stats_jit(ktot, kbad, kmulti, Ksp: int):
+def _fin_tail_jit(o_total, ms_stack, unresolved, ktot, kbad, kmulti,
+                  Ksp: int):
+    """Combined end-of-finalize stats vector: one device->host fetch."""
     filtered = (kbad[:Ksp] & (ktot[:Ksp] > 0)).sum()
     n_model = kmulti[:Ksp].sum()
-    return filtered, n_model
+    return jnp.stack([o_total, ms_stack.max(),
+                      unresolved.astype(jnp.int32),
+                      filtered.astype(jnp.int32),
+                      n_model.astype(jnp.int32)])
 
 
 @dataclasses.dataclass
@@ -482,6 +361,66 @@ def bucket_pow(n: int, minimum: int = 1 << 15) -> int:
     return bucket_size(max(n, 1), minimum)
 
 
+def pack_row_starts(cumlens, rows, row_lanes: int, S_cap: int) -> np.ndarray:
+    """Per-row sorted node-start offsets (int32, padded with row_lanes ->
+    scatter-dropped) — the sparse upload that replaces the dense uint8
+    delta plane of pack_row_deltas (16.8 MB/batch through a 20-50 MB/s
+    tunnel). Offsets are >= 1 by construction (side='right' skips a node
+    boundary AT the row start), matching the old packer's forced-zero
+    lane 0."""
+    R = len(rows)
+    buf = np.full((R, S_cap), row_lanes, np.int32)
+    for j, (si, start, nv, cont) in enumerate(rows):
+        if si < 0:
+            continue
+        cl = cumlens[si]
+        lo = np.searchsorted(cl, start, side="right")
+        hi = np.searchsorted(cl, start + row_lanes)
+        n = hi - lo
+        buf[j, :n] = (cl[lo:hi] - start).astype(np.int32)
+    return buf
+
+
+def _row_start_cap(cumlens, rows, row_lanes: int) -> int:
+    """Max node-start count over the batch rows, pow2-bucketed (the sparse
+    pack's static lane count — one compiled program per bucket family)."""
+    mx = 1
+    for (si, start, nv, cont) in rows:
+        if si < 0:
+            continue
+        cl = cumlens[si]
+        n = (np.searchsorted(cl, start + row_lanes)
+             - np.searchsorted(cl, start, side="right"))
+        mx = max(mx, int(n))
+    return 1 << max(10, int(mx - 1).bit_length())
+
+
+# Device-resident cache of packed join batches. The packed words/starts are
+# pure functions of (graph content, k, w, R, SB); re-runs on the same graph
+# (the bench's warm best-of-3, parameter sweeps, --load-index refinements)
+# skip the host 2-bit pack AND the h2d upload entirely. Content-keyed (the
+# pipeline re-tensorizes the graph each run, so object identity misses);
+# single slot (latest graph); gated by PHI_TPU_PACK_CACHE_MB (default 384).
+_PACK_CACHE: dict = {}
+
+
+def _graph_fingerprint(graph) -> tuple | None:
+    """Cheap content fingerprint; None above the hashing-cost cutoff."""
+    import zlib
+    g = graph.gfa
+    if g.seq_code.nbytes > (256 << 20):
+        return None
+    wm = np.ascontiguousarray(graph.walk_mat)
+    return (zlib.crc32(g.seq_code), zlib.adler32(g.seq_code),
+            zlib.crc32(wm.tobytes()), graph.n_vtx, graph.num_walks,
+            tuple(int(x) for x in graph.walk_len))
+
+
+def _warn(msg: str) -> None:
+    import sys
+    sys.stderr.write(f"[W::anchors] device path fallback: {msg}\n")
+
+
 def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
                         k: int, w: int, sp_hi, sp_lo, threshold: float,
                         *, rows_per_call: int | None = None,
@@ -498,6 +437,20 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
                                         _pallas_join_rows2_ck, join_caps,
                                         pack_row_deltas, row_base_nodes)
     from phi_tpu.sketch.minimizer import prepare_spectrum_bucket
+
+    import os as _os2
+    from time import perf_counter as _pnow
+    _prof0 = _os2.environ.get("PHI_TPU_JOIN_PROF", "0") in ("1", "2")
+    _tsetup = _pnow()
+
+    def _mark(label):
+        nonlocal _tsetup
+        if _prof0:
+            import sys as _sys
+            now = _pnow()
+            _sys.stderr.write(f"[danchor-prof] {label}: "
+                              f"{now - _tsetup:.3f}\n")
+            _tsetup = now
 
     R = rows_per_call or ROWS
     SB = super_blocks or SUPER_BLOCKS
@@ -523,11 +476,13 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
             est_windows += nv
     if not rows:
         return None
+    _mark("rows+seqscan")
 
-    # cuckoo probe when the spectrum fits (6 gathers, no bisect rounds —
-    # probe was ~45% of per-batch exec); mixed-bucket scheme otherwise
+    # cuckoo probe when the spectrum fits (no bisect rounds — the probe
+    # was ~45% of per-batch exec); mixed-bucket scheme otherwise
     from phi_tpu.ops.search import make_cuckoo
     ck = make_cuckoo(np.asarray(sp_hi), np.asarray(sp_lo))
+    _mark("make_cuckoo")
     if ck is not None:
         Thi, Tlo, Tid, seed, _M = ck
         sp_args = (jnp.asarray(Thi), jnp.asarray(Tlo), jnp.asarray(Tid),
@@ -538,6 +493,18 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
             prepare_spectrum_bucket(sp_hi, sp_lo)
         sp_args = tuple(jnp.asarray(a) for a in
                         (sp_m_np, sp_lo_np, sp_perm_np, sp_off_np))
+
+    # v3 kernel (in-kernel compaction + slot probe) needs the cuckoo table;
+    # sparse start upload additionally needs the node density to make it a
+    # win (4 B/start vs 1 B/base)
+    import os as _os1
+    from phi_tpu.sketch.kernels import _pallas_join_rows3_ck, block_cap
+    use_v3 = ck is not None and _os1.environ.get("PHI_TPU_JOIN_V3") != "0"
+    S_cap = _row_start_cap(graph.walk_node_cumlen, rows, row_lanes) \
+        if use_v3 else 0
+    if use_v3 and S_cap * 4 > row_lanes:
+        use_v3 = False  # ultra-dense node chop: dense plane is smaller
+    C = block_cap(w)
 
     emitcap, cap_total = join_caps(w, SB, R)
     # hit accumulator: hits <= emitted minimizers <= ~2.6/(w+1) windows,
@@ -554,6 +521,24 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     padded = rows + [(-1, 0, 0, 0)] * (n_batches * R - len(rows))
     cumlens = graph.walk_node_cumlen
 
+    # packed-batch device cache: warm re-runs on the same graph skip the
+    # host pack and the h2d upload (pure function of graph content + shape
+    # statics); single slot, size-gated
+    cache_mb = int(_os1.environ.get("PHI_TPU_PACK_CACHE_MB", "384"))
+    est_batch_bytes = R * (row_lanes // 4
+                           + (S_cap * 4 if use_v3 else row_lanes))
+    cache_key = None
+    cached_batches = None
+    if n_batches * est_batch_bytes <= cache_mb << 20:
+        fp = _graph_fingerprint(graph)
+        _mark("fingerprint")
+        if fp is not None:
+            cache_key = fp + (k, w, R, SB, use_v3, S_cap)
+            hit = _PACK_CACHE.get("slot")
+            if hit is not None and hit[0] == cache_key \
+                    and len(hit[1]) == n_batches:
+                cached_batches = hit[1]
+
     from concurrent.futures import ThreadPoolExecutor
     _packer = ThreadPoolExecutor(1)
 
@@ -561,7 +546,8 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
         batch = padded[b * R:(b + 1) * R]
         return (batch,
                 _pack_rows_2bit(seqs, batch, row_lanes),
-                pack_row_deltas(cumlens, batch, row_lanes),
+                pack_row_starts(cumlens, batch, row_lanes, S_cap) if use_v3
+                else pack_row_deltas(cumlens, batch, row_lanes),
                 np.array([r[2] for r in batch], np.int32),
                 np.array([r[3] for r in batch], np.int32),
                 row_base_nodes(cumlens, batch),
@@ -574,30 +560,46 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     carry = jnp.zeros(3, jnp.uint32)
 
     WINDOW = 3
-    counts = np.zeros((n_batches, 2, R), np.int64)
+    counts = np.zeros((n_batches, 3, R), np.int64)
     pend: list = [None] * n_batches
+    new_cache: list = [] if (cache_key is not None
+                             and cached_batches is None) else None
+
+    def _upload(b, packed):
+        """Device arrays for batch b (from cache when warm)."""
+        if cached_batches is not None:
+            return cached_batches[b]
+        batch, words_np, aux_np, nv_np, ct_np, bn_np, hap_np = packed
+        devs = tuple(jax.device_put(a) for a in
+                     (words_np, aux_np, nv_np, ct_np, bn_np, hap_np))
+        if new_cache is not None:
+            new_cache.append(devs)
+        return devs
 
     def _dispatch(b, carry, packed):
-        batch, words_np, nd_np, nv_np, ct_np, bn_np, hap_np = packed
-        words = jax.device_put(words_np)
-        nd = jax.device_put(nd_np)
-        nv = jax.device_put(nv_np)
-        ct = jax.device_put(ct_np)
-        bn = jax.device_put(bn_np)
-        hp = jax.device_put(hap_np)
-        statics = {"k": k, "w": w, "n_rows": R, "n_blocks": SB,
-                   "emitcap": emitcap, "cap_total": cap_total,
-                   "interpret": interpret}
-        if rounds is None:
+        batch = padded[b * R:(b + 1) * R] if cached_batches is not None \
+            else packed[0]
+        words, aux, nv, ct, bn, hp = _upload(b, packed)
+        if use_v3:
             out = cached_call(
-                _pallas_join_rows2_ck, "pallas_join_rows2_ck",
-                (words, nd, nv, ct, bn, hp, carry) + sp_args, statics)
+                _pallas_join_rows3_ck, "pallas_join_rows3_ck",
+                (words, aux, nv, ct, bn, hp, carry) + sp_args,
+                {"k": k, "w": w, "n_rows": R, "n_blocks": SB, "C": C,
+                 "cap_total": cap_total, "interpret": interpret})
         else:
-            out = cached_call(
-                _pallas_join_rows2, "pallas_join_rows2",
-                (words, nd, nv, ct, bn, hp, carry) + sp_args
-                + (jnp.int32(rounds),), statics)
-        for a in (out[0], out[1]):
+            statics = {"k": k, "w": w, "n_rows": R, "n_blocks": SB,
+                       "emitcap": emitcap, "cap_total": cap_total,
+                       "interpret": interpret}
+            if rounds is None:
+                out = cached_call(
+                    _pallas_join_rows2_ck, "pallas_join_rows2_ck",
+                    (words, aux, nv, ct, bn, hp, carry) + sp_args, statics)
+            else:
+                out = cached_call(
+                    _pallas_join_rows2, "pallas_join_rows2",
+                    (words, aux, nv, ct, bn, hp, carry) + sp_args
+                    + (jnp.int32(rounds),), statics)
+        for a in out[:2] + ((out[6],) if use_v3 else ()):
             try:
                 a.copy_to_host_async()
             except AttributeError:
@@ -611,14 +613,15 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     from time import perf_counter as _now
     t_pack = t_disp = t_harv = 0.0
     try:
-        fut = _packer.submit(_pack, 0)
+        fut = None if cached_batches is not None \
+            else _packer.submit(_pack, 0)
         for b in range(n_batches):
             if prof:
                 t0 = _now()
-            packed = fut.result()
+            packed = None if fut is None else fut.result()
             if prof:
                 t_pack += _now() - t0
-            if b + 1 < n_batches:
+            if fut is not None and b + 1 < n_batches:
                 fut = _packer.submit(_pack, b + 1)
             if prof:
                 t0 = _now()
@@ -632,7 +635,7 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
             # keep only the counts alive: holding every batch's flat
             # arrays was ~5.5 GB of dead HBM at 100 Mbp (the data lives
             # on in the accumulator after the append)
-            pend[b][1] = (out[0], out[1])
+            pend[b][1] = (out[0], out[1]) + ((out[6],) if use_v3 else ())
             if prof:
                 t_disp += _now() - t0
             if b >= WINDOW:
@@ -661,14 +664,27 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
                 f"[danchor-prof] batches={n_batches} pack_wait={t_pack:.3f}"
                 f" dispatch={t_disp:.3f} harvest={t_harv:.3f}\n")
 
+    if new_cache is not None and len(new_cache) == n_batches:
+        _PACK_CACHE["slot"] = (cache_key, new_cache)
+
     # exact per-row overflow check (counts now on host): a batch whose
-    # emit or hit counts exceeded the static caps truncated its flat
-    # arrays — rare; the caller reruns via the host path
-    if (counts[:, 0].max(initial=0) > emitcap
-            or counts[:, 1].sum() > CAP - cap_total):
+    # emit, hit, or per-block compaction counts exceeded the static caps
+    # truncated its arrays — rare; the caller reruns via the host path
+    if (counts[:, 0].max(initial=0) > emitcap and not use_v3) \
+            or counts[:, 1].sum() > CAP - cap_total:
+        _warn(f"emit/hit cap overflow (nmin_max={int(counts[:, 0].max(initial=0))}"
+              f" emitcap={emitcap} hits={int(counts[:, 1].sum())} CAP={CAP})")
+        return None
+    if use_v3 and counts[:, 2].max(initial=0) > C:
+        import sys as _sys
+        _sys.stderr.write(
+            f"[W::anchors] v3 block compaction overflow "
+            f"(max {int(counts[:, 2].max())} > C={C}); host path\n")
         return None
     for b, (batch, _) in enumerate(pend):
         if int(counts[b, 1].sum()) > cap_total:
+            _warn(f"batch {b} hit count {int(counts[b, 1].sum())} > "
+                  f"cap_total={cap_total}")
             return None
         for j, (si, start, nv, cont) in enumerate(batch):
             if si >= 0:
@@ -683,6 +699,7 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
             _slice_jit, "anchor_slice",
             (buf_se, buf_id, buf_hap), {"tot_b": TOT})
 
+    _mark("loop_done")
     # prefix-hash tables (graph-static, device-cached)
     from phi_tpu.solve.dp import _dev_cached
     Hb_, Pb_ = graph.walk_mat.shape
@@ -693,31 +710,21 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     pw1, pw2 = _pw_tables()
 
     Ksp = len(sp_hi)
+    _mark("ph_build")
     if prof:
         t0 = _now()
-    if TOT > _FIN_CHUNK:
-        fin = _finalize_chunked(buf_se, buf_id, buf_hap, total_hits, TOT,
-                                ph1, ph2, pw1, pw2, threshold, Ksp, H)
-        if fin is None:
-            return None
-        c_s, c_span, c_id, c_hap, c_w, stats_np, per_hap = fin
-    else:
-        # ambiguous k-mers (hot AND multi-run) are rare — measured 6k of
-        # 14M occurrences at the 49-hap flagship; the cap is generous
-        # headroom and overflow falls back to the host path exactly
-        amb_cap = max(TOT // 16, 1 << 16)
-        c_s, c_span, c_id, c_hap, c_w, stats, per_hap = cached_call(
-            _finalize_jit, "anchor_finalize",
-            (buf_se, buf_id, buf_hap, jnp.int32(total_hits),
-             ph1, ph2, jnp.asarray(pw1), jnp.asarray(pw2),
-             jnp.float32(threshold * H)),
-            {"Ksp": Ksp, "H": H, "amb_cap": amb_cap})
-        stats_np = np.asarray(stats)
+    fin = _finalize_chunked(buf_se, buf_id, buf_hap, total_hits, TOT,
+                            ph1, ph2, pw1, pw2, threshold, Ksp, H)
+    if fin is None:
+        return None
+    c_s, c_span, c_id, c_hap, c_w, stats_np, per_hap = fin
     if prof:
         import sys as _sys
         _sys.stderr.write(f"[danchor-prof] finalize+stats={_now() - t0:.3f}"
                           f" total_hits={total_hits} TOT={TOT}\n")
     if stats_np[3] or stats_np[4]:
+        _warn(f"finalize unresolved={int(stats_np[3])} "
+              f"amb_overflow={int(stats_np[4])} stats={stats_np.tolist()}")
         return None  # unresolved ownership / ambiguous overflow: host path
     n_occ = int(stats_np[0])
     # shrink the compacted columns to the retained-occurrence bucket: the
@@ -757,6 +764,8 @@ def _harvest(b, counts, pend):
     _, out = pend[b]
     counts[b, 0] = np.asarray(out[0]).astype(np.int64)
     counts[b, 1] = np.asarray(out[1]).astype(np.int64)
+    if len(out) > 2:  # v3: per-row max block-compaction count
+        counts[b, 2] = np.asarray(out[2]).astype(np.int64)
 
 
 # finalize chunk length (rows). Each pass materializes a handful of
@@ -768,12 +777,18 @@ _FIN_CHUNK = 1 << 26
 def _finalize_chunked(buf_se, buf_id, buf_hap, total_hits: int, TOT: int,
                       ph1, ph2, pw1, pw2, threshold: float, Ksp: int,
                       H: int):
-    """Chunked threshold filter (see the pass overview above). Returns the
-    same (c_s, c_span, c_id, c_hap, c_w, stats, per_hap) contract as
-    _finalize_jit with stats as a host array, or None on cap overflow."""
+    """Chunked threshold filter (see the pass overview above) — the single
+    finalize path at every scale (n_chunks = 1 below _FIN_CHUNK). Returns
+    (c_s, c_span, c_id, c_hap, c_w, stats, per_hap) with stats as a host
+    array, or None on retained-occurrence cap overflow.
+
+    The ambiguity buffers are sized EXACTLY: pass 1's per-k-mer totals give
+    n_amb = sum(ktot[k_amb]) before pass 2a allocates, so ambiguous
+    overflow cannot happen (the round-4 TOT//16 heuristic silently sent
+    every real-MHC run — 18% ambiguous occurrences — to the host path)."""
     import os
     from phi_tpu.execache import cached_call
-    CH = int(os.environ.get("PHI_TPU_FIN_CHUNK", _FIN_CHUNK))
+    CH = min(int(os.environ.get("PHI_TPU_FIN_CHUNK", _FIN_CHUNK)), TOT)
     n_chunks = -(-TOT // CH)
     if n_chunks * CH > buf_se.shape[0]:
         return None  # buffers not chunk-coverable (shouldn't happen)
@@ -796,10 +811,12 @@ def _finalize_chunked(buf_se, buf_id, buf_hap, total_hits: int, TOT: int,
             bufs + (offs[c], rems[c], ph1, ph2, pw1_d, pw2_d,
                     ktot, umin, umax, vmin, vmax),
             {"Ksp": Ksp, "CH": CH})
-    kbad_uni, k_amb = cached_call(_fin_mid_jit, "fin_mid",
-                                  (ktot, umin, umax, vmin, vmax, th),
-                                  {"Ksp": Ksp})
-    amb_cap = bucket_pow(max(TOT // 16, CH // 8) + CH, 1 << 16)
+    kbad_uni, k_amb, n_amb_d = cached_call(
+        _fin_mid_jit, "fin_mid",
+        (ktot, umin, umax, vmin, vmax, th), {"Ksp": Ksp})
+    n_amb = int(np.asarray(n_amb_d))
+    Nb_amb = bucket_pow(n_amb + 1, 1 << 14)
+    amb_cap = Nb_amb + CH  # append slack: each chunk writes CH padded lanes
     ag1 = jnp.zeros(amb_cap, jnp.uint32)
     ag2 = jnp.zeros(amb_cap, jnp.uint32)
     aid = jnp.full(amb_cap, Ksp, jnp.int32)
@@ -810,12 +827,13 @@ def _finalize_chunked(buf_se, buf_id, buf_hap, total_hits: int, TOT: int,
             bufs + (offs[c], rems[c], ph1, ph2, pw1_d, pw2_d,
                     k_amb, ag1, ag2, aid, a_total),
             {"Ksp": Ksp, "CH": CH})
-    a_total_np = int(np.asarray(a_total))
-    if a_total_np > amb_cap - CH:
-        return None  # ambiguous overflow: host path
+    if Nb_amb < amb_cap:
+        ag1, ag2, aid = cached_call(
+            _fin_amb_slice_jit, "fin_amb_slice",
+            (ag1, ag2, aid), {"tot_b": Nb_amb})
     kbad, unresolved, _rounds = cached_call(
         _fin_owner_jit, "fin_owner",
-        (ag1, ag2, aid, a_total, th, kbad_uni), {"Ksp": Ksp})
+        (ag1, ag2, aid, jnp.int32(n_amb), th, kbad_uni), {"Ksp": Ksp})
     del ag1, ag2, aid
 
     occ_cap = bucket_pow(TOT // 3 + CH, 1 << 18)
@@ -826,7 +844,7 @@ def _finalize_chunked(buf_se, buf_id, buf_hap, total_hits: int, TOT: int,
     o_total = jnp.int32(0)
     per_hap = jnp.zeros(H, jnp.int32)
     kmulti = jnp.zeros(Ksp + 1, jnp.int32)
-    mspan = 0
+    ms_parts = []
     for c in range(n_chunks):
         o_s, o_span, o_id, o_hap, o_total, per_hap, kmulti, ms = \
             cached_call(
@@ -834,15 +852,16 @@ def _finalize_chunked(buf_se, buf_id, buf_hap, total_hits: int, TOT: int,
                 bufs + (offs[c], rems[c], ph1, ph2, pw1_d, pw2_d,
                         kbad, o_s, o_span, o_id, o_hap, o_total, per_hap,
                         kmulti), {"Ksp": Ksp, "H": H, "CH": CH})
-        mspan = max(mspan, int(np.asarray(ms)))
-    n_occ = int(np.asarray(o_total))
+        ms_parts.append(ms)
+    # one combined stats fetch (each np.asarray is a ~30 ms tunnel sync)
+    tail = cached_call(_fin_tail_jit, "fin_tail",
+                       (o_total, jnp.stack(ms_parts), unresolved,
+                        ktot, kbad, kmulti), {"Ksp": Ksp})
+    n_occ, mspan, unres, filtered, n_model = \
+        (int(x) for x in np.asarray(tail))
     if n_occ > occ_cap - CH:
         return None  # retained overflow: host path
-    filtered, n_model = cached_call(_fin_stats_jit, "fin_stats",
-                                    (ktot, kbad, kmulti), {"Ksp": Ksp})
     c_w = None  # built after the retained-bucket slice (saves occ_cap f32)
-    stats_np = np.array([n_occ, int(np.asarray(n_model)),
-                         int(np.asarray(filtered)),
-                         int(np.asarray(unresolved)), 0, 0, mspan,
-                         a_total_np], np.int64)
+    stats_np = np.array([n_occ, n_model, filtered, unres, 0, 0, mspan,
+                         n_amb], np.int64)
     return o_s, o_span, o_id, o_hap, c_w, stats_np, per_hap

@@ -26,7 +26,9 @@ import threading
 _lock = threading.Lock()           # guards the dicts only
 _key_locks: dict[str, threading.Lock] = {}
 _loaded: dict[str, object] = {}
-_fingerprints: dict[int, str] = {}
+# memo pins the function object: id() alone can be reused after GC
+# (observed as a stale fingerprint when tests reload modules)
+_fingerprints: dict[int, tuple[object, str]] = {}
 _disabled = False
 
 
@@ -50,9 +52,9 @@ def _code_fingerprint(jitted) -> str:
     Not covered: dynamically resolved references (getattr/dict dispatch) —
     don't use those inside traced code."""
     fid = id(jitted)
-    fp = _fingerprints.get(fid)
-    if fp is not None:
-        return fp
+    hit = _fingerprints.get(fid)
+    if hit is not None and hit[0] is jitted:
+        return hit[1]
     import importlib
     import inspect
     import re
@@ -124,7 +126,7 @@ def _code_fingerprint(jitted) -> str:
                 fp = hashlib.sha1(f.read()).hexdigest()[:12]
         except Exception:
             fp = "nosrc"
-    _fingerprints[fid] = fp
+    _fingerprints[fid] = (jitted, fp)
     return fp
 
 

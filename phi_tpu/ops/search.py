@@ -252,6 +252,28 @@ def pair_isin_cuckoo(Thi, Tlo, Tid, seed, q_hi, q_lo):
     return (hit1 | hit2) & (ids >= 0), ids
 
 
+def pair_isin_cuckoo_slot(Thi, Tlo, seed, q_hi, q_lo):
+    """pair_isin_cuckoo returning SLOT indices instead of spectrum ids:
+    four gathers instead of six. The caller maps slots to ids with one
+    Tid gather on its (much smaller) compacted hit array. Dead queries
+    (UMAX, UMAX) can match empty slots (which also hold UMAX keys) — the
+    caller MUST mask dead lanes out of `found` (the join path already
+    does: `hit = found & (ese != UMAX)`); real canonical k-mers can never
+    equal the UMAX pair, so live lanes are exact."""
+    M = Thi.shape[0]
+    mask = jnp.uint32(M - 1)
+    qh = q_hi.astype(jnp.uint32)
+    ql = q_lo.astype(jnp.uint32)
+    p1 = (_ck_mix(qh * jnp.uint32(_CK1) + ql * jnp.uint32(_CK2) + seed)
+          & mask).astype(jnp.int32)
+    p2 = (_ck_mix(qh * jnp.uint32(_CK3) + ql * jnp.uint32(_CK4)
+                  + (seed ^ jnp.uint32(0x55555555))) & mask).astype(jnp.int32)
+    hit1 = (Thi[p1] == qh) & (Tlo[p1] == ql)
+    hit2 = (Thi[p2] == qh) & (Tlo[p2] == ql)
+    slot = jnp.where(hit1, p1, jnp.where(hit2, p2, -1))
+    return hit1 | hit2, slot
+
+
 def make_search_buckets(sp_hi_np, bits: int = BUCKET_BITS):
     """Host-side bucket table over the top `bits` of hi: offsets[b] = first
     spectrum index with hi >= b << (32-bits). Returns (offsets, rounds) where

@@ -961,6 +961,270 @@ def _pallas_join_rows2_ck(words, deltas, nvalid, cont, base_node,
         + (carry_out,)
 
 
+# ---------------------------------------------------------------------------
+# v3 rows kernel: v2 + IN-KERNEL emitted-lane compaction. The round-4 profile
+# (DESIGN.md "Device-resident anchors") showed the Pallas kernel at ~13-15%
+# of per-batch exec with the rest being XLA glue between kernel invocations:
+# a 16.8M-lane cumsum + scatter compaction (~0.15 s/batch) and the spectrum
+# probe. This kernel packs each block's emitted selections to the left of
+# the block IN VMEM (LSB-first conditional-shift compaction) and emits
+# probe-ready [R, n_blocks*C] arrays plus per-block counts — the XLA glue
+# shrinks from 16.8M lanes to n_blocks*C (~8x at w=25) and the big scatter
+# disappears entirely.
+#
+# Pack-left correctness: shift distances d[j] = lane - rank are
+# non-decreasing along the block with steps in {0, 1}, and live elements
+# have strictly increasing targets (their ranks). Processing shifts
+# LSB-first (s = 1, 2, 4, ...) keeps all remaining live distances ≡ 0
+# (mod 2s) after step s; a clobber at step s would need adjacent live
+# distances with d_B - d_A ≡ s (mod 2s) and d_B ≥ d_A and d_B - d_A < s —
+# impossible. Elements never cross, so the result is the stable
+# left-compaction of the emitted lanes.
+# ---------------------------------------------------------------------------
+
+
+def block_cap(w: int) -> int:
+    """Per-block compacted capacity C for the v3 kernel: pow2 with ~1.6x
+    headroom over the expected 2.36/(w+1) dedup-emission density (density
+    only ever drops on repetitive sequence; adversarial inputs that exceed
+    C are detected via the exact per-block counts and the batch reruns on
+    the v2 full-lane program)."""
+    import os
+    forced = os.environ.get("PHI_TPU_BLK_CAP")
+    if forced:
+        return int(forced)
+    c = 1 << max(8, (BLK * 33 // (10 * (w + 1))).bit_length())
+    return min(c, BLK)
+
+
+def _make_kernel_rows3(k: int, w: int, C: int):
+    n_hi = max(0, k - 16)
+
+    def kernel(nvalid_ref, cont_ref, base_ref, init_ref, codes_ref, next_ref,
+               nd_ref, ndnext_ref, hi_ref, lo_ref, se_ref,
+               cnt_ref, co_ref, carry_ref):
+        row_id = pl.program_id(0)
+        blk_id = pl.program_id(1)
+
+        @pl.when(blk_id == 0)
+        def _row_start():
+            cont = cont_ref[row_id] != 0
+            k0 = jnp.where(row_id == 0, init_ref[0], carry_ref[0])
+            k1 = jnp.where(row_id == 0, init_ref[1], carry_ref[1])
+            k2 = jnp.where(row_id == 0, init_ref[2], carry_ref[2])
+            carry_ref[0] = jnp.where(cont, k0, jnp.uint32(0xFFFFFFFF))
+            carry_ref[1] = jnp.where(cont, k1, jnp.uint32(0xFFFFFFFF))
+            carry_ref[2] = jnp.where(cont, k2, jnp.uint32(0))
+            carry_ref[3] = jnp.uint32(0)  # node-count carry (per-row)
+
+        xi = jnp.concatenate(
+            [codes_ref[0].astype(jnp.int32),
+             next_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
+        rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
+        x = xi.astype(jnp.uint32)
+        fhi = jnp.zeros_like(x)
+        flo = jnp.zeros_like(x)
+        rhi = jnp.zeros_like(x)
+        rlo = jnp.zeros_like(x)
+        invalid = jnp.where(xi >= 4, jnp.int32(1), jnp.int32(0))
+        col = x
+        rcolsrc = rc_i.astype(jnp.uint32)
+        two = jnp.uint32(2)
+        for j in range(k):
+            cj = _roll_l(col, j) if j else col
+            rj = _roll_l(rcolsrc, k - 1 - j) if k - 1 - j else rcolsrc
+            if j < n_hi:
+                fhi = (fhi << two) | cj
+                rhi = (rhi << two) | rj
+            else:
+                flo = (flo << two) | cj
+                rlo = (rlo << two) | rj
+            if j:
+                invalid = jnp.maximum(invalid, jnp.where(cj >= 4, 1, 0))
+        f_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+        hi = jnp.where(f_le, fhi, rhi)
+        lo = jnp.where(f_le, flo, rlo)
+        umax = jnp.uint32(0xFFFFFFFF)
+        hi = jnp.where(invalid > 0, umax, hi)
+        lo = jnp.where(invalid > 0, umax, lo)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        gpos = blk_id * BLK + lane
+        pos = jnp.where(invalid > 0, jnp.int32(-1), gpos)
+
+        nd = jnp.concatenate(
+            [nd_ref[0].astype(jnp.int32),
+             ndnext_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
+        c = nd
+        step = 1
+        while step < c.shape[1]:
+            rolled = pltpu.roll(c, step, 1)  # shift right by `step`
+            c = c + jnp.where(lane >= step, rolled, 0)
+            step *= 2
+        cnt_base = base_ref[row_id] + carry_ref[3].astype(jnp.int32)
+        s_arr = cnt_base + c
+        e_arr = cnt_base + _roll_l(c, k - 1)
+        carry_ref[3] = carry_ref[3] + c[0, BLK - 1].astype(jnp.uint32)
+        packed_arr = ((s_arr.astype(jnp.uint32) << jnp.uint32(6))
+                      | jnp.minimum(e_arr - s_arr, 63).astype(jnp.uint32))
+
+        t = (hi, lo, pos, packed_arr)
+        sdl = 1
+        while sdl * 2 <= w:
+            t = _tuple_min4(t, tuple(_roll_l(v, sdl) for v in t))
+            sdl *= 2
+        t = _tuple_min4(t, tuple(_roll_l(v, w - sdl) for v in t))
+        shi, slo, spos, spacked = t
+
+        n_valid = nvalid_ref[row_id]
+        valid = (spos >= 0) & (gpos < n_valid)
+        at0 = lane == 0
+        phi = jnp.where(at0, carry_ref[0], pltpu.roll(shi, 1, 1))
+        plo = jnp.where(at0, carry_ref[1], pltpu.roll(slo, 1, 1))
+        pvd = jnp.where(at0, carry_ref[2].astype(jnp.int32),
+                        pltpu.roll(valid.astype(jnp.int32), 1, 1))
+        differs = (shi != phi) | (slo != plo) | (pvd == 0)
+        emit = valid & differs
+
+        carry_ref[0] = shi[0, BLK - 1]
+        carry_ref[1] = slo[0, BLK - 1]
+        carry_ref[2] = valid.astype(jnp.uint32)[0, BLK - 1]
+        co_ref[0] = carry_ref[0]
+        co_ref[1] = carry_ref[1]
+        co_ref[2] = carry_ref[2]
+
+        # --- in-kernel pack-left of the emitted lanes (this block only) ---
+        width = x.shape[1]
+        live = (emit & (lane < BLK)).astype(jnp.int32)
+        rank = live
+        step = 1
+        while step < BLK:
+            rolled = pltpu.roll(rank, step, 1)
+            rank = rank + jnp.where(lane >= step, rolled, 0)
+            step *= 2
+        cnt = rank[0, BLK - 1]
+        dist = lane - (rank - 1)   # meaningful on live lanes only
+        vhi, vlo, vse = shi, slo, spacked
+        lv = live
+        s = 1
+        sh = 0
+        while s < BLK:
+            a_lv = _roll_l(lv, s)
+            a_dist = _roll_l(dist, s)
+            inb = lane < (width - s)
+            arrived = (a_lv > 0) & (((a_dist >> sh) & 1) > 0) & inb
+            moved = (lv > 0) & (((dist >> sh) & 1) > 0)
+            vhi = jnp.where(arrived, _roll_l(vhi, s), vhi)
+            vlo = jnp.where(arrived, _roll_l(vlo, s), vlo)
+            vse = jnp.where(arrived, _roll_l(vse, s), vse)
+            dist = jnp.where(arrived, a_dist - s, dist)
+            lv = jnp.where(arrived, 1, jnp.where(moved, 0, lv))
+            s *= 2
+            sh += 1
+        in_cnt = lane < cnt
+        hi_ref[0] = jnp.where(in_cnt, vhi, umax)[:, :C]
+        lo_ref[0] = jnp.where(in_cnt, vlo, umax)[:, :C]
+        se_ref[0] = jnp.where(in_cnt, vse, umax)[:, :C]
+        cnt_ref[row_id, blk_id] = cnt
+
+    return kernel
+
+
+def _pallas_sketch_rows3(codes2d, deltas2d, nvalid, cont, base_node,
+                         init_carry, k: int, w: int, n_rows: int,
+                         n_blocks: int, C: int, interpret: bool = False):
+    """v3 multi-row sketch: per-block left-compacted (hi, lo, se) arrays
+    [R, n_blocks*C] (UMAX-padded past each block's count), per-block emitted
+    counts [R, n_blocks] (exact even when a block exceeds C), and the dedup
+    carry. Dead lanes carry (UMAX, UMAX) keys, which no canonical k-mer can
+    equal, so the caller can probe the arrays as-is."""
+    kernel = _make_kernel_rows3(k, w, C)
+    codes3d = codes2d.reshape(n_rows, 1, -1)
+    deltas3d = deltas2d.reshape(n_rows, 1, -1)
+    smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_bs = pl.BlockSpec((1, 1, C), lambda r, i: (r, 0, i),
+                          memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows, 1, n_blocks * C), jnp.uint32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_blocks * C), jnp.uint32),
+        jax.ShapeDtypeStruct((n_rows, 1, n_blocks * C), jnp.uint32),
+        jax.ShapeDtypeStruct((n_rows, n_blocks), jnp.int32),
+        jax.ShapeDtypeStruct((3,), jnp.uint32),
+    ]
+    hi, lo, se, cnt, carry = pl.pallas_call(
+        kernel,
+        grid=(n_rows, n_blocks),
+        in_specs=[
+            smem_scalar,   # nvalid [R]
+            smem_scalar,   # cont [R]
+            smem_scalar,   # base_node [R]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # init_carry (3,)
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_bs, out_bs, out_bs,
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((4,), jnp.uint32)],
+        interpret=interpret,
+    )(nvalid, cont, base_node, init_carry, codes3d, codes3d,
+      deltas3d, deltas3d)
+    return (hi.reshape(n_rows, n_blocks * C), lo.reshape(n_rows, n_blocks * C),
+            se.reshape(n_rows, n_blocks * C), cnt, carry)
+
+
+def _delta_plane(starts, R: int, row_lanes: int):
+    """Device-side node-start-count plane from per-row sorted start offsets
+    (int32 [R, S_cap], padded with row_lanes -> dropped). Replaces the
+    uint8 dense-plane upload (16.8 MB/batch at a measured 20-50 MB/s h2d
+    tunnel) with a ~50-100x smaller index upload."""
+    rowi = jax.lax.broadcasted_iota(jnp.int32, starts.shape, 0)
+    plane = jnp.zeros((R, row_lanes), jnp.int32).at[rowi, starts].add(
+        1, mode="drop")
+    return jnp.minimum(plane, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "w", "n_rows", "n_blocks", "C", "cap_total", "interpret"))
+def _pallas_join_rows3_ck(words, starts, nvalid, cont, base_node,
+                          hap_of_row, init_carry, ck_hi, ck_lo, ck_id,
+                          ck_seed, k: int, w: int, n_rows: int,
+                          n_blocks: int, C: int, cap_total: int,
+                          interpret: bool = False):
+    """v3 fused join: sparse node-start upload, in-kernel compaction, and a
+    4-gather cuckoo probe (slot ids; one Tid remap gather at flatten time).
+    Same output contract as _pallas_join_rows2_ck plus per-row max block
+    counts (overflow detection)."""
+    from phi_tpu.ops.search import pair_isin_cuckoo_slot
+
+    R = n_rows
+    row_lanes = (n_blocks + 1) * BLK
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)
+    codes2d = ((words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
+               ).astype(jnp.uint8).reshape(R, row_lanes)
+    deltas2d = _delta_plane(starts, R, row_lanes)
+    ehi, elo, ese, cnt, carry_out = _pallas_sketch_rows3(
+        codes2d, deltas2d, nvalid, cont, base_node, init_carry, k, w, R,
+        n_blocks, C, interpret)
+    n_min = cnt.sum(axis=1)
+    cnt_max = cnt.max(axis=1)
+
+    found, slot = pair_isin_cuckoo_slot(ck_hi, ck_lo, ck_seed, ehi, elo)
+    nm, nh, f_se, f_slot, f_hap = _flatten_hits(
+        n_min, found, slot, ese, hap_of_row, cap_total)
+    # slot -> spectrum id: ONE gather on [cap_total] replaces the two
+    # [R, n_blocks*C] Tid gathers inside the probe
+    f_id = jnp.where(f_slot >= 0,
+                     ck_id[jnp.maximum(f_slot, 0)], jnp.int32(-1))
+    return nm, nh, f_se, f_id, f_hap, carry_out, cnt_max
+
+
 def pack_row_deltas(cumlens, rows, row_lanes: int) -> np.ndarray:
     """Host-side per-base node-start-count plane for the v2 kernel rows:
     deltas[j] = number of walk_node_cumlen entries equal to (start + j),

@@ -146,3 +146,84 @@ def test_device_anchor_chunked_finalize(tmp_path, monkeypatch):
     assert np.array_equal(e, want.occ_end)
     assert np.array_equal(kid, want.occ_kmer)
     assert occ.max_span == int((want.occ_end - want.occ_start).max())
+
+
+def test_v3_kernel_matches_v2(tmp_path):
+    """The v3 rows kernel (in-kernel pack-left compaction + slot probe)
+    must emit the exact flat hit stream of the v2 full-lane program —
+    same hits, same order, same dedup carries."""
+    import jax.numpy as jnp
+    from phi_tpu.ops.search import make_cuckoo
+    from phi_tpu.sketch.kernels import (_pallas_join_rows2_ck,
+                                        _pallas_join_rows3_ck, block_cap,
+                                        _pack_rows_2bit, pack_row_deltas,
+                                        join_caps, row_base_nodes, BLK)
+    from phi_tpu.anchors.device import pack_row_starts
+    k, w = 21, 7  # small w -> high emission density stresses the pack
+    gfa_path, reads = _instance(tmp_path, n_haps=3, length=2 * BLK + 500)
+    graph = tensorize(read_gfa(gfa_path))
+    spectrum = _spectrum(reads, k, w)
+    ck = make_cuckoo(np.asarray(spectrum[0]), np.asarray(spectrum[1]))
+    assert ck is not None
+    Thi, Tlo, Tid, seed, _M = ck
+    sp = (jnp.asarray(Thi), jnp.asarray(Tlo), jnp.asarray(Tid),
+          jnp.uint32(seed))
+
+    seqs = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
+    R, SB = 2, 2
+    halo = k + w - 2
+    sup = SB * BLK
+    row_lanes = (SB + 1) * BLK
+    rows = []
+    for i, codes in enumerate(seqs):
+        L = len(codes)
+        for start in range(0, max(1, L - halo), sup):
+            rows.append((i, start, min(sup, L - halo - start),
+                         1 if start else 0))
+    rows += [(-1, 0, 0, 0)] * ((-len(rows)) % R)
+    cumlens = graph.walk_node_cumlen
+    emitcap, cap_total = join_caps(w, SB, R)
+    C = block_cap(w)
+    S_cap = 1 << 12
+    carry2 = jnp.zeros(3, jnp.uint32)
+    carry3 = jnp.zeros(3, jnp.uint32)
+    for b in range(len(rows) // R):
+        batch = rows[b * R:(b + 1) * R]
+        words = jnp.asarray(_pack_rows_2bit(seqs, batch, row_lanes))
+        nd = jnp.asarray(pack_row_deltas(cumlens, batch, row_lanes))
+        st = jnp.asarray(pack_row_starts(cumlens, batch, row_lanes, S_cap))
+        nv = jnp.asarray(np.array([r[2] for r in batch], np.int32))
+        ct = jnp.asarray(np.array([r[3] for r in batch], np.int32))
+        bn = jnp.asarray(row_base_nodes(cumlens, batch))
+        hp = jnp.asarray(np.array([max(r[0], 0) for r in batch], np.int32))
+        o2 = _pallas_join_rows2_ck(words, nd, nv, ct, bn, hp, carry2, *sp,
+                                   k=k, w=w, n_rows=R, n_blocks=SB,
+                                   emitcap=emitcap, cap_total=cap_total,
+                                   interpret=True)
+        o3 = _pallas_join_rows3_ck(words, st, nv, ct, bn, hp, carry3, *sp,
+                                   k=k, w=w, n_rows=R, n_blocks=SB, C=C,
+                                   cap_total=cap_total, interpret=True)
+        assert int(np.asarray(o3[6]).max()) <= C  # no overflow in this test
+        assert np.array_equal(np.asarray(o2[0]), np.asarray(o3[0]))  # n_min
+        assert np.array_equal(np.asarray(o2[1]), np.asarray(o3[1]))  # n_hit
+        nh = int(np.asarray(o2[1]).sum())
+        for col in (2, 3, 4):
+            assert np.array_equal(np.asarray(o2[col])[:nh],
+                                  np.asarray(o3[col])[:nh]), col
+        assert np.array_equal(np.asarray(o2[5]), np.asarray(o3[5]))  # carry
+        carry2, carry3 = o2[5], o3[5]
+
+
+def test_v3_overflow_falls_back(tmp_path, monkeypatch):
+    """A per-block compaction count above C must be detected (exact counts)
+    and route the whole join to the host path (return None)."""
+    k, w = 21, 11
+    gfa_path, reads = _instance(tmp_path)
+    graph = tensorize(read_gfa(gfa_path))
+    spectrum = _spectrum(reads, k, w)
+    monkeypatch.setenv("PHI_TPU_BLK_CAP", "256")  # far below real density
+    seqs = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
+    res = join_anchors_device(graph, seqs, k, w, spectrum[0], spectrum[1],
+                              1.0, rows_per_call=2, super_blocks=2,
+                              interpret=True)
+    assert res is None
