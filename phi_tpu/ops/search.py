@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import math
 
+import jax
+
 import jax.numpy as jnp
 
 
@@ -268,8 +270,11 @@ def pair_isin_cuckoo_slot(Thi, Tlo, seed, q_hi, q_lo):
           & mask).astype(jnp.int32)
     p2 = (_ck_mix(qh * jnp.uint32(_CK3) + ql * jnp.uint32(_CK4)
                   + (seed ^ jnp.uint32(0x55555555))) & mask).astype(jnp.int32)
-    hit1 = (Thi[p1] == qh) & (Tlo[p1] == ql)
-    hit2 = (Thi[p2] == qh) & (Tlo[p2] == ql)
+    # promise_in_bounds: p1/p2 are masked to < M by construction (the
+    # default fill-mode adds an int64 promotion + clamp/select per gather)
+    g = lambda T, p: T.at[p].get(mode="promise_in_bounds")
+    hit1 = (g(Thi, p1) == qh) & (g(Tlo, p1) == ql)
+    hit2 = (g(Thi, p2) == qh) & (g(Tlo, p2) == ql)
     slot = jnp.where(hit1, p1, jnp.where(hit2, p2, -1))
     return hit1 | hit2, slot
 

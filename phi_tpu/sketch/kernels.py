@@ -1017,114 +1017,134 @@ def _make_kernel_rows3(k: int, w: int, C: int):
             carry_ref[2] = jnp.where(cont, k2, jnp.uint32(0))
             carry_ref[3] = jnp.uint32(0)  # node-count carry (per-row)
 
-        xi = jnp.concatenate(
-            [codes_ref[0].astype(jnp.int32),
-             next_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
-        rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
-        x = xi.astype(jnp.uint32)
-        fhi = jnp.zeros_like(x)
-        flo = jnp.zeros_like(x)
-        rhi = jnp.zeros_like(x)
-        rlo = jnp.zeros_like(x)
-        invalid = jnp.where(xi >= 4, jnp.int32(1), jnp.int32(0))
-        col = x
-        rcolsrc = rc_i.astype(jnp.uint32)
-        two = jnp.uint32(2)
-        for j in range(k):
-            cj = _roll_l(col, j) if j else col
-            rj = _roll_l(rcolsrc, k - 1 - j) if k - 1 - j else rcolsrc
-            if j < n_hi:
-                fhi = (fhi << two) | cj
-                rhi = (rhi << two) | rj
-            else:
-                flo = (flo << two) | cj
-                rlo = (rlo << two) | rj
-            if j:
-                invalid = jnp.maximum(invalid, jnp.where(cj >= 4, 1, 0))
-        f_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
-        hi = jnp.where(f_le, fhi, rhi)
-        lo = jnp.where(f_le, flo, rlo)
-        umax = jnp.uint32(0xFFFFFFFF)
-        hi = jnp.where(invalid > 0, umax, hi)
-        lo = jnp.where(invalid > 0, umax, lo)
-        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        gpos = blk_id * BLK + lane
-        pos = jnp.where(invalid > 0, jnp.int32(-1), gpos)
+        # blocks fully past this row's window count (row-tail padding, and
+        # every block of a dummy pad row) skip the whole body: emit empty
+        # compacted outputs and leave the carries untouched. At the 49-hap
+        # flagship ~20%% of grid steps are such padding.
+        umax_c = jnp.uint32(0xFFFFFFFF)
+        active = blk_id * BLK < nvalid_ref[row_id]
 
-        nd = jnp.concatenate(
-            [nd_ref[0].astype(jnp.int32),
-             ndnext_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
-        c = nd
-        step = 1
-        while step < c.shape[1]:
-            rolled = pltpu.roll(c, step, 1)  # shift right by `step`
-            c = c + jnp.where(lane >= step, rolled, 0)
-            step *= 2
-        cnt_base = base_ref[row_id] + carry_ref[3].astype(jnp.int32)
-        s_arr = cnt_base + c
-        e_arr = cnt_base + _roll_l(c, k - 1)
-        carry_ref[3] = carry_ref[3] + c[0, BLK - 1].astype(jnp.uint32)
-        packed_arr = ((s_arr.astype(jnp.uint32) << jnp.uint32(6))
-                      | jnp.minimum(e_arr - s_arr, 63).astype(jnp.uint32))
+        @pl.when(jnp.logical_not(active))
+        def _skip():
+            dead = jnp.full((1, C), umax_c, jnp.uint32)
+            hi_ref[0] = dead
+            lo_ref[0] = dead
+            se_ref[0] = dead
+            cnt_ref[row_id, blk_id] = jnp.int32(0)
+            co_ref[0] = carry_ref[0]
+            co_ref[1] = carry_ref[1]
+            co_ref[2] = carry_ref[2]
 
-        t = (hi, lo, pos, packed_arr)
-        sdl = 1
-        while sdl * 2 <= w:
-            t = _tuple_min4(t, tuple(_roll_l(v, sdl) for v in t))
-            sdl *= 2
-        t = _tuple_min4(t, tuple(_roll_l(v, w - sdl) for v in t))
-        shi, slo, spos, spacked = t
+        @pl.when(active)
+        def _body():
+            xi = jnp.concatenate(
+                [codes_ref[0].astype(jnp.int32),
+                 next_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
+            rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
+            x = xi.astype(jnp.uint32)
+            fhi = jnp.zeros_like(x)
+            flo = jnp.zeros_like(x)
+            rhi = jnp.zeros_like(x)
+            rlo = jnp.zeros_like(x)
+            invalid = jnp.where(xi >= 4, jnp.int32(1), jnp.int32(0))
+            col = x
+            rcolsrc = rc_i.astype(jnp.uint32)
+            two = jnp.uint32(2)
+            for j in range(k):
+                cj = _roll_l(col, j) if j else col
+                rj = _roll_l(rcolsrc, k - 1 - j) if k - 1 - j else rcolsrc
+                if j < n_hi:
+                    fhi = (fhi << two) | cj
+                    rhi = (rhi << two) | rj
+                else:
+                    flo = (flo << two) | cj
+                    rlo = (rlo << two) | rj
+                if j:
+                    invalid = jnp.maximum(invalid, jnp.where(cj >= 4, 1, 0))
+            f_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+            hi = jnp.where(f_le, fhi, rhi)
+            lo = jnp.where(f_le, flo, rlo)
+            umax = jnp.uint32(0xFFFFFFFF)
+            hi = jnp.where(invalid > 0, umax, hi)
+            lo = jnp.where(invalid > 0, umax, lo)
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            gpos = blk_id * BLK + lane
+            pos = jnp.where(invalid > 0, jnp.int32(-1), gpos)
 
-        n_valid = nvalid_ref[row_id]
-        valid = (spos >= 0) & (gpos < n_valid)
-        at0 = lane == 0
-        phi = jnp.where(at0, carry_ref[0], pltpu.roll(shi, 1, 1))
-        plo = jnp.where(at0, carry_ref[1], pltpu.roll(slo, 1, 1))
-        pvd = jnp.where(at0, carry_ref[2].astype(jnp.int32),
-                        pltpu.roll(valid.astype(jnp.int32), 1, 1))
-        differs = (shi != phi) | (slo != plo) | (pvd == 0)
-        emit = valid & differs
+            nd = jnp.concatenate(
+                [nd_ref[0].astype(jnp.int32),
+                 ndnext_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
+            c = nd
+            step = 1
+            while step < c.shape[1]:
+                rolled = pltpu.roll(c, step, 1)  # shift right by `step`
+                c = c + jnp.where(lane >= step, rolled, 0)
+                step *= 2
+            cnt_base = base_ref[row_id] + carry_ref[3].astype(jnp.int32)
+            s_arr = cnt_base + c
+            e_arr = cnt_base + _roll_l(c, k - 1)
+            carry_ref[3] = carry_ref[3] + c[0, BLK - 1].astype(jnp.uint32)
+            packed_arr = ((s_arr.astype(jnp.uint32) << jnp.uint32(6))
+                          | jnp.minimum(e_arr - s_arr, 63).astype(jnp.uint32))
 
-        carry_ref[0] = shi[0, BLK - 1]
-        carry_ref[1] = slo[0, BLK - 1]
-        carry_ref[2] = valid.astype(jnp.uint32)[0, BLK - 1]
-        co_ref[0] = carry_ref[0]
-        co_ref[1] = carry_ref[1]
-        co_ref[2] = carry_ref[2]
+            t = (hi, lo, pos, packed_arr)
+            sdl = 1
+            while sdl * 2 <= w:
+                t = _tuple_min4(t, tuple(_roll_l(v, sdl) for v in t))
+                sdl *= 2
+            t = _tuple_min4(t, tuple(_roll_l(v, w - sdl) for v in t))
+            shi, slo, spos, spacked = t
 
-        # --- in-kernel pack-left of the emitted lanes (this block only) ---
-        width = x.shape[1]
-        live = (emit & (lane < BLK)).astype(jnp.int32)
-        rank = live
-        step = 1
-        while step < BLK:
-            rolled = pltpu.roll(rank, step, 1)
-            rank = rank + jnp.where(lane >= step, rolled, 0)
-            step *= 2
-        cnt = rank[0, BLK - 1]
-        dist = lane - (rank - 1)   # meaningful on live lanes only
-        vhi, vlo, vse = shi, slo, spacked
-        lv = live
-        s = 1
-        sh = 0
-        while s < BLK:
-            a_lv = _roll_l(lv, s)
-            a_dist = _roll_l(dist, s)
-            inb = lane < (width - s)
-            arrived = (a_lv > 0) & (((a_dist >> sh) & 1) > 0) & inb
-            moved = (lv > 0) & (((dist >> sh) & 1) > 0)
-            vhi = jnp.where(arrived, _roll_l(vhi, s), vhi)
-            vlo = jnp.where(arrived, _roll_l(vlo, s), vlo)
-            vse = jnp.where(arrived, _roll_l(vse, s), vse)
-            dist = jnp.where(arrived, a_dist - s, dist)
-            lv = jnp.where(arrived, 1, jnp.where(moved, 0, lv))
-            s *= 2
-            sh += 1
-        in_cnt = lane < cnt
-        hi_ref[0] = jnp.where(in_cnt, vhi, umax)[:, :C]
-        lo_ref[0] = jnp.where(in_cnt, vlo, umax)[:, :C]
-        se_ref[0] = jnp.where(in_cnt, vse, umax)[:, :C]
-        cnt_ref[row_id, blk_id] = cnt
+            n_valid = nvalid_ref[row_id]
+            valid = (spos >= 0) & (gpos < n_valid)
+            at0 = lane == 0
+            phi = jnp.where(at0, carry_ref[0], pltpu.roll(shi, 1, 1))
+            plo = jnp.where(at0, carry_ref[1], pltpu.roll(slo, 1, 1))
+            pvd = jnp.where(at0, carry_ref[2].astype(jnp.int32),
+                            pltpu.roll(valid.astype(jnp.int32), 1, 1))
+            differs = (shi != phi) | (slo != plo) | (pvd == 0)
+            emit = valid & differs
+
+            carry_ref[0] = shi[0, BLK - 1]
+            carry_ref[1] = slo[0, BLK - 1]
+            carry_ref[2] = valid.astype(jnp.uint32)[0, BLK - 1]
+            co_ref[0] = carry_ref[0]
+            co_ref[1] = carry_ref[1]
+            co_ref[2] = carry_ref[2]
+
+            # --- in-kernel pack-left of the emitted lanes (this block only) ---
+            width = x.shape[1]
+            live = (emit & (lane < BLK)).astype(jnp.int32)
+            rank = live
+            step = 1
+            while step < BLK:
+                rolled = pltpu.roll(rank, step, 1)
+                rank = rank + jnp.where(lane >= step, rolled, 0)
+                step *= 2
+            cnt = rank[0, BLK - 1]
+            dist = lane - (rank - 1)   # meaningful on live lanes only
+            vhi, vlo, vse = shi, slo, spacked
+            lv = live
+            s = 1
+            sh = 0
+            while s < BLK:
+                a_lv = _roll_l(lv, s)
+                a_dist = _roll_l(dist, s)
+                inb = lane < (width - s)
+                arrived = (a_lv > 0) & (((a_dist >> sh) & 1) > 0) & inb
+                moved = (lv > 0) & (((dist >> sh) & 1) > 0)
+                vhi = jnp.where(arrived, _roll_l(vhi, s), vhi)
+                vlo = jnp.where(arrived, _roll_l(vlo, s), vlo)
+                vse = jnp.where(arrived, _roll_l(vse, s), vse)
+                dist = jnp.where(arrived, a_dist - s, dist)
+                lv = jnp.where(arrived, 1, jnp.where(moved, 0, lv))
+                s *= 2
+                sh += 1
+            in_cnt = lane < cnt
+            hi_ref[0] = jnp.where(in_cnt, vhi, umax)[:, :C]
+            lo_ref[0] = jnp.where(in_cnt, vlo, umax)[:, :C]
+            se_ref[0] = jnp.where(in_cnt, vse, umax)[:, :C]
+            cnt_ref[row_id, blk_id] = cnt
 
     return kernel
 
