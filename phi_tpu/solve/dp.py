@@ -77,19 +77,59 @@ def bucket_shapes(H: int, P: int, n_esrc: int, n_vtx: int):
 # array + the padded shape; entries hold a strong reference to the source so
 # the id cannot be recycled while cached. On tunnel-attached TPUs this
 # removes ~200 MB of re-upload per refinement round.
+#
+# A second, CONTENT key (crc32+adler32 of the source bytes) additionally
+# survives graph re-tensorization: warm re-runs on the same input (the
+# bench's best-of-3, parameter sweeps) rebuild every numpy array, and the
+# id key alone re-uploaded ~100 MB of graph-static solver tables per run
+# through a 20-50 MB/s tunnel (~2-4 s of the flagship's solve_tables).
+# Collisions need crc32 AND adler32 to agree on different content —
+# the same astronomically-unlikely class as the repo's 64-bit group
+# hashes. Size-gated: chromosome-scale arrays skip hashing (and the
+# cache) to keep HBM headroom.
 _DEV_CACHE: dict = {}
 _DEV_CACHE_CAP = 12
 
 
-def _dev_cached(src_arr, shape_key, build):
+def _content_key(src_arr):
+    import os
+    import zlib
+    gate_mb = int(os.environ.get("PHI_TPU_DEV_CACHE_MB", "256"))
+    if src_arr.nbytes > gate_mb << 20:
+        return None
+    b = np.ascontiguousarray(src_arr)
+    return ("content", src_arr.shape, str(src_arr.dtype),
+            zlib.crc32(b), zlib.adler32(b))
+
+
+def _dev_cached(src_arr, shape_key, build, content_arrs=None):
+    """content_arrs: arrays whose CONTENT identifies the entry (defaults
+    to (src_arr,)); pass every deriving array when src_arr alone does not
+    determine the built value."""
     key = (id(src_arr),) + shape_key
     hit = _DEV_CACHE.get(key)
     if hit is not None:
         return hit[1]
+    ckey = None
+    parts = []
+    for a in (content_arrs if content_arrs is not None else (src_arr,)):
+        ck = _content_key(a)
+        if ck is None:
+            parts = None
+            break
+        parts.append(ck)
+    if parts is not None:
+        ckey = tuple(parts) + shape_key
+        hit = _DEV_CACHE.get(ckey)
+        if hit is not None:
+            _DEV_CACHE[key] = (src_arr, hit[1])  # fast id hit next time
+            return hit[1]
     val = build()
-    if len(_DEV_CACHE) >= _DEV_CACHE_CAP:
+    while len(_DEV_CACHE) >= _DEV_CACHE_CAP:
         _DEV_CACHE.pop(next(iter(_DEV_CACHE)))
     _DEV_CACHE[key] = (src_arr, val)
+    if ckey is not None:
+        _DEV_CACHE[ckey] = (src_arr, val)
     return val
 
 
@@ -138,8 +178,11 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
         et = _pad1(t.esrc_target.astype(np.int32), Eb, Vb - 1)
         return (jnp.asarray(eh), jnp.asarray(ep), jnp.asarray(et))
 
-    sv_d, wl_d = _dev_cached(t.state_vertex, (Hb, Pb, "sv"), build_sv)
-    eh_d, ep_d, et_d = _dev_cached(t.esrc_h, (Eb, Pb, Vb, "esrc"), build_esrc)
+    sv_d, wl_d = _dev_cached(t.state_vertex, (Hb, Pb, "sv"), build_sv,
+                             content_arrs=(t.state_vertex, t.walk_len))
+    eh_d, ep_d, et_d = _dev_cached(
+        t.esrc_h, (Eb, Pb, Vb, "esrc"), build_esrc,
+        content_arrs=(t.esrc_h, t.esrc_p, t.esrc_target))
     common = (eh_d, ep_d, et_d, sv_d, wl_d, jnp.float32(t.R))
     statics = {"n_vtx": Vb, "max_sweeps": max_sweeps}
 
