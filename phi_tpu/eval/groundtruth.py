@@ -60,10 +60,32 @@ def panel_floor(graph, truth: str) -> tuple[str, int]:
     return best_name, best_ed
 
 
+# Reference-shaped read error profiles: the published accuracy runs use
+# real SRA reads (indel errors included, data/preprocess.py:64-109);
+# "subs" reproduces the round-4 substitution-only grid, "indel" adds the
+# short-read indel class, "longread" is an ONT/PacBio-CLR-like profile.
+ERROR_MODELS = {
+    "subs": {"error_rate": 0.003, "indel_rate": 0.0, "read_len": 150},
+    "indel": {"error_rate": 0.003, "indel_rate": 0.001, "read_len": 150},
+    "longread": {"error_rate": 0.01, "indel_rate": 0.01, "read_len": 10000},
+}
+
+# certification escalation for stuck cells: the round-4 residual gaps
+# (1-10) close completely under larger dual-ascent/B&B budgets (measured:
+# QBL 10x gap 10 -> 0 in ~60 s with these), so a cell that fails the
+# default budgets is re-solved once with them
+_ESCALATION_ENV = {"PHI_TPU_SUBGRAD_ITERS": "200",
+                   "PHI_TPU_BNB_NODES": "500",
+                   "PHI_TPU_BNB_SECS": "900"}
+
+
 def infer_cell(gfa_path: str, truth: str, coverage: float, seed: int,
                error_rate: float = 0.003, read_len: int = 150,
-               opt=None) -> dict:
-    """One (sample, coverage, seed) inference run against the real panel."""
+               opt=None, indel_rate: float = 0.0,
+               escalate_tol: float | None = None) -> dict:
+    """One (sample, coverage, seed) inference run against the real panel.
+    escalate_tol: when set and the certification gap exceeds it, the solve
+    reruns once under the escalated dual-ascent/B&B budgets."""
     from phi_tpu.config import Options
     from phi_tpu.eval.edits import edit_stats
     from phi_tpu.eval.synth import sample_reads
@@ -71,7 +93,8 @@ def infer_cell(gfa_path: str, truth: str, coverage: float, seed: int,
 
     rng = np.random.default_rng(seed)
     reads, _ = sample_reads(rng, [truth], coverage=coverage,
-                            read_len=read_len, error_rate=error_rate)
+                            read_len=read_len, error_rate=error_rate,
+                            indel_rate=indel_rate)
     with tempfile.TemporaryDirectory() as d:
         reads_path = os.path.join(d, "reads.fa")
         with open(reads_path, "w") as f:
@@ -80,21 +103,40 @@ def infer_cell(gfa_path: str, truth: str, coverage: float, seed: int,
         out = os.path.join(d, "out.fa")
         t0 = time.time()
         res = run_pipeline(gfa_path, reads_path, out, opt or Options())
+        gap = max(0.0, res.decode.true_objective - res.decode.dp_objective)
+        escalated = False
+        if escalate_tol is not None and gap > escalate_tol:
+            escalated = True
+            saved = {k: os.environ.get(k) for k in _ESCALATION_ENV}
+            os.environ.update(_ESCALATION_ENV)
+            try:
+                import dataclasses
+                opt2 = dataclasses.replace(opt or Options(),
+                                           lagrangian_rounds=16)
+                res = run_pipeline(gfa_path, reads_path, out, opt2)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+            gap = max(0.0, res.decode.true_objective
+                      - res.decode.dp_objective)
         wall = time.time() - t0
         ed = edit_stats(res.sequence, truth).edit_distance
-    gap = max(0.0, res.decode.true_objective - res.decode.dp_objective)
     return {"edit": ed, "recombinations": res.recombination_count,
             "gap": round(gap, 3), "wall_s": round(wall, 2),
-            "n_reads": len(reads)}
+            "n_reads": len(reads), "escalated": escalated}
 
 
 def run_grid(samples=SAMPLES, coverages=COVERAGES, seeds: int = 3,
-             gfa_path: str = PANEL_GFA, error_rate: float = 0.003,
-             progress=True) -> dict:
+             gfa_path: str = PANEL_GFA, error_model: str = "subs",
+             progress=True, escalate: bool = True) -> dict:
     from phi_tpu.graph import tensorize
     from phi_tpu.io.gfa import read_gfa
     from phi_tpu.pipeline import gap_tol
 
+    em = ERROR_MODELS[error_model]
     graph = tensorize(read_gfa(gfa_path))
     tol = gap_tol(100.0)
     rows = []
@@ -111,7 +153,11 @@ def run_grid(samples=SAMPLES, coverages=COVERAGES, seeds: int = 3,
         for cov in coverages:
             edits, cells = [], []
             for s in range(seeds):
-                cell = infer_cell(gfa_path, truth, cov, seed=1000 * s + 7)
+                cell = infer_cell(
+                    gfa_path, truth, cov, seed=1000 * s + 7,
+                    error_rate=em["error_rate"], read_len=em["read_len"],
+                    indel_rate=em["indel_rate"],
+                    escalate_tol=tol if escalate else None)
                 edits.append(cell["edit"])
                 cells.append(cell)
             med = int(np.median(edits))
@@ -123,26 +169,30 @@ def run_grid(samples=SAMPLES, coverages=COVERAGES, seeds: int = 3,
                 "beats_floor": bool(med < floor_ed),
                 "recombinations": [c["recombinations"] for c in cells],
                 "gaps": [c["gap"] for c in cells],
+                "escalated": [c["escalated"] for c in cells],
                 "certified": certified,
                 "wall_s": [c["wall_s"] for c in cells],
             })
             if progress:
                 print(f"[gt] {sample} {cov}x: edit {med} (raw {edits}) "
-                      f"floor {floor_ed} certified={certified}",
+                      f"floor {floor_ed} certified={certified} "
+                      f"gaps={[c['gap'] for c in cells]}",
                       file=sys.stderr, flush=True)
     return {
         "data": "real",
         "note": "real panel (test/MHC_4.gfa.gz) + real de-novo truth "
                 "assemblies (data/Ground_truth); reads SIMULATED from the "
-                "truth (150 bp, 0.3% substitution error) at the reference's "
-                "coverage ladder — the published SRA read sets and the "
-                "49-hap panel need network access (data/preprocess.py) and "
-                "are irreproducible offline",
+                f"truth under the '{error_model}' error model at the "
+                "reference's coverage ladder — the published SRA read sets "
+                "and the 49-hap panel need network access "
+                "(data/preprocess.py) and are irreproducible offline",
         "panel": PANEL_GFA,
         "panel_walks": list(graph.walk_names),
         "coverage_ladder_source": "data/preprocess.py:85-109",
         "experiment_source": "data/run_batch_1.py:41-52",
-        "seeds": seeds, "error_rate": error_rate,
+        "seeds": seeds, "error_model": error_model,
+        "error_rate": em["error_rate"], "indel_rate": em["indel_rate"],
+        "read_len": em["read_len"],
         "floors": floors, "cells": rows,
     }
 
@@ -185,10 +235,15 @@ def main(argv=None) -> int:
                     default=",".join(str(c) for c in COVERAGES))
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--gfa", default=PANEL_GFA)
+    ap.add_argument("--error-model", default="subs",
+                    choices=sorted(ERROR_MODELS))
+    ap.add_argument("--no-escalate", action="store_true")
     args = ap.parse_args(argv)
     res = run_grid(samples=args.samples.split(","),
                    coverages=[float(c) for c in args.coverages.split(",")],
-                   seeds=args.seeds, gfa_path=args.gfa)
+                   seeds=args.seeds, gfa_path=args.gfa,
+                   error_model=args.error_model,
+                   escalate=not args.no_escalate)
     write_outputs(res, args.out)
     print(json.dumps({"cells": len(res["cells"]),
                       "beats_floor": sum(1 for r in res["cells"]

@@ -87,11 +87,16 @@ def synth_pangenome(rng: np.random.Generator, length: int = 100_000,
 def sample_reads(rng: np.random.Generator, hap_seqs: list[str],
                  coverage: float = 1.0, read_len: int = 150,
                  error_rate: float = 0.001,
-                 recomb_breaks: list[tuple[int, int]] | None = None
+                 recomb_breaks: list[tuple[int, int]] | None = None,
+                 indel_rate: float = 0.0
                  ) -> tuple[list[str], str]:
     """Reads from a (possibly recombined) target. recomb_breaks is a list of
-    (position, hap) switch points; default = pure hap 0. Returns
-    (reads, target_sequence)."""
+    (position, hap) switch points; default = pure hap 0. error_rate is the
+    per-base substitution probability; indel_rate the per-base probability
+    of a 1 bp insertion or deletion (50/50) — the error class real
+    platforms add on top of substitutions (short reads ~0.01-0.1%, long
+    reads ~1-5%; the reference's accuracy runs use real SRA reads,
+    data/preprocess.py:64-109). Returns (reads, target_sequence)."""
     length = len(hap_seqs[0])
     if recomb_breaks:
         target = []
@@ -105,12 +110,30 @@ def sample_reads(rng: np.random.Generator, hap_seqs: list[str],
     else:
         target_seq = hap_seqs[0]
     n_reads = max(1, int(coverage * len(target_seq) / read_len))
-    starts = rng.integers(0, max(1, len(target_seq) - read_len), n_reads)
+    # draw a slightly longer template span so deletions still yield
+    # read_len emitted bases (trimmed back after editing)
+    span = read_len if indel_rate <= 0 else \
+        min(len(target_seq), int(read_len * (1 + 4 * indel_rate)) + 8)
+    starts = rng.integers(0, max(1, len(target_seq) - span), n_reads)
     reads = []
     for s in starts.tolist():
-        arr = np.frombuffer(target_seq[s:s + read_len].encode(), np.uint8).copy()
+        arr = np.frombuffer(target_seq[s:s + span].encode(), np.uint8).copy()
         errs = rng.random(len(arr)) < error_rate
         if errs.any():
             arr[errs] = _BASES[rng.integers(0, 4, int(errs.sum()))]
-        reads.append(arr.tobytes().decode())
+        if indel_rate > 0:
+            ind = np.flatnonzero(rng.random(len(arr)) < indel_rate)
+            if len(ind):
+                parts = []
+                cursor = 0
+                for p in ind.tolist():
+                    parts.append(arr[cursor:p])
+                    if rng.random() < 0.5:   # insertion before base p
+                        parts.append(_BASES[rng.integers(0, 4, 1)])
+                        parts.append(arr[p:p + 1])
+                    # else: deletion of base p (emit nothing)
+                    cursor = p + 1
+                parts.append(arr[cursor:])
+                arr = np.concatenate(parts)
+        reads.append(arr[:read_len].tobytes().decode())
     return reads, target_seq

@@ -39,3 +39,29 @@ def test_recovers_recombinant_with_indels():
     # (a handful of residual edits around deletion-boundary anchors)
     assert d <= 20, f"edit distance {d}"
     assert res.n_switches >= 1
+
+
+def test_sample_reads_indel_error_model():
+    """Indel-bearing reads: correct length, deterministic, and actually
+    divergent from the template (insertions/deletions shift suffixes)."""
+    import numpy as np
+    from phi_tpu.eval.synth import sample_reads
+    rng = np.random.default_rng(3)
+    hap = "".join(np.random.default_rng(0).choice(list("ACGT"), 20000))
+    reads, target = sample_reads(rng, [hap], coverage=2.0, read_len=150,
+                                 error_rate=0.0, indel_rate=0.02)
+    assert target == hap
+    assert all(len(r) <= 150 for r in reads)
+    # with 2% indels a 150bp read almost surely differs from every exact
+    # substring of the template
+    diverged = sum(r not in hap for r in reads)
+    assert diverged > len(reads) * 0.8
+    # determinism
+    reads2, _ = sample_reads(np.random.default_rng(3), [hap], coverage=2.0,
+                             read_len=150, error_rate=0.0, indel_rate=0.02)
+    assert reads == reads2
+    # indel_rate=0 keeps the round-4 substitution-only behavior: exact
+    # 150bp substrings
+    reads3, _ = sample_reads(np.random.default_rng(5), [hap], coverage=1.0,
+                             read_len=150, error_rate=0.0)
+    assert all(len(r) == 150 and r in hap for r in reads3)
