@@ -151,6 +151,31 @@ def _stream_w(L: int, Hb: int, Pb: int) -> bool:
     return L * Hb * Pb * 4 > cap_gb * (1 << 30)
 
 
+@functools.partial(jax.jit, static_argnames=("Pb", "Eb", "Vb"))
+def _expand_esrc_jit(flat, vals, starts, n, Pb: int, Eb: int, Vb: int):
+    """Decode the compressed esrc upload: flat = h*Pb + p (i32, padded with
+    Pb-1 = lane 0's invalid tail position) and RLE (vals, starts) for the
+    target column. Returns the (eh, ep, et) triple the solver programs
+    consume."""
+    eh = flat // jnp.int32(Pb)
+    ep = flat % jnp.int32(Pb)
+    marks = jnp.zeros(Eb, jnp.int32).at[starts].add(1, mode="drop")
+    ridx = jnp.cumsum(marks) - 1
+    et = vals[jnp.clip(ridx, 0, vals.shape[0] - 1)]
+    et = jnp.where(jnp.arange(Eb, dtype=jnp.int32) < n, et,
+                   jnp.int32(Vb - 1))
+    return eh, ep, et
+
+
+@functools.partial(jax.jit, static_argnames=("Hb", "Pb"))
+def _pad_sv_jit(wm, Hb: int, Pb: int):
+    """Pad the device-resident walk matrix to the solver's bucketed
+    [Hb, Pb] state_vertex plane (-1 fill)."""
+    H, P = wm.shape
+    return jax.lax.dynamic_update_slice(
+        jnp.full((Hb, Pb), -1, jnp.int32), wm.astype(jnp.int32), (0, 0))
+
+
 def _bucketed_args(t: SolverTables, max_sweeps: int):
     H, P = t.state_vertex.shape
     Hb, Pb, Eb, Vb = bucket_shapes(H, P, len(t.esrc_h), t.n_vtx)
@@ -165,14 +190,53 @@ def _bucketed_args(t: SolverTables, max_sweeps: int):
         Hb = max(H, 1)
 
     def build_sv():
+        # the anchor phase already shipped walk_mat to the device (the
+        # prefix-hash build, anchors/device.py "wm_ph") — pad it on device
+        # instead of uploading the [Hb, Pb] plane again (650 MB at 100 Mbp
+        # through a 20-50 MB/s tunnel)
+        wm_hit = _DEV_CACHE.get((id(t.state_vertex), H, P, "wm_ph"))
+        wl = jnp.asarray(_pad1(t.walk_len.astype(np.int32), Hb, 0))
+        if wm_hit is not None and jax.default_backend() != "cpu":
+            from phi_tpu.execache import cached_call
+            sv = cached_call(_pad_sv_jit, "pad_sv", (wm_hit[1],),
+                             {"Hb": Hb, "Pb": Pb})
+            return sv, wl
         sv = np.full((Hb, Pb), -1, np.int32)
         sv[:H, :P] = t.state_vertex
-        return (jnp.asarray(sv),
-                jnp.asarray(_pad1(t.walk_len.astype(np.int32), Hb, 0)))
+        return jnp.asarray(sv), wl
 
     def build_esrc():
         # padded esrc rows: source state (0, Pb-1) is invalid in every lane
         # (walk_len <= P < Pb), target Vb-1 is a dummy vertex no state maps to
+        import os as _os
+        n = len(t.esrc_h)
+        if (jax.default_backend() != "cpu"
+                or _os.environ.get("PHI_TPU_FORCE_ESRC_RLE") == "1") \
+                and H * Pb < 2**31:
+            # compressed upload (~3x): ONE flat h*Pb+p i32 column plus the
+            # run-length-encoded targets (switch_sources emits rows grouped
+            # per edge, so et is ~H-long runs); h/p split and the RLE
+            # expansion run on device. 720 MB -> ~250 MB at 100 Mbp
+            # through a 20-50 MB/s tunnel.
+            flat = t.esrc_h.astype(np.int64) * Pb + t.esrc_p
+            flat = _pad1(flat.astype(np.int32), Eb, Pb - 1)
+            et = t.esrc_target.astype(np.int32)
+            if n:
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(et)) + 1]).astype(np.int32)
+                vals = et[starts]
+            else:
+                starts = np.zeros(1, np.int32)
+                vals = np.full(1, Vb - 1, np.int32)
+            Nr = bucket_size(len(vals), 1024)
+            starts_p = _pad1(starts, Nr, Eb)      # pad -> dropped
+            vals_p = _pad1(vals, Nr, Vb - 1)
+            from phi_tpu.execache import cached_call
+            return cached_call(
+                _expand_esrc_jit, "expand_esrc",
+                (jnp.asarray(flat), jnp.asarray(vals_p),
+                 jnp.asarray(starts_p), jnp.int32(n)),
+                {"Pb": Pb, "Eb": Eb, "Vb": Vb})
         eh = _pad1(t.esrc_h.astype(np.int32), Eb, 0)
         ep = _pad1(t.esrc_p.astype(np.int32), Eb, Pb - 1)
         et = _pad1(t.esrc_target.astype(np.int32), Eb, Vb - 1)

@@ -308,3 +308,37 @@ def test_device_sbw_build_matches_host():
                                    jnp.asarray(pad(occ_w, 0.0)), H, P, L)
         assert float(np.asarray(S2)[1:].sum()) == 0.0
         assert float(np.asarray(S2)[0].sum()) == 0.0
+
+
+def test_compressed_esrc_upload_parity(monkeypatch):
+    """The flat+RLE esrc upload (device path) must decode to exactly the
+    padded (eh, ep, et) triple of the host build."""
+    import numpy as np
+    import jax.numpy as jnp
+    from phi_tpu.solve import dp as dpmod
+    rng = np.random.default_rng(0)
+    n, H, P, V = 5000, 7, 901, 1200
+    # grouped-by-edge targets (runs), arbitrary (h, p) rows
+    runs = []
+    while sum(len(r) for r in runs) < n:
+        runs.append([int(rng.integers(0, V))] * int(rng.integers(1, 9)))
+    et = np.array([v for r in runs for v in r][:n], np.int32)
+    eh = rng.integers(0, H, n).astype(np.int32)
+    ep = rng.integers(0, P, n).astype(np.int32)
+    from phi_tpu.solve.dp import bucket_shapes, _pad1
+    Hb, Pb, Eb, Vb = bucket_shapes(H, P, n, V)
+    want = (_pad1(eh, Eb, 0), _pad1(ep, Eb, Pb - 1),
+            _pad1(et, Eb, Vb - 1))
+    flat = _pad1((eh.astype(np.int64) * Pb + ep).astype(np.int32),
+                 Eb, Pb - 1)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(et)) + 1]
+                            ).astype(np.int32)
+    vals = et[starts]
+    from phi_tpu.solve.dp import _expand_esrc_jit, bucket_size
+    Nr = bucket_size(len(vals), 1024)
+    got = _expand_esrc_jit(jnp.asarray(flat),
+                           jnp.asarray(_pad1(vals, Nr, Vb - 1)),
+                           jnp.asarray(_pad1(starts, Nr, Eb)),
+                           jnp.int32(n), Pb=Pb, Eb=Eb, Vb=Vb)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, np.asarray(g))
