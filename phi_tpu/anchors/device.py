@@ -496,13 +496,20 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
 
     # v3 kernel (in-kernel compaction + slot probe) needs the cuckoo table;
     # sparse start upload additionally needs the node density to make it a
-    # win (4 B/start vs 1 B/base)
+    # win (4 B/start vs 1 B/base). 31 < k <= 63 runs the wide 4-word
+    # kernel (v3-only; folded join keys match the host native scan).
     import os as _os1
-    from phi_tpu.sketch.kernels import _pallas_join_rows3_ck, block_cap
+    from phi_tpu.sketch.kernels import (_pallas_join_rows3_ck,
+                                        _pallas_join_rows3w_ck, block_cap)
+    wide = k > 31
     use_v3 = ck is not None and _os1.environ.get("PHI_TPU_JOIN_V3") != "0"
+    if wide and not use_v3:
+        return None  # wide k has no mixed-key/v2 device fallback
     S_cap = _row_start_cap(graph.walk_node_cumlen, rows, row_lanes) \
         if use_v3 else 0
     if use_v3 and S_cap * 4 > row_lanes:
+        if wide:
+            return None
         use_v3 = False  # ultra-dense node chop: dense plane is smaller
     C = block_cap(w)
 
@@ -557,7 +564,7 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     buf_id = jnp.full(CAP, -1, jnp.int32)
     buf_hap = jnp.zeros(CAP, jnp.uint8)
     total = jnp.int32(0)
-    carry = jnp.zeros(3, jnp.uint32)
+    carry = jnp.zeros(5 if wide else 3, jnp.uint32)
 
     WINDOW = 3
     counts = np.zeros((n_batches, 3, R), np.int64)
@@ -581,8 +588,10 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
             else packed[0]
         words, aux, nv, ct, bn, hp = _upload(b, packed)
         if use_v3:
+            fn, name = (_pallas_join_rows3w_ck, "pallas_join_rows3w_ck") \
+                if wide else (_pallas_join_rows3_ck, "pallas_join_rows3_ck")
             out = cached_call(
-                _pallas_join_rows3_ck, "pallas_join_rows3_ck",
+                fn, name,
                 (words, aux, nv, ct, bn, hp, carry) + sp_args,
                 {"k": k, "w": w, "n_rows": R, "n_blocks": SB, "C": C,
                  "cap_total": cap_total, "interpret": interpret})

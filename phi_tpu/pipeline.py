@@ -181,7 +181,7 @@ def run_pipeline(gfa_path: str, reads_path: str, out_path: str | None,
             (_jax.default_backend() != "cpu"
              or _os.environ.get("PHI_TPU_FORCE_DEVICE_ANCHORS") == "1")
             and mesh_devices is None and not opt.save_index
-            and opt.k <= 31 and len(spectrum[0]) > 0)
+            and opt.k <= 63 and len(spectrum[0]) > 0)
         if use_dev_anchors:
             # device-resident anchor pipeline: hits never cross the
             # device->host link (anchors/device.py); falls back to the

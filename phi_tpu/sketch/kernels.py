@@ -1309,3 +1309,314 @@ def pallas_sketch_sequence(codes: np.ndarray, k: int, w: int,
         if not keep.all():
             hi, lo, pos = hi[keep], lo[keep], pos[keep]
     return hi, lo, pos
+
+
+# ---------------------------------------------------------------------------
+# Wide-k (31 < k <= 63) rows kernel: the reference accepts arbitrary k
+# (ILP_index.cpp:386-407) and the host path covers 31 < k <= 63 via the
+# native 128-bit scan with 64-bit folded join keys (phi_native.cpp
+# ::minimizer_scan / fold128_64). This kernel brings the same capability to
+# the device join: canonical k-mers pack into FOUR u32 words (word i holds
+# 16 consecutive bases, word 3 most significant — bit-identical to the
+# native __int128 layout), the window-min selects by the 126-bit
+# lexicographic order, and the emitted minimizers are folded to the same
+# 64-bit join key in the XLA glue (u32-limb emulation of splitmix64).
+# ---------------------------------------------------------------------------
+
+
+def _tuple_min6(a, b):
+    """4-word lexicographic min with (pos, se) passengers."""
+    a3, a2, a1, a0, apos, ap = a
+    b3, b2, b1, b0, bpos, bp = b
+    a_lt = (a3 < b3) | ((a3 == b3) & ((a2 < b2) | ((a2 == b2) & (
+        (a1 < b1) | ((a1 == b1) & (a0 < b0))))))
+    a_eq = (a3 == b3) & (a2 == b2) & (a1 == b1) & (a0 == b0)
+    take_a = a_lt | (a_eq & (apos >= bpos))
+    sel = lambda x, y: jnp.where(take_a, x, y)
+    return (sel(a3, b3), sel(a2, b2), sel(a1, b1), sel(a0, b0),
+            sel(apos, bpos), sel(ap, bp))
+
+
+def _make_kernel_rows3w(k: int, w: int, C: int):
+    assert 31 < k <= 63
+
+    def kernel(nvalid_ref, cont_ref, base_ref, init_ref, codes_ref, next_ref,
+               nd_ref, ndnext_ref, w3_ref, w2_ref, w1_ref, w0_ref, se_ref,
+               cnt_ref, co_ref, carry_ref):
+        row_id = pl.program_id(0)
+        blk_id = pl.program_id(1)
+        umax = jnp.uint32(0xFFFFFFFF)
+
+        @pl.when(blk_id == 0)
+        def _row_start():
+            cont = cont_ref[row_id] != 0
+            for i in range(5):   # w3..w0 + validity
+                ki = jnp.where(row_id == 0, init_ref[i], carry_ref[i])
+                fill = umax if i < 4 else jnp.uint32(0)
+                carry_ref[i] = jnp.where(cont, ki, fill)
+            carry_ref[5] = jnp.uint32(0)  # node-count carry (per-row)
+
+        active = blk_id * BLK < nvalid_ref[row_id]
+
+        @pl.when(jnp.logical_not(active))
+        def _skip():
+            dead = jnp.full((1, C), umax, jnp.uint32)
+            w3_ref[0] = dead
+            w2_ref[0] = dead
+            w1_ref[0] = dead
+            w0_ref[0] = dead
+            se_ref[0] = dead
+            cnt_ref[row_id, blk_id] = jnp.int32(0)
+            for i in range(5):
+                co_ref[i] = carry_ref[i]
+
+        @pl.when(active)
+        def _body():
+            xi = jnp.concatenate(
+                [codes_ref[0].astype(jnp.int32),
+                 next_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
+            rc_i = jnp.int32(3) - jnp.minimum(xi, 3)
+            x = xi.astype(jnp.uint32)
+            fw = [jnp.zeros_like(x) for _ in range(4)]
+            rw = [jnp.zeros_like(x) for _ in range(4)]
+            invalid = jnp.where(xi >= 4, jnp.int32(1), jnp.int32(0))
+            col = x
+            rcolsrc = rc_i.astype(jnp.uint32)
+            two = jnp.uint32(2)
+            for j in range(k):
+                wi = (k - 1 - j) // 16
+                cj = _roll_l(col, j) if j else col
+                rj = _roll_l(rcolsrc, k - 1 - j) if k - 1 - j else rcolsrc
+                fw[wi] = (fw[wi] << two) | cj
+                rw[wi] = (rw[wi] << two) | rj
+                if j:
+                    invalid = jnp.maximum(invalid, jnp.where(cj >= 4, 1, 0))
+            f_lt = jnp.zeros_like(x) > 0
+            f_eq = jnp.ones_like(x) > 0
+            for i in (3, 2, 1, 0):
+                f_lt = f_lt | (f_eq & (fw[i] < rw[i]))
+                f_eq = f_eq & (fw[i] == rw[i])
+            f_le = f_lt | f_eq
+            ws = [jnp.where(invalid > 0, umax,
+                            jnp.where(f_le, fw[i], rw[i]))
+                  for i in range(4)]
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            gpos = blk_id * BLK + lane
+            pos = jnp.where(invalid > 0, jnp.int32(-1), gpos)
+
+            nd = jnp.concatenate(
+                [nd_ref[0].astype(jnp.int32),
+                 ndnext_ref[0][:, :HALO_PAD].astype(jnp.int32)], axis=1)
+            c = nd
+            step = 1
+            while step < c.shape[1]:
+                rolled = pltpu.roll(c, step, 1)
+                c = c + jnp.where(lane >= step, rolled, 0)
+                step *= 2
+            cnt_base = base_ref[row_id] + carry_ref[5].astype(jnp.int32)
+            s_arr = cnt_base + c
+            e_arr = cnt_base + _roll_l(c, k - 1)
+            carry_ref[5] = carry_ref[5] + c[0, BLK - 1].astype(jnp.uint32)
+            packed_arr = ((s_arr.astype(jnp.uint32) << jnp.uint32(6))
+                          | jnp.minimum(e_arr - s_arr, 63).astype(jnp.uint32))
+
+            t = (ws[3], ws[2], ws[1], ws[0], pos, packed_arr)
+            sdl = 1
+            while sdl * 2 <= w:
+                t = _tuple_min6(t, tuple(_roll_l(v, sdl) for v in t))
+                sdl *= 2
+            t = _tuple_min6(t, tuple(_roll_l(v, w - sdl) for v in t))
+            s3, s2, s1, s0, spos, spacked = t
+
+            n_valid = nvalid_ref[row_id]
+            valid = (spos >= 0) & (gpos < n_valid)
+            at0 = lane == 0
+            prevs = [jnp.where(at0, carry_ref[i], pltpu.roll(sv, 1, 1))
+                     for i, sv in ((0, s3), (1, s2), (2, s1), (3, s0))]
+            pvd = jnp.where(at0, carry_ref[4].astype(jnp.int32),
+                            pltpu.roll(valid.astype(jnp.int32), 1, 1))
+            differs = ((s3 != prevs[0]) | (s2 != prevs[1])
+                       | (s1 != prevs[2]) | (s0 != prevs[3]) | (pvd == 0))
+            emit = valid & differs
+
+            carry_ref[0] = s3[0, BLK - 1]
+            carry_ref[1] = s2[0, BLK - 1]
+            carry_ref[2] = s1[0, BLK - 1]
+            carry_ref[3] = s0[0, BLK - 1]
+            carry_ref[4] = valid.astype(jnp.uint32)[0, BLK - 1]
+            for i in range(5):
+                co_ref[i] = carry_ref[i]
+
+            # in-kernel pack-left (same algorithm/proof as _make_kernel_rows3)
+            width = x.shape[1]
+            live = (emit & (lane < BLK)).astype(jnp.int32)
+            rank = live
+            step = 1
+            while step < BLK:
+                rolled = pltpu.roll(rank, step, 1)
+                rank = rank + jnp.where(lane >= step, rolled, 0)
+                step *= 2
+            cnt = rank[0, BLK - 1]
+            dist = lane - (rank - 1)
+            v3, v2, v1, v0, vse = s3, s2, s1, s0, spacked
+            lv = live
+            s = 1
+            sh = 0
+            while s < BLK:
+                a_lv = _roll_l(lv, s)
+                a_dist = _roll_l(dist, s)
+                inb = lane < (width - s)
+                arrived = (a_lv > 0) & (((a_dist >> sh) & 1) > 0) & inb
+                moved = (lv > 0) & (((dist >> sh) & 1) > 0)
+                v3 = jnp.where(arrived, _roll_l(v3, s), v3)
+                v2 = jnp.where(arrived, _roll_l(v2, s), v2)
+                v1 = jnp.where(arrived, _roll_l(v1, s), v1)
+                v0 = jnp.where(arrived, _roll_l(v0, s), v0)
+                vse = jnp.where(arrived, _roll_l(vse, s), vse)
+                dist = jnp.where(arrived, a_dist - s, dist)
+                lv = jnp.where(arrived, 1, jnp.where(moved, 0, lv))
+                s *= 2
+                sh += 1
+            in_cnt = lane < cnt
+            w3_ref[0] = jnp.where(in_cnt, v3, umax)[:, :C]
+            w2_ref[0] = jnp.where(in_cnt, v2, umax)[:, :C]
+            w1_ref[0] = jnp.where(in_cnt, v1, umax)[:, :C]
+            w0_ref[0] = jnp.where(in_cnt, v0, umax)[:, :C]
+            se_ref[0] = jnp.where(in_cnt, vse, umax)[:, :C]
+            cnt_ref[row_id, blk_id] = cnt
+
+    return kernel
+
+
+def _pallas_sketch_rows3w(codes2d, deltas2d, nvalid, cont, base_node,
+                          init_carry, k: int, w: int, n_rows: int,
+                          n_blocks: int, C: int, interpret: bool = False):
+    """Wide-k v3 sketch: per-block left-compacted 4-word canonical keys +
+    packed intervals [R, n_blocks*C], per-block counts, and the (5,) dedup
+    carry (w3..w0 + validity)."""
+    kernel = _make_kernel_rows3w(k, w, C)
+    codes3d = codes2d.reshape(n_rows, 1, -1)
+    deltas3d = deltas2d.reshape(n_rows, 1, -1)
+    smem_scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_bs = pl.BlockSpec((1, 1, C), lambda r, i: (r, 0, i),
+                          memory_space=pltpu.VMEM)
+    n_out = n_blocks * C
+    out_shape = [jax.ShapeDtypeStruct((n_rows, 1, n_out), jnp.uint32)
+                 for _ in range(5)] + [
+        jax.ShapeDtypeStruct((n_rows, n_blocks), jnp.int32),
+        jax.ShapeDtypeStruct((5,), jnp.uint32),
+    ]
+    w3, w2, w1, w0, se, cnt, carry = pl.pallas_call(
+        kernel,
+        grid=(n_rows, n_blocks),
+        in_specs=[
+            smem_scalar, smem_scalar, smem_scalar,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # init_carry (5,)
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLK), lambda r, i: (r, 0, i + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_bs] * 5 + [pl.BlockSpec(memory_space=pltpu.SMEM),
+                                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((6,), jnp.uint32)],
+        interpret=interpret,
+    )(nvalid, cont, base_node, init_carry, codes3d, codes3d,
+      deltas3d, deltas3d)
+    rs = lambda a: a.reshape(n_rows, n_out)
+    return rs(w3), rs(w2), rs(w1), rs(w0), rs(se), cnt, carry
+
+
+# ---- u32-limb emulation of the 64-bit fold (phi_native.cpp::fold128_64,
+# encode.fold128_64_np) — elementwise XLA glue on the compacted lanes ----
+
+def _mul32_full(a, b):
+    """(hi, lo) of a*b for u32 lanes (16-bit limb products)."""
+    a0 = a & jnp.uint32(0xFFFF)
+    a1 = a >> jnp.uint32(16)
+    b0 = b & jnp.uint32(0xFFFF)
+    b1 = b >> jnp.uint32(16)
+    p0 = a0 * b0
+    p1 = a1 * b0
+    p2 = a0 * b1
+    p3 = a1 * b1
+    mid = p1 + p2
+    carry_mid = (mid < p1).astype(jnp.uint32)
+    lo = p0 + (mid << jnp.uint32(16))
+    carry_lo = (lo < p0).astype(jnp.uint32)
+    hi = p3 + (mid >> jnp.uint32(16)) + (carry_mid << jnp.uint32(16)) \
+        + carry_lo
+    return hi, lo
+
+
+def _mul64_lo(ah, al, bh, bl):
+    """Low 64 bits of (ah:al) * (bh:bl), as (hi, lo) u32 words."""
+    hi, lo = _mul32_full(al, bl)
+    hi = hi + al * bh + ah * bl
+    return hi, lo
+
+
+def _xor_shr64(h, l, s: int):
+    """(h:l) ^ ((h:l) >> s) for 0 < s < 32."""
+    sh = jnp.uint32(s)
+    inv = jnp.uint32(32 - s)
+    return h ^ (h >> sh), l ^ ((l >> sh) | (h << inv))
+
+
+def _mix64_u32(h, l):
+    """splitmix64 finalizer on (hi, lo) u32 pairs (encode.mix64_np twin)."""
+    h, l = _xor_shr64(h, l, 30)
+    h, l = _mul64_lo(h, l, jnp.uint32(0xBF58476D), jnp.uint32(0x1CE4E5B9))
+    h, l = _xor_shr64(h, l, 27)
+    h, l = _mul64_lo(h, l, jnp.uint32(0x94D049BB), jnp.uint32(0x133111EB))
+    return _xor_shr64(h, l, 31)
+
+
+def fold128_64_u32(w3, w2, w1, w0):
+    """64-bit join key (hi, lo u32) of a 4-word canonical packing —
+    bit-identical to fold128_64_np((w3<<32)|w2, (w1<<32)|w0)."""
+    mh, ml = _mix64_u32(w1, w0)
+    gh, gl = _mul64_lo(w3, w2, jnp.uint32(0x9E3779B9), jnp.uint32(0x7F4A7C15))
+    return _mix64_u32(gh ^ mh, gl ^ ml)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "w", "n_rows", "n_blocks", "C", "cap_total", "interpret"))
+def _pallas_join_rows3w_ck(words, starts, nvalid, cont, base_node,
+                           hap_of_row, init_carry, ck_hi, ck_lo, ck_id,
+                           ck_seed, k: int, w: int, n_rows: int,
+                           n_blocks: int, C: int, cap_total: int,
+                           interpret: bool = False):
+    """Wide-k v3 fused join: the sketch emits 4-word canonical keys; the
+    glue folds them to the host's 64-bit join key and probes the (folded)
+    read-spectrum cuckoo table. Same output contract as
+    _pallas_join_rows3_ck."""
+    from phi_tpu.ops.search import pair_isin_cuckoo_slot
+
+    R = n_rows
+    row_lanes = (n_blocks + 1) * BLK
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)
+    codes2d = ((words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
+               ).astype(jnp.uint8).reshape(R, row_lanes)
+    deltas2d = _delta_plane(starts, R, row_lanes)
+    w3, w2, w1, w0, ese, cnt, carry_out = _pallas_sketch_rows3w(
+        codes2d, deltas2d, nvalid, cont, base_node, init_carry, k, w, R,
+        n_blocks, C, interpret)
+    n_min = cnt.sum(axis=1)
+    cnt_max = cnt.max(axis=1)
+
+    fh, fl = fold128_64_u32(w3, w2, w1, w0)
+    found, slot = pair_isin_cuckoo_slot(ck_hi, ck_lo, ck_seed, fh, fl)
+    # dead lanes carry all-UMAX words whose fold is a fixed value that
+    # COULD collide with a real table key — mask via se (UMAX only on
+    # dead lanes), as the narrow path does
+    nm, nh, f_se, f_slot, f_hap = _flatten_hits(
+        n_min, found, slot, ese, hap_of_row, cap_total)
+    f_id = jnp.where(f_slot >= 0,
+                     ck_id[jnp.maximum(f_slot, 0)], jnp.int32(-1))
+    return nm, nh, f_se, f_id, f_hap, carry_out, cnt_max

@@ -227,3 +227,48 @@ def test_v3_overflow_falls_back(tmp_path, monkeypatch):
                               1.0, rows_per_call=2, super_blocks=2,
                               interpret=True)
     assert res is None
+
+
+def test_fold128_64_u32_matches_host():
+    """The device fold (u32-limb splitmix64) must be bit-identical to the
+    host fold128_64 for random 128-bit inputs."""
+    import jax.numpy as jnp
+    from phi_tpu.sketch.encode import fold128_64_np
+    from phi_tpu.sketch.kernels import fold128_64_u32
+    rng = np.random.default_rng(0)
+    hi64 = rng.integers(0, 1 << 62, 4096, dtype=np.uint64)
+    lo64 = rng.integers(0, 1 << 64, 4096, dtype=np.uint64)
+    want = fold128_64_np(hi64, lo64)
+    fh, fl = fold128_64_u32(
+        jnp.asarray((hi64 >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((hi64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((lo64 >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((lo64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+    got = (np.asarray(fh).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(fl).astype(np.uint64)
+    assert np.array_equal(want, got)
+
+
+def test_device_anchor_parity_wide_k(tmp_path):
+    """31 < k <= 63: the wide 4-word kernel's device anchor tables must be
+    bit-identical to the host path (native 128-bit scan, folded keys)."""
+    k, w = 35, 9
+    gfa_path, reads = _instance(tmp_path, n_haps=4, length=7000)
+    graph = tensorize(read_gfa(gfa_path))
+    spectrum = _spectrum(reads, k, w)
+    want = build_anchor_tables(graph, k, sketch_haplotypes(graph, k, w),
+                               spectrum, 1.0)
+    seqs = [graph.walk_seq_codes(h) for h in range(graph.num_walks)]
+    res = join_anchors_device(graph, seqs, k, w, spectrum[0], spectrum[1],
+                              1.0, rows_per_call=2, super_blocks=2,
+                              interpret=True)
+    assert res is not None
+    per_hap_min, occ = res
+    assert np.array_equal(per_hap_min, want.per_hap_minimizers)
+    assert occ.n_model == want.n_model_kmers
+    assert occ.filtered == want.filtered_kmers
+    hap, s, e, kid = occ.materialize()
+    assert np.array_equal(hap, want.occ_hap)
+    assert np.array_equal(s, want.occ_start)
+    assert np.array_equal(e, want.occ_end)
+    assert np.array_equal(kid, want.occ_kmer)
