@@ -1,0 +1,115 @@
+"""Why are some ground-truth floor wins thin? (VERDICT r4 weak #8)
+
+For samples whose mosaic barely beats the best-single-panel-hap floor
+(COX/MANN/PGF: 13-28% vs 4-10x for APD/KAS116), decompose the ceiling:
+
+  floor          best single panel hap (no recombination) — the baseline
+  inferred@10x   the solver's mosaic at high coverage, production R=100
+  oracle(R=1)    the mosaic when recombination is nearly free at 10x:
+                 an upper bound on what THIS panel can express — residual
+                 edit here is truth content absent from every panel hap
+                 (private variation), not a solver artifact
+
+If inferred@10x ~= oracle(R=1), the ceiling is the PANEL (the reference
+has the same limitation at this panel size); a large spread would indict
+the solver/parameters instead.
+
+    python -m phi_tpu.eval.floor_diag --out bench_results/floor_diag_r05 \
+        [--samples COX,MANN,PGF,KAS116]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+DIAG_SAMPLES = ("COX", "MANN", "PGF", "KAS116")
+
+
+def diagnose(samples=DIAG_SAMPLES, coverage: float = 10.0,
+             seed: int = 1007, progress=True) -> dict:
+    from phi_tpu.config import Options
+    from phi_tpu.eval.groundtruth import (PANEL_GFA, infer_cell, load_truth,
+                                          panel_floor_cached)
+    from phi_tpu.graph import tensorize
+    from phi_tpu.io.gfa import read_gfa
+
+    graph = tensorize(read_gfa(PANEL_GFA))
+    rows = []
+    for sample in samples:
+        truth = load_truth(sample)
+        floor_name, floor_ed = panel_floor_cached(graph, truth, sample,
+                                                  PANEL_GFA)
+        t0 = time.time()
+        prod = infer_cell(PANEL_GFA, truth, coverage, seed=seed,
+                          escalate_tol=0.5)
+        oracle = infer_cell(PANEL_GFA, truth, coverage, seed=seed,
+                            opt=Options(recombination=1.0,
+                                        lagrangian_rounds=2))
+        panel_gap_pct = round(100.0 * oracle["edit"]
+                              / max(1, len(truth)), 3)
+        solver_headroom = prod["edit"] - oracle["edit"]
+        rows.append({
+            "sample": sample,
+            "truth_len": len(truth),
+            "floor_edit": floor_ed, "floor_hap": floor_name,
+            "inferred_10x_edit": prod["edit"],
+            "inferred_recombinations": prod["recombinations"],
+            "oracle_R1_edit": oracle["edit"],
+            "oracle_R1_recombinations": oracle["recombinations"],
+            "panel_absent_pct_of_truth": panel_gap_pct,
+            "solver_headroom_edit": solver_headroom,
+            "ceiling": "panel" if solver_headroom
+            <= max(0.1 * oracle["edit"], 200) else "solver",
+            "wall_s": round(time.time() - t0, 1),
+        })
+        if progress:
+            print(f"[diag] {sample}: floor {floor_ed} inferred "
+                  f"{prod['edit']} oracle(R=1) {oracle['edit']} -> "
+                  f"ceiling={rows[-1]['ceiling']}",
+                  file=sys.stderr, flush=True)
+    return {"coverage": coverage, "seed": seed, "rows": rows,
+            "note": "oracle(R=1) = near-free recombination mosaic at high "
+                    "coverage, an upper bound on panel expressiveness; "
+                    "residual oracle edit is truth content absent from "
+                    "every panel hap"}
+
+
+def to_md(result: dict) -> str:
+    lines = ["## Floor-win diagnosis (weak-win samples)", "",
+             "| sample | floor | inferred@10x (recombs) | oracle R=1 "
+             "(recombs) | panel-absent %truth | solver headroom | "
+             "ceiling |", "|---|---|---|---|---|---|---|"]
+    for r in result["rows"]:
+        lines.append(
+            f"| {r['sample']} | {r['floor_edit']} | "
+            f"{r['inferred_10x_edit']} ({r['inferred_recombinations']}) | "
+            f"{r['oracle_R1_edit']} ({r['oracle_R1_recombinations']}) | "
+            f"{r['panel_absent_pct_of_truth']}% | "
+            f"{r['solver_headroom_edit']} | {r['ceiling']} |")
+    lines += ["", result["note"], ""]
+    return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="phi-floor-diag")
+    ap.add_argument("--out", default="bench_results/floor_diag_r05")
+    ap.add_argument("--samples", default=",".join(DIAG_SAMPLES))
+    args = ap.parse_args(argv)
+    res = diagnose(samples=args.samples.split(","))
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out + ".json", "w") as f:
+        json.dump(res, f, indent=1)
+    with open(args.out + ".md", "w") as f:
+        f.write(to_md(res))
+    print(json.dumps({"rows": len(res["rows"]),
+                      "panel_ceiling": sum(1 for r in res["rows"]
+                                           if r["ceiling"] == "panel")}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
