@@ -388,28 +388,6 @@ def _solve_jit(S, B, esrc_h, esrc_p, esrc_target, state_vertex, walk_len,
 
 
 @functools.partial(jax.jit, static_argnames=("H", "P", "L"))
-def _build_w_jit(occ_hap, occ_start, occ_end, occ_w, H: int, P: int, L: int):
-    """Device-side straddle-layer build (prep.straddle_layers semantics):
-    uploading the ~50 MB occurrence arrays instead of the L*H*P W stack
-    matters on tunnel-attached TPUs. Pad rows (weight contributions masked
-    by span >= j+2) and any out-of-range diff indices land in the slack
-    tail and are sliced off."""
-    span = occ_end - occ_start
-    flat_end = occ_hap * P + occ_end
-    lo_base = occ_hap * P + occ_start + 1
-    size = H * P + L + 2
-
-    def layer(j):
-        wsel = jnp.where(span >= j + 2, occ_w, jnp.float32(0))
-        diff = jnp.zeros(size, jnp.float32)
-        diff = diff.at[jnp.minimum(lo_base + j, size - 1)].add(wsel)
-        diff = diff.at[flat_end].add(-wsel)
-        return jnp.cumsum(diff[:H * P].reshape(H, P), axis=1)
-
-    return jax.lax.map(layer, jnp.arange(L))
-
-
-@functools.partial(jax.jit, static_argnames=("H", "P", "L"))
 def _build_sbw_jit(occ_hap, occ_start, occ_span, occ_w, H: int, P: int,
                    L: int):
     """Device-side build of ALL weight-dependent solver inputs — S, B

@@ -238,7 +238,7 @@ def straddle_layers_from_occ(occ_hap, occ_start, occ_end, occ_weight,
     for j in [0, n_layers). Built as per-layer difference arrays: occurrence
     [s, e] contributes to W_j over p in [s+1+j, e-1]. Host-side builder for
     the sharded path and parity tests; the single-chip solver builds W on
-    device (solve.dp._build_w_jit)."""
+    device (solve.dp._build_sbw_jit)."""
     W = np.zeros((n_layers, H, P), np.float32)
     if n_layers == 0 or len(occ_hap) == 0:
         return W
