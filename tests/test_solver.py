@@ -248,27 +248,6 @@ def test_bucketing_and_prewarm():
     assert res.true_objective == pytest.approx(exact, abs=1e-3)
 
 
-def test_device_w_build_matches_host():
-    """_build_w_jit (device straddle layers) == prep.straddle_layers."""
-    import jax.numpy as jnp
-
-    from phi_tpu.solve.dp import _build_w_jit, bucket_size
-    from phi_tpu.solve.prep import straddle_layers
-    graph, anchors, tables = _ladder_instance(R=0.3)
-    L = tables.n_layers
-    H, P = tables.state_vertex.shape
-    host = straddle_layers(graph, anchors, L)
-    Nb = bucket_size(len(anchors.occ_hap), 8)
-    pad = lambda x, v: np.pad(x, (0, Nb - len(x)), constant_values=v)
-    dev = np.asarray(_build_w_jit(
-        jnp.asarray(pad(anchors.occ_hap, 0)),
-        jnp.asarray(pad(anchors.occ_start, 0)),
-        jnp.asarray(pad(anchors.occ_end, 0)),
-        jnp.asarray(pad(anchors.occ_weight, 0.0)), H, P, L))
-    assert np.allclose(dev, host)
-    assert host.sum() > 0  # the ladder instance has real straddlers
-
-
 def test_device_sbw_build_matches_host():
     """_build_sbw_jit's S/B == anchors.credit_arrays, W == straddle_layers
     (the solver's per-round device build must be interchangeable with the
