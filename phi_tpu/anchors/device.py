@@ -400,7 +400,7 @@ def _row_start_cap(cumlens, rows, row_lanes: int) -> int:
 # (the bench's warm best-of-3, parameter sweeps, --load-index refinements)
 # skip the host 2-bit pack AND the h2d upload entirely. Content-keyed (the
 # pipeline re-tensorizes the graph each run, so object identity misses);
-# single slot (latest graph); gated by PHI_TPU_PACK_CACHE_MB (default 384).
+# single slot (latest graph); gated by PHI_TPU_PACK_CACHE_MB (default 768).
 _PACK_CACHE: dict = {}
 
 
@@ -531,7 +531,7 @@ def join_anchors_device(graph: PangenomeGraph, seqs: list[np.ndarray],
     # packed-batch device cache: warm re-runs on the same graph skip the
     # host pack and the h2d upload (pure function of graph content + shape
     # statics); single slot, size-gated
-    cache_mb = int(_os1.environ.get("PHI_TPU_PACK_CACHE_MB", "384"))
+    cache_mb = int(_os1.environ.get("PHI_TPU_PACK_CACHE_MB", "768"))
     est_batch_bytes = R * (row_lanes // 4
                            + (S_cap * 4 if use_v3 else row_lanes))
     cache_key = None
