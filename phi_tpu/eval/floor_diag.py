@@ -5,14 +5,18 @@ For samples whose mosaic barely beats the best-single-panel-hap floor
 
   floor          best single panel hap (no recombination) — the baseline
   inferred@10x   the solver's mosaic at high coverage, production R=100
-  oracle(R=1)    the mosaic when recombination is nearly free at 10x:
-                 an upper bound on what THIS panel can express — residual
-                 edit here is truth content absent from every panel hap
-                 (private variation), not a solver artifact
+  oracle(R=1)    the mosaic at a near-free-recombination operating point
+                 (10x). NOT a strict bound: the objective maximizes
+                 covered k-mers, and free switching can ADD edits at
+                 switch junctions (KAS116: R=1 is 2x worse than R=100).
 
-If inferred@10x ~= oracle(R=1), the ceiling is the PANEL (the reference
-has the same limitation at this panel size); a large spread would indict
-the solver/parameters instead.
+Reading: where inferred@10x ~= oracle(R=1) (COX, MANN), more switching
+buys nothing — the residual tracks panel distance (truth content absent
+from every panel hap; COX sits 3.4% of its length from the whole panel)
+and the ceiling is the PANEL, the reference's own limitation at this
+panel size. Where oracle(R=1) is clearly better (PGF), the production
+R=100 is leaving recoverable signal on the table — a parameter ceiling,
+not a panel one.
 
     python -m phi_tpu.eval.floor_diag --out bench_results/floor_diag_r05 \
         [--samples COX,MANN,PGF,KAS116]
@@ -72,10 +76,12 @@ def diagnose(samples=DIAG_SAMPLES, coverage: float = 10.0,
                   f"ceiling={rows[-1]['ceiling']}",
                   file=sys.stderr, flush=True)
     return {"coverage": coverage, "seed": seed, "rows": rows,
-            "note": "oracle(R=1) = near-free recombination mosaic at high "
-                    "coverage, an upper bound on panel expressiveness; "
-                    "residual oracle edit is truth content absent from "
-                    "every panel hap"}
+            "note": "oracle(R=1) = near-free-recombination operating "
+                    "point, not a strict bound (free switching can add "
+                    "junction edits - see KAS116). inferred ~= oracle => "
+                    "the residual is panel distance (content absent from "
+                    "every panel hap); oracle clearly better => the "
+                    "production R is the ceiling (parameter, not panel)"}
 
 
 def to_md(result: dict) -> str:
