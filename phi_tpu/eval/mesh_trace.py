@@ -69,7 +69,8 @@ def collective_bytes_from_hlo(hlo_text: str) -> dict:
             "total_mb_per_execution": round(sum(out.values()) / 1e6, 3)}
 
 
-def run(n_haps: int, length: int, coverage: float, seed: int) -> dict:
+def run(n_haps: int, length: int, coverage: float, seed: int,
+        skip_e2e: bool = False) -> dict:
     import jax
 
     from phi_tpu.anchors.join import build_anchor_tables, sketch_haplotypes
@@ -86,16 +87,19 @@ def run(n_haps: int, length: int, coverage: float, seed: int) -> dict:
     paths = build_instance(n_haps, length, coverage, seed)
 
     # single-device and mesh end-to-end walls (same process, same host)
-    out = os.path.join(os.path.dirname(paths["gfa"]), "mesh_out.fa")
-    t0 = time.time()
-    res1 = run_pipeline(paths["gfa"], paths["reads"], out + ".1",
-                        Options(lagrangian_rounds=2))
-    wall_single = time.time() - t0
-    t0 = time.time()
-    res8 = run_pipeline(paths["gfa"], paths["reads"], out + ".8",
-                        Options(lagrangian_rounds=2, mesh_devices=n_dev))
-    wall_mesh = time.time() - t0
-    identical = res1.sequence == res8.sequence
+    wall_single = wall_mesh = None
+    identical = None
+    if not skip_e2e:
+        out = os.path.join(os.path.dirname(paths["gfa"]), "mesh_out.fa")
+        t0 = time.time()
+        res1 = run_pipeline(paths["gfa"], paths["reads"], out + ".1",
+                            Options(lagrangian_rounds=2))
+        wall_single = time.time() - t0
+        t0 = time.time()
+        res8 = run_pipeline(paths["gfa"], paths["reads"], out + ".8",
+                            Options(lagrangian_rounds=2, mesh_devices=n_dev))
+        wall_mesh = time.time() - t0
+        identical = res1.sequence == res8.sequence
 
     # compiled-HLO collective bytes of the sharded exact solve program
     # (arg prep mirrors parallel.sharded.solve_dp_sharded's exact branch)
@@ -154,8 +158,9 @@ def run(n_haps: int, length: int, coverage: float, seed: int) -> dict:
         "n_devices": n_dev,
         "n_haps": n_haps, "length": length, "coverage": coverage,
         "byte_identical_mesh_vs_single": identical,
-        "wall_single_s": round(wall_single, 1),
-        "wall_mesh_s": round(wall_mesh, 1),
+        "wall_single_s": None if wall_single is None
+        else round(wall_single, 1),
+        "wall_mesh_s": None if wall_mesh is None else round(wall_mesh, 1),
         "solve_wall_mesh_s": round(solve_wall_mesh, 2),
         "n_sweeps": n_sweeps,
         "collectives_compiled_hlo": comm,
@@ -177,8 +182,12 @@ def main(argv=None) -> int:
     ap.add_argument("--coverage", type=float, default=2.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="bench_results/comm_volume_r05")
+    ap.add_argument("--skip-e2e", action="store_true",
+                    help="collective bytes + solve wall only (no "
+                         "end-to-end pipeline runs)")
     args = ap.parse_args(argv)
-    rec = run(args.haps, args.length, args.coverage, args.seed)
+    rec = run(args.haps, args.length, args.coverage, args.seed,
+              skip_e2e=args.skip_e2e)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out + ".json", "w") as f:
         json.dump(rec, f, indent=1)
