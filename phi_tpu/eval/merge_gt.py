@@ -16,6 +16,7 @@ import sys
 
 def merge(parts_dir: str, model: str, out_prefix: str) -> dict | None:
     from phi_tpu.eval.groundtruth import SAMPLES, write_outputs
+    from phi_tpu.pipeline import gap_tol
     merged = None
     for sample in SAMPLES:
         path = os.path.join(parts_dir, f"{model}_{sample}.json")
@@ -30,6 +31,15 @@ def merge(parts_dir: str, model: str, out_prefix: str) -> dict | None:
             merged["floors"].update(part["floors"])
     if merged is None:
         return None
+    # re-derive certification from the recorded numeric gaps under the
+    # CURRENT tolerance: integer R makes objective values integer-spaced,
+    # so gap < 1 (0.99 with float-noise margin) is a valid optimality
+    # certificate (pipeline.gap_tol) — shards run before that tightening
+    # carry booleans computed at the old 0.5
+    tol = gap_tol(100.0)
+    for r in merged["cells"]:
+        r["certified"] = bool(all(g <= tol for g in r["gaps"]))
+    merged["certification_tolerance"] = tol
     write_outputs(merged, out_prefix)
     return merged
 

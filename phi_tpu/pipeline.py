@@ -431,13 +431,18 @@ def _solve_and_decode(graph, tables, anchors, opt: Options) -> DecodeResult:
 def gap_tol(R: float) -> float:
     """Certification tolerance for the duality gap. Objective differences
     are a*R + b with integer a (switch count delta) and integer b (distinct
-    k-mer delta), so with integer R any two distinct objective values
-    differ by >= 1 and a gap < 1 proves optimality (0.5 for margin). With
-    fractional R < 1 the smallest step is R itself — a 0.5 tolerance would
-    admit a path with one extra cheap switch (measured on the frontier
-    sweep: excess exactly R at R in {0.1, 0.25, 0.5}). Scale the tolerance
+    k-mer delta), so with INTEGER R any two distinct objective values
+    differ by >= 1: a bound strictly above opt - 1 excludes every better
+    integer solution, so the full tolerance 1 - eps is a valid optimality
+    certificate (round 5; previously 0.5 — needlessly forfeiting
+    certification on real-data cells whose dual stalls in (0.5, 1)). With
+    fractional R < 1 the smallest step is R itself — a loose tolerance
+    would admit a path with one extra cheap switch (measured on the
+    frontier sweep: excess exactly R at R in {0.1, 0.25, 0.5}); scale
     down accordingly. Fractional R >= 1 keeps 0.5: steps can be as small
     as frac(R) there, a documented residual (eval/frontier.py)."""
+    if R > 0 and float(R).is_integer():
+        return 0.99   # 0.01 margin over observed f32 bound noise (~1e-3)
     return 0.5 * min(1.0, R) if R > 0 else 0.0
 
 

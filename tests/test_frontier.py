@@ -9,10 +9,15 @@ from phi_tpu.eval.frontier import (case_lowR, case_paralog, case_threshold,
 
 def test_gap_tol_scales_with_R():
     from phi_tpu.pipeline import gap_tol
-    assert gap_tol(100.0) == 0.5
-    assert gap_tol(1.0) == 0.5
+    # integer R: objective values are integer-spaced, so any bound above
+    # opt - 1 certifies optimality (0.01 float-noise margin)
+    assert gap_tol(100.0) == 0.99
+    assert gap_tol(1.0) == 0.99
+    # fractional R < 1: smallest objective step is R itself
     assert gap_tol(0.5) == 0.25
     assert gap_tol(0.1) == pytest.approx(0.05)
+    # fractional R >= 1: steps can be frac(R); keep the conservative 0.5
+    assert gap_tol(2.5) == 0.5
 
 
 @pytest.mark.parametrize("R", [0.1, 0.25, 0.5])
