@@ -27,14 +27,22 @@ V5E_HBM_GB = 16.0
 
 def budget(H: int, P: int, L: int, spectrum: int, n_occ: int,
            n_esrc: int | None = None, sp_shards: int = 1,
-           hap_shards: int = 1) -> dict:
-    """Per-device bytes for one (sp_shards x hap_shards) mesh tile."""
+           hap_shards: int = 1, stream_w: bool | None = None) -> dict:
+    """Per-device bytes for one (sp_shards x hap_shards) mesh tile.
+    stream_w: the streaming-W solver (auto-on past ~3 GB of stack,
+    solve.dp._stream_w) rebuilds each straddle layer per sweep and never
+    materializes [L, H, P] — only ~2 layer-sized scratch planes. None =
+    apply the same auto rule as the solver."""
     n_esrc = n_esrc if n_esrc is not None else H * max(1, P // 16)
     Pd = -(-P // sp_shards) + (L if sp_shards > 1 else 0)  # + sp halo
     Hd = -(-H // hap_shards)
+    if stream_w is None:
+        stream_w = L * Hd * Pd * 4 > 3 * (1 << 30)
+    w_bytes = (2 if stream_w else L) * Hd * Pd * 4
     rows = {
         "S/B/M lane tables (3x [H,P] f32)": 3 * Hd * Pd * 4,
-        "W straddle stack ([L,H,P] f32)": L * Hd * Pd * 4,
+        ("W scratch (streaming: 2x [H,P] f32)" if stream_w
+         else "W straddle stack ([L,H,P] f32)"): w_bytes,
         "state_vertex ([H,P] i32)": Hd * Pd * 4,
         "switch sources (esrc h/p/target/edge i32)": 4 * n_esrc * 4,
         "occurrence tables (hap/start/end/kmer/weight)": 5 * n_occ * 4,
