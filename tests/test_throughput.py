@@ -27,9 +27,16 @@ def test_cli_json_lines(capsys):
 
 def test_hbm_budget_model():
     from phi_tpu.eval.hbm_budget import budget
-    b1 = budget(49, 1_600_000, 16, 4_000_000, 25_000_000)
+    # materialized-W accounting (stream_w=False): the full [L,H,P] stack
+    b1 = budget(49, 1_600_000, 16, 4_000_000, 25_000_000, stream_w=False)
     assert b1["fits_v5e"] and 5 < b1["total_gb"] < 10
-    b8 = budget(49, 1_600_000, 16, 4_000_000, 25_000_000, sp_shards=8)
+    # default auto rule mirrors the solver: past ~3 GB of stack the
+    # streaming-W path never materializes it (2 scratch planes)
+    b_auto = budget(49, 1_600_000, 16, 4_000_000, 25_000_000)
+    assert b_auto["total_gb"] < b1["total_gb"]
+    assert "streaming" in str(b_auto["per_device_bytes"])
+    b8 = budget(49, 1_600_000, 16, 4_000_000, 25_000_000, sp_shards=8,
+                stream_w=False)
     # sp sharding divides the [*, P] planes (plus an L-column halo)
     assert b8["total_gb"] < b1["total_gb"] / 2
     assert b8["dims"]["P_per_device"] == -(-1_600_000 // 8) + 16
